@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship query — PageRank top-20 entities of the
+sf0.001 events-derived entity graph (the §7.2 end-to-end slice).
+
+queries(): one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline operators); each callable (spark, sf_dir) -> DataFrame.
+
+oracle_sql(): matching DuckDB SQL per query (generated in
+networkit_spark.entrylib so both sides share constants and iteration counts).
 """
 
 from __future__ import annotations
@@ -15,24 +18,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank top-20 entities on /root/testdata/sf0.001."""
+    from pyspark.sql import functions as F
+
+    from networkit_spark.entrylib import events_graph
+    from networkit_spark.operators.pagerank import pagerank, ranking
+
+    g, verts = events_graph(spark, "/root/testdata/sf0.001")
+    scores = pagerank(g, damp=0.85, tol=1e-6)
+    top = ranking(scores, k=20).join(verts, "id")
+    return top.select("id", "key", F.round("score", 6).alias("score")).orderBy(
+        F.desc("score"), F.asc("id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from networkit_spark.entry_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from networkit_spark.entry_queries import build_oracles
+
+    return build_oracles()

@@ -1,0 +1,128 @@
+"""Transcripts -> weighted undirected entity graph (FIXTURES.md §1, SURVEY.md §7.1).
+
+Entity keys:  ``conv:<conv_id>``, ``tool:<tool>``, ``role:<role>``.
+Edges per turn: conv<->role (every turn), conv<->tool (non-null tool), and
+tool(t-1)<->tool(t) transitions between consecutive tool-bearing turns of a
+conversation under the stable (conv_id, turn_idx) ordering (window lag).
+Weight = occurrence count, symmetrized; self-loops (tool==tool transition)
+stored once, mirroring the reference Graph which stores undirected edges in
+both adjacency lists but a self-loop once (graph/Graph.cpp:562-610).
+
+Dense ids are minted the way GraphTools::getContinuousNodeIds does
+(networkit/cpp/graph/GraphTools.cpp:438) but distribution-friendly: a
+range-partitioned sort by key + per-partition row_number + cumulative
+partition offsets. No global single-partition window, so it scales to
+billions of keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transcript_edge_keys(transcripts: DataFrame) -> DataFrame:
+    """Undirected (src_key, dst_key, weight) pairs, canonicalized src<=dst.
+
+    Pure DataFrame ops: two projections + one window lag + groupBy count.
+    The filters/projections reach the parquet scan (only conv_id, turn_idx,
+    role, tool are read — predicate pushdown + column pruning).
+    """
+    t = transcripts.select("conv_id", "turn_idx", "role", "tool")
+
+    conv = F.concat(F.lit("conv:"), F.col("conv_id"))
+
+    conv_role = t.select(
+        conv.alias("a"), F.concat(F.lit("role:"), F.col("role")).alias("b")
+    )
+    conv_tool = t.filter(F.col("tool").isNotNull()).select(
+        conv.alias("a"), F.concat(F.lit("tool:"), F.col("tool")).alias("b")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tool_seq = (
+        t.filter(F.col("tool").isNotNull())
+        .withColumn("prev_tool", F.lag("tool").over(w))
+        .filter(F.col("prev_tool").isNotNull())
+        .select(
+            F.concat(F.lit("tool:"), F.col("prev_tool")).alias("a"),
+            F.concat(F.lit("tool:"), F.col("tool")).alias("b"),
+        )
+    )
+
+    pairs = conv_role.unionByName(conv_tool).unionByName(tool_seq)
+    return (
+        pairs.select(
+            F.least("a", "b").alias("src_key"),
+            F.greatest("a", "b").alias("dst_key"),
+        )
+        .groupBy("src_key", "dst_key")
+        .agg(F.count(F.lit(1)).cast("float").alias("weight"))
+    )
+
+
+def mint_dense_ids(keys: DataFrame, key_col: str = "key", partitions: int | None = None) -> DataFrame:
+    """Dictionary DF (id: long, <key_col>: string) — dense 0-based ids in
+    lexicographic key order, deterministically.
+
+    Scale path: range-partition the sorted keys, number rows within each
+    partition, then add cumulative offsets (one tiny count-per-partition
+    collect). Equivalent to ``row_number() over (order by key) - 1`` without
+    the single-reducer global window.
+    """
+    distinct = keys.select(key_col).distinct()
+    if partitions is not None:
+        distinct = distinct.repartitionByRange(partitions, key_col)
+    else:
+        distinct = distinct.repartitionByRange(key_col)
+
+    df = distinct.withColumn("pid", F.spark_partition_id()).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("pid").orderBy(key_col)) - 1,
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in df.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(p) for p in sorted(offsets)]),
+            F.array(*[F.lit(offsets[p]) for p in sorted(offsets)]),
+        ),
+        F.col("pid"),
+    )
+    return df.select(
+        (F.col("rn") + off_expr).cast("long").alias("id"), F.col(key_col)
+    )
+
+
+def derive_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(vertices, edges) for the symmetrized transcript entity graph.
+
+    vertices(id: long, key: string); edges(src: long, dst: long,
+    weight: float) with both directions present, self-loops once.
+    """
+    pairs = transcript_edge_keys(transcripts)
+    keys = pairs.select(F.col("src_key").alias("key")).unionByName(
+        pairs.select(F.col("dst_key").alias("key"))
+    )
+    vertices = mint_dense_ids(keys)
+
+    dict_a = vertices.withColumnRenamed("key", "src_key").withColumnRenamed("id", "src")
+    dict_b = vertices.withColumnRenamed("key", "dst_key").withColumnRenamed("id", "dst")
+    # the dictionary is tiny relative to edges at any scale where this
+    # matters (entities << turns): broadcast both joins
+    half = (
+        pairs.join(F.broadcast(dict_a), "src_key")
+        .join(F.broadcast(dict_b), "dst_key")
+        .select("src", "dst", "weight")
+    )
+    sym = half.unionByName(
+        half.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    return vertices, sym

@@ -1,0 +1,257 @@
+"""The driver-contract registry: Spark query callables + DuckDB oracle SQL.
+
+Every operator claimed in SURVEY.md §2 has an entry here; the driver runs
+both sides at sf=0.01 and hash-compares. Iteration-bearing queries are
+pinned to fixed superstep counts (same count in the SQL) so pacing can never
+diverge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from networkit_spark import entrylib as L
+from networkit_spark.functions import dedup, similarity, textstats
+from networkit_spark.functions.multimodal import attach_binary, decode_images
+from networkit_spark.operators.coarsening import coarsen, modularity
+from networkit_spark.operators.components import connected_components
+from networkit_spark.operators.labelprop import label_propagation
+from networkit_spark.operators.pagerank import pagerank
+from networkit_spark.operators.triangles import (
+    global_transitivity,
+    global_triangle_count,
+    local_clustering_coefficient,
+    triangle_counts,
+)
+
+PR_ITERS = 12
+CC_ITERS = 12
+LP_ITERS = 4
+
+
+# ---- graph family ---------------------------------------------------------
+
+
+def q_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    return g.edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
+
+
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    return g.degrees().select("id", "degree", F.col("wdeg").cast("double").alias("wdeg"))
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    scores = pagerank(g, damp=0.85, tol=0.0, max_iterations=PR_ITERS)
+    return scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    return connected_components(g, max_iterations=CC_ITERS).select("id", "label")
+
+
+def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    return label_propagation(g, theta=-1, max_iterations=LP_ITERS).select("id", "label")
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    return triangle_counts(g).select("id", F.col("triangles").cast("bigint").alias("triangles"))
+
+
+def q_graph_triangle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    n = global_triangle_count(g)
+    return spark.createDataFrame([(n,)], "triangles bigint")
+
+
+def q_graph_lcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    return local_clustering_coefficient(g).select("id", F.round("lcc", 6).alias("lcc"))
+
+
+def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    t = round(global_transitivity(g), 6)
+    return spark.createDataFrame([(t,)], "transitivity double")
+
+
+def q_graph_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, verts = L.events_graph(spark, sf_dir)
+    d = g.degrees()
+    return (
+        d.join(verts, "id")
+        .select("key", "degree", F.col("wdeg").cast("double").alias("wdeg"))
+        .orderBy(F.desc("wdeg"), F.asc("key"))
+        .limit(20)
+    )
+
+
+def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    labels = connected_components(g, max_iterations=CC_ITERS)
+    cg, _ = coarsen(g, labels)
+    return cg.edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("weight")
+    )
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    labels = label_propagation(g, theta=-1, max_iterations=LP_ITERS)
+    m = round(modularity(g, labels), 6)
+    return spark.createDataFrame([(m,)], "modularity double")
+
+
+# ---- pipeline family ------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return L.load(spark, sf_dir, "documents")
+
+
+def q_token_stats(spark, sf_dir):
+    return textstats.token_stats(_docs(spark, sf_dir))
+
+
+def q_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_topk(spark, sf_dir):
+    return textstats.token_topk(_docs(spark, sf_dir), k=20)
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_minhash_bands(spark, sf_dir):
+    sh = dedup.shingles(_docs(spark, sf_dir))
+    return dedup.minhash_bands(sh, num_hashes=16, bands=4)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), bits=32)
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    sh = dedup.shingles(_docs(spark, sf_dir))
+    return dedup.jaccard_pairs(sh, threshold=0.5, max_shingle_freq=100)
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = L.load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, query_ids=list(range(5)), k=10)
+
+
+def q_lsh_ann(spark, sf_dir):
+    emb = L.load(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(emb, query_ids=list(range(5)), k=3, nbits=8)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    return decode_images(attach_binary(_docs(spark, sf_dir))).orderBy("doc_id")
+
+
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = L.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn("prev", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev") > 1800 * 1_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.max("n").cast("bigint").alias("max_session_len"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+
+
+# ---- registry -------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graph_edges": q_graph_edges,
+    "graph_degrees": q_graph_degrees,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_components": q_graph_components,
+    "graph_labelprop": q_graph_labelprop,
+    "graph_triangles_per_node": q_graph_triangles,
+    "graph_triangle_count": q_graph_triangle_global,
+    "graph_lcc": q_graph_lcc,
+    "graph_transitivity": q_graph_transitivity,
+    "graph_top_entities": q_graph_top_entities,
+    "graph_coarsen_by_component": q_graph_coarsen,
+    "graph_modularity_lp": q_graph_modularity,
+    "text_token_stats": q_token_stats,
+    "text_quality": q_quality,
+    "text_lang_id": q_lang_id,
+    "text_fingerprint": q_fingerprint,
+    "text_token_topk": q_token_topk,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_bands": q_minhash_bands,
+    "dedup_simhash": q_simhash,
+    "dedup_jaccard_pairs": q_jaccard_pairs,
+    "embed_cosine_topk": q_cosine_topk,
+    "embed_lsh_ann": q_lsh_ann,
+    "multimodal_decode_meta": q_multimodal_meta,
+    "events_sessionize": q_sessionize,
+}
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "graph_edges": L.sql_edges(),
+        "graph_degrees": L.sql_degrees(),
+        "graph_pagerank": L.sql_pagerank(PR_ITERS),
+        "graph_components": L.sql_components(CC_ITERS),
+        "graph_labelprop": L.sql_labelprop(LP_ITERS),
+        "graph_triangles_per_node": L.sql_triangle_pernode(),
+        "graph_triangle_count": L.sql_triangle_global(),
+        "graph_lcc": L.sql_lcc(),
+        "graph_transitivity": L.sql_transitivity(),
+        "graph_top_entities": L.sql_top_entities(20),
+        "graph_coarsen_by_component": L.sql_coarsen(CC_ITERS),
+        "graph_modularity_lp": L.sql_modularity(LP_ITERS),
+        "text_token_stats": L.sql_token_stats(),
+        "text_quality": L.sql_quality(),
+        "text_lang_id": L.sql_lang_id(),
+        "text_fingerprint": L.sql_fingerprint(),
+        "text_token_topk": L.sql_token_topk(20),
+        "dedup_exact": L.sql_dedup_exact(),
+        "dedup_minhash_bands": L.sql_minhash_bands(16, 4),
+        "dedup_simhash": L.sql_simhash(32),
+        "dedup_jaccard_pairs": L.sql_jaccard_pairs(0.5, 100),
+        "embed_cosine_topk": L.sql_cosine_topk(5, 10),
+        "embed_lsh_ann": L.sql_lsh_ann(5, 3, 8),
+        "multimodal_decode_meta": L.sql_multimodal_meta(),
+        "events_sessionize": L.sql_sessionize(1800),
+    }

@@ -1,0 +1,644 @@
+"""Driver-contract query implementations + matching DuckDB oracle SQL.
+
+The driver (see __spark_entry__.py) runs each Spark query and its oracle SQL
+side-by-side on the same parquet tables at sf=0.01 and compares row count,
+schema, and an order-insensitive value hash. Both sides therefore:
+
+* alias every computed column identically,
+* cast counts to BIGINT / weights+scores to DOUBLE,
+* round floating-point outputs to 6 decimals,
+* pin iteration counts (fixed-superstep variants) so convergence pacing can
+  never diverge between the engines.
+
+The graph queries run the REAL engine (networkit_spark.operators.*) over an
+entity graph derived from the `events` table exactly the way the transcript
+pipeline derives its graph (FIXTURES.md §1): events ≙ turns, user_id ≙
+conv_id, event_type ≙ tool, (ts, event_id) ≙ turn ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.edges import mint_dense_ids
+from networkit_spark.graph import Graph
+
+# --------------------------------------------------------------------------
+# events -> entity graph (Spark side)
+# --------------------------------------------------------------------------
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def events_edge_keys(ev: DataFrame) -> DataFrame:
+    """Undirected (src_key, dst_key, weight) — user<->etype per event plus
+    etype(t-1)<->etype(t) transitions per user under (ts, event_id) order."""
+    user = F.concat(F.lit("user:"), F.col("user_id").cast("string"))
+    et = F.concat(F.lit("etype:"), F.col("event_type"))
+    p1 = ev.select(user.alias("a"), et.alias("b"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p2 = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.concat(F.lit("etype:"), F.col("prev")).alias("a"), et.alias("b"))
+    )
+    return (
+        p1.unionByName(p2)
+        .select(F.least("a", "b").alias("src_key"), F.greatest("a", "b").alias("dst_key"))
+        .groupBy("src_key", "dst_key")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def events_graph(spark: SparkSession, sf_dir: str) -> tuple[Graph, DataFrame]:
+    """(Graph, vertices-with-keys). weight kept DOUBLE end-to-end here so the
+    DuckDB comparison is exact (counts are integral in double)."""
+    pairs = events_edge_keys(load(spark, sf_dir, "events"))
+    keys = pairs.select(F.col("src_key").alias("key")).unionByName(
+        pairs.select(F.col("dst_key").alias("key"))
+    )
+    vertices = mint_dense_ids(keys).persist()
+    da = vertices.withColumnRenamed("key", "src_key").withColumnRenamed("id", "src")
+    db = vertices.withColumnRenamed("key", "dst_key").withColumnRenamed("id", "dst")
+    half = (
+        pairs.join(F.broadcast(da), "src_key")
+        .join(F.broadcast(db), "dst_key")
+        .select("src", "dst", F.col("weight").cast("float").alias("weight"))
+    )
+    sym = half.unionByName(
+        half.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    return Graph(vertices.select("id"), sym, directed=False, weighted=True), vertices
+
+
+# --------------------------------------------------------------------------
+# shared DuckDB CTE: the identical derivation in ANSI SQL
+# --------------------------------------------------------------------------
+
+GRAPH_CTE = """
+ev AS (SELECT user_id, event_type, ts, event_id FROM events),
+pair_rows AS (
+    SELECT 'user:' || CAST(user_id AS VARCHAR) AS a,
+           'etype:' || event_type AS b
+    FROM ev
+    UNION ALL
+    SELECT 'etype:' || prev AS a, 'etype:' || event_type AS b
+    FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM ev
+    ) WHERE prev IS NOT NULL
+),
+pairs AS (
+    SELECT least(a, b) AS src_key, greatest(a, b) AS dst_key,
+           CAST(count(*) AS DOUBLE) AS weight
+    FROM pair_rows GROUP BY 1, 2
+),
+dict AS (
+    SELECT key, CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS id
+    FROM (
+        SELECT DISTINCT src_key AS key FROM pairs
+        UNION
+        SELECT DISTINCT dst_key FROM pairs
+    )
+),
+half AS (
+    SELECT da.id AS src, db.id AS dst, p.weight
+    FROM pairs p
+    JOIN dict da ON da.key = p.src_key
+    JOIN dict db ON db.key = p.dst_key
+),
+edges AS (
+    SELECT src, dst, weight FROM half
+    UNION ALL
+    SELECT dst AS src, src AS dst, weight FROM half WHERE src <> dst
+),
+vertices AS (SELECT id FROM dict)
+"""
+
+
+def _with_graph(body: str) -> str:
+    """body is either 'SELECT ...' or 'extra_cte AS (...), ... SELECT ...'."""
+    sep = " " if body.lstrip().upper().startswith("SELECT") else ", "
+    return f"WITH {GRAPH_CTE}{sep}{body}"
+
+
+# degrees with self-loop weight doubled (Graph.cpp:552-558 semantics)
+DEG_CTE = """
+deg AS (
+    SELECT src AS id,
+           CAST(count(*) AS BIGINT) AS degree,
+           SUM(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS wdeg
+    FROM edges GROUP BY src
+),
+degrees AS (
+    SELECT v.id, COALESCE(d.degree, 0) AS degree, COALESCE(d.wdeg, 0.0) AS wdeg
+    FROM vertices v LEFT JOIN deg d ON d.id = v.id
+)
+"""
+
+
+def sql_pagerank(iters: int, damp: float = 0.85) -> str:
+    """Unrolled fixed-iteration pull PageRank (PageRank.cpp semantics),
+    final sum-normalization, scores rounded to 6 decimals."""
+    ctes = [
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices)",
+        "pr0 AS (SELECT id, (SELECT 1.0/n FROM nn) AS score FROM vertices)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""pr{k} AS (
+    SELECT v.id,
+           (SELECT (1.0 - {damp})/n FROM nn) + {damp} * COALESCE(m.mass, 0.0) AS score
+    FROM vertices v
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.score * e.weight / dg.wdeg) AS mass
+        FROM edges e
+        JOIN pr{k-1} p ON p.id = e.src
+        JOIN deg2 dg ON dg.id = e.src
+        WHERE dg.wdeg > 0
+        GROUP BY e.dst
+    ) m ON m.id = v.id
+)"""
+        )
+    deg2 = """deg2 AS (
+    SELECT src AS id, SUM(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS wdeg
+    FROM edges GROUP BY src
+)"""
+    body = (
+        ", ".join([deg2] + ctes)
+        + f""" SELECT id, ROUND(score / (SELECT SUM(score) FROM pr{iters}), 6) AS score
+FROM pr{iters} ORDER BY id"""
+    )
+    return _with_graph(body)
+
+
+def sql_components(iters: int) -> str:
+    """Unrolled hash-min label propagation; converges well before ``iters``
+    on this graph (and the Spark side runs the same fixed count)."""
+    ctes = ["cc0 AS (SELECT id, id AS label FROM vertices)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""cc{k} AS (
+    SELECT l.id, least(l.label, COALESCE(m.cand, l.label)) AS label
+    FROM cc{k-1} l
+    LEFT JOIN (
+        SELECT e.dst AS id, MIN(p.label) AS cand
+        FROM edges e JOIN cc{k-1} p ON p.id = e.src
+        WHERE e.src <> e.dst
+        GROUP BY e.dst
+    ) m ON m.id = l.id
+)"""
+        )
+    body = ", ".join(ctes) + f" SELECT id, label FROM cc{iters} ORDER BY id"
+    return _with_graph(body)
+
+
+def sql_labelprop(iters: int) -> str:
+    """Unrolled synchronous LP with (weight desc, label asc) tie-break
+    (PLP.cpp:80-92, MPLP.cpp:122-128)."""
+    ctes = ["lp0 AS (SELECT id, id AS label FROM vertices)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""lp{k} AS (
+    SELECT l.id, COALESCE(c.cand, l.label) AS label
+    FROM lp{k-1} l
+    LEFT JOIN (
+        SELECT dst AS id, label AS cand FROM (
+            SELECT e.dst, p.label, SUM(e.weight) AS wsum,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY SUM(e.weight) DESC, p.label ASC
+                   ) AS rn
+            FROM edges e JOIN lp{k-1} p ON p.id = e.src
+            WHERE e.src <> e.dst
+            GROUP BY e.dst, p.label
+        ) WHERE rn = 1
+    ) c ON c.id = l.id
+)"""
+        )
+    body = ", ".join(ctes) + f" SELECT id, label FROM lp{iters} ORDER BY id"
+    return _with_graph(body)
+
+
+TRI_CTE = """
+simple AS (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges WHERE src <> dst
+),
+und AS (SELECT u AS a, v AS b FROM simple UNION ALL SELECT v, u FROM simple),
+degt AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+orient AS (
+    SELECT u.a AS src, u.b AS dst
+    FROM und u
+    JOIN degt da ON da.id = u.a
+    JOIN degt db ON db.id = u.b
+    WHERE (da.deg > db.deg) OR (da.deg = db.deg AND u.a > u.b)
+),
+tri AS (
+    SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+    FROM orient o1
+    JOIN orient o2 ON o1.src = o2.src AND o1.dst <> o2.dst
+    WHERE EXISTS (
+        SELECT 1 FROM orient o3 WHERE o3.src = o1.dst AND o3.dst = o2.dst
+    )
+)
+"""
+
+
+def sql_triangle_pernode() -> str:
+    body = f""", {TRI_CTE.strip().rstrip()},
+corners AS (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+)
+SELECT v.id, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS triangles
+FROM vertices v
+LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY id) t ON t.id = v.id
+ORDER BY v.id"""
+    return _with_graph(body.lstrip(", \n"))
+
+
+def sql_triangle_global() -> str:
+    body = f"{TRI_CTE.strip()} SELECT CAST(count(*) AS BIGINT) AS triangles FROM tri"
+    return _with_graph(body)
+
+
+def sql_lcc() -> str:
+    body = f""", {TRI_CTE.strip()},
+corners AS (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+pernode AS (
+    SELECT v.id, COALESCE(t.cnt, 0) AS triangles
+    FROM vertices v
+    LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY id) t ON t.id = v.id
+),
+sdeg AS (SELECT a AS id, count(*) AS degree FROM und GROUP BY a)
+SELECT p.id,
+       ROUND(CASE WHEN COALESCE(s.degree, 0) >= 2
+                  THEN 2.0 * p.triangles / (s.degree * (s.degree - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM pernode p LEFT JOIN sdeg s ON s.id = p.id
+ORDER BY p.id"""
+    return _with_graph(body.lstrip(", \n"))
+
+
+def sql_transitivity() -> str:
+    body = f""", {TRI_CTE.strip()},
+sdeg AS (SELECT a AS id, count(*) AS d FROM und GROUP BY a)
+SELECT ROUND(6.0 * (SELECT count(*) FROM tri) /
+             (SELECT SUM(d * (d - 1)) FROM sdeg), 6) AS transitivity"""
+    return _with_graph(body.lstrip(", \n"))
+
+
+def sql_degrees() -> str:
+    return _with_graph(
+        f"{DEG_CTE.strip()} SELECT id, degree, wdeg FROM degrees ORDER BY id"
+    )
+
+
+def sql_edges() -> str:
+    return _with_graph(
+        "SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM edges ORDER BY src, dst"
+    )
+
+
+def sql_top_entities(k: int = 20) -> str:
+    body = f"""{DEG_CTE.strip()}
+SELECT d.key, g.degree, g.wdeg
+FROM degrees g JOIN dict d ON d.id = g.id
+ORDER BY g.wdeg DESC, d.key ASC
+LIMIT {k}"""
+    return _with_graph(body)
+
+
+def sql_coarsen(cc_iters: int) -> str:
+    cc_sql = sql_components(cc_iters)
+    # splice: reuse the components CTE chain, then contract
+    inner = cc_sql[len("WITH "):cc_sql.rindex("SELECT id, label")]
+    last = f"cc{cc_iters}"
+    return f"""WITH {inner.rstrip().rstrip(',')},
+cdict AS (
+    SELECT label, CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS cid
+    FROM (SELECT DISTINCT label FROM {last})
+),
+contracted AS (
+    SELECT ca.cid AS src, cb.cid AS dst, SUM(e.weight) AS w
+    FROM edges e
+    JOIN {last} la ON la.id = e.src
+    JOIN {last} lb ON lb.id = e.dst
+    JOIN cdict ca ON ca.label = la.label
+    JOIN cdict cb ON cb.label = lb.label
+    GROUP BY ca.cid, cb.cid
+)
+SELECT src, dst,
+       CAST(CASE WHEN src = dst THEN w / 2 ELSE w END AS DOUBLE) AS weight
+FROM contracted ORDER BY src, dst"""
+
+
+def sql_modularity(lp_iters: int) -> str:
+    lp_sql = sql_labelprop(lp_iters)
+    inner = lp_sql[len("WITH "):lp_sql.rindex("SELECT id, label")]
+    last = f"lp{lp_iters}"
+    return f"""WITH {inner.rstrip().rstrip(',')},
+tew AS (
+    SELECT (SUM(weight) - SUM(CASE WHEN src = dst THEN weight ELSE 0 END)) / 2
+           + SUM(CASE WHEN src = dst THEN weight ELSE 0 END) AS w
+    FROM edges
+),
+intra AS (
+    SELECT (SUM(e.weight) - SUM(CASE WHEN e.src = e.dst THEN e.weight ELSE 0 END)) / 2
+           + SUM(CASE WHEN e.src = e.dst THEN e.weight ELSE 0 END) AS w
+    FROM edges e
+    JOIN {last} la ON la.id = e.src
+    JOIN {last} lb ON lb.id = e.dst
+    WHERE la.label = lb.label
+),
+wdeg AS (
+    SELECT src AS id, SUM(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS wd
+    FROM edges GROUP BY src
+),
+vols AS (
+    SELECT l.label, SUM(COALESCE(w.wd, 0)) AS vol
+    FROM {last} l LEFT JOIN wdeg w ON w.id = l.id
+    GROUP BY l.label
+)
+SELECT ROUND(
+    (SELECT COALESCE(w, 0) FROM intra) / (SELECT w FROM tew)
+    - (SELECT SUM((vol / (SELECT w FROM tew)) * (vol / (SELECT w FROM tew)) / 4.0)
+       FROM vols),
+6) AS modularity"""
+
+
+# --------------------------------------------------------------------------
+# documents / embeddings / events pipeline oracles (DuckDB dialect)
+# --------------------------------------------------------------------------
+
+# normalized tokens CTE over documents (DuckDB needs the 'g' regex flag;
+# Spark's regexp_replace is global by default — same semantics)
+DOCS_CTE = """
+docs_norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')) AS norm
+    FROM documents
+),
+docs_tok AS (
+    SELECT doc_id,
+           list_filter(string_split(norm, ' '), t -> t <> '') AS toks,
+           norm
+    FROM docs_norm
+)
+"""
+
+
+def sql_token_stats() -> str:
+    return f"""WITH {DOCS_CTE}
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS avg_token_len
+FROM docs_tok ORDER BY doc_id"""
+
+
+_EN = "'the','a','of','in','to','is','and'"
+
+
+def sql_quality() -> str:
+    return f"""WITH {DOCS_CTE},
+q AS (
+    SELECT doc_id,
+           CAST(greatest(len(toks), 1) AS DOUBLE) AS n,
+           CAST(len(list_filter(toks, t -> t IN ({_EN}))) AS DOUBLE) AS stop_hits,
+           CAST(len(list_distinct(toks)) AS DOUBLE) AS distinct_toks
+    FROM docs_tok
+)
+SELECT doc_id,
+       ROUND(stop_hits / n, 6) AS stopword_ratio,
+       ROUND(distinct_toks / n, 6) AS distinct_ratio,
+       ROUND(0.5 * (distinct_toks / n) + 0.3 * (1.0 - stop_hits / n)
+             + 0.2 * least(n / 100.0, 1.0), 6) AS quality
+FROM q ORDER BY doc_id"""
+
+
+_LANG_LISTS = {
+    "de": "'der','die','das','und','ist'",
+    "en": _EN,
+    "es": "'el','la','de','en','y','que'",
+    "fr": "'le','la','et','les','des'",
+}
+
+
+def sql_lang_id() -> str:
+    hit_cols = ",\n           ".join(
+        f"CAST(len(list_filter(toks, t -> t IN ({lst}))) AS BIGINT) AS h_{lang}"
+        for lang, lst in sorted(_LANG_LISTS.items())
+    )
+    # sequential (count desc, lang asc) fold, same as the Spark when-chain
+    best, best_n = "'unk'", "CAST(0 AS BIGINT)"
+    for lang in sorted(_LANG_LISTS):
+        best = f"CASE WHEN h_{lang} > {best_n} THEN '{lang}' ELSE {best} END"
+        best_n = f"CASE WHEN h_{lang} > {best_n} THEN h_{lang} ELSE {best_n} END"
+    return f"""WITH {DOCS_CTE},
+hits AS (
+    SELECT doc_id,
+           {hit_cols}
+    FROM docs_tok
+)
+SELECT doc_id, {best} AS lang_guess FROM hits ORDER BY doc_id"""
+
+
+def sql_fingerprint() -> str:
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    return f"""WITH {DOCS_CTE}
+SELECT doc_id, {md5_long_sql('norm')} AS fp FROM docs_norm ORDER BY doc_id"""
+
+
+def sql_token_topk(k: int = 20) -> str:
+    return f"""WITH {DOCS_CTE},
+tok AS (SELECT unnest(toks) AS token FROM docs_tok)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM tok GROUP BY token
+ORDER BY cnt DESC, token ASC LIMIT {k}"""
+
+
+def sql_dedup_exact() -> str:
+    return """SELECT md5(text) AS text_hash,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       MIN(doc_id) AS rep_id
+FROM documents GROUP BY md5(text)"""
+
+
+SHINGLES_CTE = """
+tok_pos AS (
+    SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+    FROM docs_tok
+),
+sh AS (
+    SELECT DISTINCT doc_id AS id,
+           concat_ws(' ', tok,
+                     lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+                     lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle
+    FROM tok_pos
+    QUALIFY lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+)
+"""
+
+
+def sql_minhash_bands(num_hashes: int = 16, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    parts = []
+    for b in range(bands):
+        sig = ", ".join(f"h{b * rows + j}" for j in range(rows))
+        parts.append(
+            f"SELECT id, CAST({b} AS INT) AS band, md5(concat_ws('|', {sig})) AS bucket FROM mins"
+        )
+    return f"""WITH {DOCS_CTE}, {SHINGLES_CTE.strip()},
+mins AS (
+    SELECT id,
+           {mins}
+    FROM sh GROUP BY id
+)
+{' UNION ALL '.join(parts)}"""
+
+
+def sql_simhash(bits: int = 32) -> str:
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"""WITH {DOCS_CTE},
+tok AS (
+    SELECT DISTINCT doc_id AS id, unnest(toks) AS tok FROM docs_tok
+),
+hashed AS (SELECT id, {md5_long_sql('tok')} AS hv FROM tok),
+bitsums AS (
+    SELECT id,
+           {sums}
+    FROM hashed GROUP BY id
+)
+SELECT id, CAST({packed} AS BIGINT) AS simhash FROM bitsums ORDER BY id"""
+
+
+def sql_jaccard_pairs(threshold: float = 0.5, max_freq: int = 100) -> str:
+    return f"""WITH {DOCS_CTE}, {SHINGLES_CTE.strip()},
+kept AS (
+    SELECT id, shingle FROM sh
+    WHERE shingle IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_freq}
+    )
+),
+sizes AS (SELECT id, count(*) AS sz FROM kept GROUP BY id),
+shared AS (
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+)
+SELECT s.id_a, s.id_b,
+       ROUND(CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared), 6) AS jaccard
+FROM shared s
+JOIN sizes sa ON sa.id = s.id_a
+JOIN sizes sb ON sb.id = s.id_b
+WHERE CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) >= {threshold}"""
+
+
+EMB_CTE = """
+emb AS (
+    SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+    FROM embeddings
+),
+norms AS (
+    SELECT vec_id,
+           sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm,
+           e
+    FROM emb
+)
+"""
+
+
+def sql_cosine_topk(n_queries: int = 5, k: int = 10) -> str:
+    return f"""WITH {EMB_CTE},
+sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_reduce(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]),
+                             (a, b) -> a + b) / (q.nrm * c.nrm), 6) AS sim
+    FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {n_queries}
+)
+SELECT query_id, neighbor_id, sim FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+    ) AS rn FROM sims
+) WHERE rn <= {k}"""
+
+
+def sql_lsh_ann(n_queries: int = 5, k: int = 3, nbits: int = 8) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN e[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(nbits)
+    )
+    return f"""WITH {EMB_CTE},
+withb AS (SELECT vec_id, e, nrm, CAST({bucket} AS BIGINT) AS bucket FROM norms),
+sims AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_reduce(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]),
+                             (a, b) -> a + b) / (q.nrm * c.nrm), 6) AS sim
+    FROM withb q JOIN withb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    WHERE q.vec_id < {n_queries}
+)
+SELECT query_id, neighbor_id, sim FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+    ) AS rn FROM sims
+) WHERE rn <= {k}"""
+
+
+def sql_multimodal_meta() -> str:
+    return """SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(64 + octet_length(encode(text)) % 128 AS INT) AS width,
+       CAST(64 + (octet_length(encode(text)) * 7) % 128 AS INT) AS height
+FROM documents ORDER BY doc_id"""
+
+
+def sql_sessionize(gap_s: int = 1800) -> str:
+    return f"""WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_s} * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS session_id
+    FROM marked
+),
+per_session AS (
+    SELECT user_id, session_id, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_len,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM per_session GROUP BY user_id ORDER BY user_id"""

@@ -1,0 +1,161 @@
+"""Deduplication operators for corpus-scale pipelines.
+
+exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash, and n-gram Jaccard — each expressible in DuckDB SQL for the
+correctness gate, each shaped so the expensive stage is a shuffle on a
+bounded key (band bucket / shingle), never an O(n^2) cross join.
+
+Scale notes (100 TB corpus):
+- exact dedup is one groupBy on a 48-bit digest — pure shuffle, salt-free
+  (digests are uniform).
+- MinHash-LSH candidate generation joins on (band, bucket); bucket sizes are
+  the skew risk, so callers cap bucket width (``max_bucket``) exactly like
+  production LSH pipelines drop degenerate buckets.
+- n-gram Jaccard joins on shared shingles; the same cap applies to
+  stop-shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.functions.hashing import md5_long_sql
+from networkit_spark.functions.textstats import tokens
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(text_hash, dup_count, rep_id) — one row per distinct text; rep_id is
+    the smallest member id (the canonical survivor)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dup_count"),
+            F.min(id_col).alias("rep_id"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) — distinct word n-grams via posexplode + lead windows
+    (identically expressible with lead() in ANSI SQL)."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = ex.select("id", F.concat_ws(" ", *cols).alias("shingle"), *[
+        F.lead("tok", n - 1).over(w).alias("__last")
+    ])
+    return sh.filter(F.col("__last").isNotNull()).select("id", "shingle").distinct()
+
+
+def minhash_bands(
+    sh: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id, band, bucket) — per doc, ``num_hashes`` min-hashes (lexicographic
+    min of md5(seed || shingle) — a uniform permutation proxy identical in
+    any engine with md5), grouped into ``bands`` buckets of
+    num_hashes/bands rows each; bucket = md5 of the concatenated band
+    signature."""
+    rows = num_hashes // bands
+    mins = sh.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    out = None
+    for b in range(bands):
+        sig = F.concat_ws("|", *[F.col(f"h{b * rows + j}") for j in range(rows)])
+        part = mins.select(
+            "id", F.lit(b).cast("int").alias("band"), F.md5(sig).alias("bucket")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def minhash_candidate_pairs(
+    band_df: DataFrame, max_bucket: int = 50
+) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs sharing any band bucket;
+    degenerate buckets wider than ``max_bucket`` are dropped (stop-bucket
+    cap — the LSH skew guard)."""
+    sized = band_df.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("sz") <= max_bucket)
+    a = sized.select("band", "bucket", F.col("id").alias("id_a"))
+    b = sized.select("band", "bucket", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """(id, simhash) — sign-sum over distinct-token 48-bit hashes, packed
+    into a ``bits``-wide BIGINT."""
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+        .withColumn("hv", F.expr(md5_long_sql("tok")))
+    )
+    bit_sums = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(hv >> {j}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    packed = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0)).cast("bigint")
+        packed = term if packed is None else packed + term
+    return bit_sums.select("id", packed.alias("simhash"))
+
+
+def jaccard_pairs(
+    sh: DataFrame, threshold: float = 0.5, max_shingle_freq: int = 100
+) -> DataFrame:
+    """(id_a, id_b, jaccard) over distinct-shingle sets, via the shared-
+    shingle join (never all-pairs). Shingles occurring in more than
+    ``max_shingle_freq`` docs are dropped (stop-shingle cap)."""
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(
+        freq.filter(F.col("df") <= max_shingle_freq).select("shingle"),
+        "shingle",
+        "semi",
+    )
+    sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = kept.select("shingle", F.col("id").alias("id_a"))
+    b = kept.select("shingle", F.col("id").alias("id_b"))
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sa"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("sa") + F.col("sb") - F.col("shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

@@ -1,0 +1,43 @@
+"""Cross-engine deterministic hashing helpers.
+
+The driver's correctness gate compares Spark output against DuckDB output,
+so any hash an operator exposes must be computable identically in both
+engines. md5 is the common denominator (identical lowercase hex in both);
+to get a NUMERIC hash we parse the first 12 hex chars into a 48-bit BIGINT
+with a pure-arithmetic expression (ascii math — no engine-specific conv()),
+emitted as a SQL string both engines parse identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HEX_CHARS = 12  # 48 bits — collision-safe for corpus-scale dedup buckets
+
+
+def _hexval(c: str) -> str:
+    return f"(ascii({c}) - (CASE WHEN ascii({c}) >= 97 THEN 87 ELSE 48 END))"
+
+
+def hex_to_long_sql(col_sql: str, n: int = HEX_CHARS) -> str:
+    """SQL expression turning the first n hex chars of ``col_sql`` into a
+    BIGINT. Same text valid in Spark SQL and DuckDB."""
+    terms = [
+        f"{_hexval(f'substr({col_sql}, {i + 1}, 1)')} * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def md5_long_sql(expr_sql: str, n: int = HEX_CHARS) -> str:
+    """BIGINT hash of an arbitrary SQL string expression via md5."""
+    return hex_to_long_sql(f"substr(md5({expr_sql}), 1, {n})", n)
+
+
+def md5_long(col: Column | str, n: int = HEX_CHARS) -> Column:
+    """Spark Column version of md5_long_sql (same bits)."""
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise ValueError("pass a column NAME so the SQL text is embeddable")
+    return F.expr(md5_long_sql(name, n))

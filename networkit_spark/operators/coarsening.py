@@ -1,0 +1,147 @@
+"""Partition coarsening, projection, and partition-quality measures.
+
+References:
+- ParallelPartitionCoarsening (coarsening/ParallelPartitionCoarsening.cpp:22-108):
+  contract the graph by a partition — sum edge weights between parts, keep
+  self-loops. In Spark this is literally two label joins + one groupBy-agg.
+- ClusteringProjector (coarsening/ClusteringProjector.cpp): project a coarse
+  partition back through the fine->coarse map (one join).
+- Modularity (community/Modularity.cpp:26-88): mod = coverage - expCov with
+  vol(C) = sum_{v in C} (weightedDegree(v) + w(v,v)) (self-loop twice),
+  expCov = sum_C vol(C)^2 / (2*totalEdgeWeight)^2.
+- Coverage (community/Coverage.cpp): intra-cluster edge weight (edges once,
+  self-loops once) / totalEdgeWeight.
+- EdgeCut (community/EdgeCut.cpp): total weight of inter-cluster edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+
+
+def _labeled_edges(graph: Graph, labels: DataFrame) -> DataFrame:
+    """edges with src/dst labels attached: (src, dst, weight, slabel, dlabel)."""
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("slabel"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("dlabel"))
+    return graph.edges.join(ls, "src").join(ld, "dst")
+
+
+def coarsen(graph: Graph, labels: DataFrame) -> tuple[Graph, DataFrame]:
+    """(coarse graph, fine_to_coarse map). Coarse vertex ids are dense,
+    minted from label order; edge weights sum over contracted pairs;
+    self-loops kept (intra-part edges collapse onto the part's loop)."""
+    from networkit_spark.edges import mint_dense_ids
+
+    dict_df = mint_dense_ids(
+        labels.select(F.col("label").alias("key")), "key"
+    ).withColumnRenamed("id", "coarse_id")
+    fine_to_coarse = labels.join(
+        F.broadcast(dict_df), labels["label"] == dict_df["key"]
+    ).select("id", "coarse_id")
+
+    le = _labeled_edges(graph, labels)
+    cmap_s = F.broadcast(dict_df).withColumnRenamed("key", "slabel").withColumnRenamed(
+        "coarse_id", "csrc"
+    )
+    cmap_d = F.broadcast(dict_df).withColumnRenamed("key", "dlabel").withColumnRenamed(
+        "coarse_id", "cdst"
+    )
+    contracted = (
+        le.join(cmap_s, "slabel")
+        .join(cmap_d, "dlabel")
+        .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .agg(F.sum(F.col("weight").cast("double")).alias("w"))
+    )
+    if not graph.directed:
+        # the symmetric fine table contracts to a symmetric coarse table,
+        # but intra-part non-loop edges arrive twice onto the (c,c) loop;
+        # reference stores the contracted self-loop once with the summed
+        # weight of BOTH directions halved (each undirected edge once)
+        contracted = contracted.select(
+            "src",
+            "dst",
+            F.when(F.col("src") == F.col("dst"), F.col("w") / 2)
+            .otherwise(F.col("w"))
+            .alias("w"),
+        )
+    edges = contracted.select(
+        "src", "dst", F.col("w").cast("float").alias("weight")
+    )
+    vertices = dict_df.select(F.col("coarse_id").alias("id"))
+    return Graph(vertices, edges, graph.directed, True), fine_to_coarse
+
+
+def project_back(
+    fine_to_coarse: DataFrame, coarse_labels: DataFrame
+) -> DataFrame:
+    """Fine labels from coarse labels (ClusteringProjector)."""
+    cl = coarse_labels.withColumnRenamed("id", "coarse_id")
+    return fine_to_coarse.join(cl, "coarse_id").select("id", "label")
+
+
+def _intra_weight(graph: Graph, labels: DataFrame) -> float:
+    le = _labeled_edges(graph, labels).filter(F.col("slabel") == F.col("dlabel"))
+    row = le.agg(
+        F.sum(F.col("weight").cast("double")).alias("w"),
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), F.col("weight").cast("double"))
+        ).alias("lw"),
+    ).first()
+    w, lw = row["w"] or 0.0, row["lw"] or 0.0
+    if graph.directed:
+        return w
+    return (w - lw) / 2.0 + lw
+
+
+def coverage(graph: Graph, labels: DataFrame) -> float:
+    tew = graph.total_edge_weight()
+    if tew == 0.0:
+        raise ValueError("Coverage undefined for graphs without edges")
+    return _intra_weight(graph, labels) / tew
+
+
+def modularity(graph: Graph, labels: DataFrame) -> float:
+    """community/Modularity.cpp:26-88 exactly (see module docstring)."""
+    tew = graph.total_edge_weight()
+    if tew == 0.0:
+        raise ValueError("Modularity undefined for graphs without edges")
+    cov = coverage(graph, labels)
+    vols = (
+        graph.degrees()
+        .join(labels, "id")
+        .groupBy("label")
+        .agg(F.sum("wdeg").alias("vol"))
+    )
+    exp_cov = (
+        vols.agg(
+            F.sum((F.col("vol") / tew) * (F.col("vol") / tew) / 4.0).alias("e")
+        ).first()["e"]
+        or 0.0
+    )
+    return cov - exp_cov
+
+
+def edge_cut(graph: Graph, labels: DataFrame) -> float:
+    """Total inter-cluster edge weight (community/EdgeCut.cpp), undirected
+    edges counted once."""
+    le = _labeled_edges(graph, labels).filter(F.col("slabel") != F.col("dlabel"))
+    w = le.agg(F.sum(F.col("weight").cast("double"))).first()[0] or 0.0
+    return w if graph.directed else w / 2.0
+
+
+def partition_intersection(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Finest common refinement of two partitions
+    (community/PartitionIntersection.cpp): nodes grouped by label pairs;
+    result labels are dense ids over the observed pairs."""
+    from networkit_spark.edges import mint_dense_ids
+
+    joined = (
+        a.withColumnRenamed("label", "la")
+        .join(b.withColumnRenamed("label", "lb"), "id")
+        .withColumn("key", F.format_string("%019d:%019d", "la", "lb"))
+    )
+    ids = mint_dense_ids(joined.select("key"), "key").withColumnRenamed("id", "label")
+    return joined.join(F.broadcast(ids), "key").select("id", "label")

@@ -1,0 +1,150 @@
+"""Synchronous label-propagation community detection (PLP semantics).
+
+Reference: networkit/cpp/community/PLP.cpp (138 LoC) and the fork's MPLP
+(networkit/cpp/community/MPLP.cpp). Semantics reproduced:
+
+1. singleton init: label[v] = v; isolated nodes stay singletons
+   (PLP.cpp:31-35, 50-56)
+2. update-threshold heuristic theta = n/1e5 when unset; loop while
+   nUpdated > theta and iter < maxIterations                (PLP.cpp:41-43, 69)
+3. per node with degree>0: weight each neighboring label by incident edge
+   weight, adopt the heaviest                               (PLP.cpp:80-92)
+4. tie-break: on equal weight the SMALLEST label id wins — explicit in
+   MPLP.cpp:122-128 ((w > best) || (w == best && heaviest > lw))
+
+The reference sweep is asynchronous (benign races, nondeterministic across
+runs); this engine pins the deterministic synchronous (Jacobi) variant — all
+updates computed from iteration i-1's labels — with identical weighting and
+tie-break, validated against a single-threaded numpy oracle (SURVEY.md §5).
+
+Spark-first plan per superstep: edges x labels hash join on src, then ONE
+partial+final aggregation — max_by(label, struct(weight, -label)) after a
+groupBy(dst, label) weight-sum. Both aggs partial-aggregate map-side, so hub
+vertices never concentrate raw edge rows on one reducer (the reference's
+balancedParallelForNodes analogue); no window function in the hot path.
+Like the reference, only labels that actually flipped count toward nUpdated,
+and the active set shrinks to flipped nodes + their neighbors.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.checkpoint import CheckpointManager, IterationState
+
+
+def _heaviest_label(edge_labels: DataFrame) -> DataFrame:
+    """(id, cand) — per dst, the label with max summed incident weight,
+    smallest label on ties. max_by over struct orders lexicographically:
+    (wsum asc, -label asc) -> max = heaviest weight, then smallest label."""
+    return (
+        edge_labels.groupBy("dst", "label")
+        .agg(F.sum(F.col("weight").cast("double")).alias("wsum"))
+        .groupBy("dst")
+        .agg(
+            F.max_by(
+                "label", F.struct(F.col("wsum"), (-F.col("label")).alias("nl"))
+            ).alias("cand")
+        )
+        .withColumnRenamed("dst", "id")
+    )
+
+
+def label_propagation(
+    graph: Graph,
+    theta: int | None = None,
+    max_iterations: int | None = 100,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """labels(id: long, label: long) at the synchronous-PLP fixed point.
+
+    Unlike the reference's async sweep, synchronous LP can 2-cycle on
+    bipartite structures, so max_iterations defaults to a finite cap (the
+    reference leaves it unbounded, PLP.hpp:31-53, relying on async updates
+    to break oscillation)."""
+    g = graph.to_undirected() if graph.directed else graph
+    spark = g.vertices.sparkSession
+    n = g.num_nodes()
+    if theta is None:
+        theta = max(0, int(n / 1e5))  # PLP.cpp:41-43
+
+    edges = g.edges.filter(F.col("src") != F.col("dst")).persist()
+    edges.count()
+
+    labels = g.vertices.select("id", F.col("id").alias("label"))
+    state = IterationState(checkpoint, "labelprop")
+    labels = state.advance(0, labels)
+    frontier = labels.select("id")
+
+    iteration = 0
+    while True:
+        iteration += 1
+        t0 = time.time()
+        # only frontier nodes recompute their label; everyone else keeps it
+        active_edges = edges.join(
+            frontier.withColumnRenamed("id", "dst"), "dst", "semi"
+        )
+        el = active_edges.join(labels.withColumnRenamed("id", "src"), "src").select(
+            "dst", "label", "weight"
+        )
+        cand = _heaviest_label(el)
+        step = state.advance(
+            iteration,
+            labels.join(cand, "id", "left").select(
+                "id",
+                F.coalesce(F.col("cand"), F.col("label")).alias("new_label"),
+                F.col("label").alias("old_label"),
+            ),
+        )
+        flipped = step.filter(F.col("new_label") != F.col("old_label")).select("id")
+        n_updated = flipped.count()
+        labels = step.select("id", F.col("new_label").alias("label"))
+
+        if checkpoint is not None:
+            checkpoint.record(
+                "labelprop",
+                iteration,
+                n_updated=int(n_updated),
+                wall_ms=(time.time() - t0) * 1000.0,
+            )
+
+        if n_updated <= theta or (
+            max_iterations is not None and iteration >= max_iterations
+        ):
+            break
+
+        # next frontier: flipped nodes + their neighbors (PLP.cpp:94-102)
+        nbrs = edges.join(
+            flipped.withColumnRenamed("id", "src"), "src", "semi"
+        ).select(F.col("dst").alias("id"))
+        frontier = flipped.unionByName(nbrs).distinct()
+
+    result = labels.localCheckpoint(eager=True)
+    state.close()
+    edges.unpersist()
+    if checkpoint is not None:
+        checkpoint.flush_metrics(spark)
+    return result
+
+
+def stable_partition_fraction(graph: Graph, labels: DataFrame) -> float:
+    """Fraction of nodes whose label equals the plurality of their neighbors
+    — one LP superstep + compare (ref: community/StablePartitionNodes.cpp:15-40).
+    Isolated nodes count as stable."""
+    g = graph.to_undirected() if graph.directed else graph
+    el = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select("dst", "label", "weight")
+    )
+    cand = _heaviest_label(el)
+    joined = labels.join(cand, "id", "left")
+    stable = joined.filter(
+        F.col("cand").isNull() | (F.col("cand") == F.col("label"))
+    ).count()
+    total = labels.count()
+    return stable / total if total else 1.0

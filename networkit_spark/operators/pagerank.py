@@ -1,0 +1,160 @@
+"""Power-iteration PageRank with the reference's exact semantics.
+
+Reference: networkit/cpp/centrality/PageRank.cpp (108 LoC) and
+include/networkit/centrality/PageRank.hpp:38-65. Semantics reproduced:
+
+1. init score[v] = 1/n; teleport = (1-damp)/n                 (PageRank.cpp:23-24)
+2. deg[v] = weightedDegree over out-edges (incl. self-loop 2x
+   when undirected)                                           (PageRank.cpp:28)
+3. pull over in-edges (== out-edges when undirected):
+   pr[u] = teleport + damp * sum_{(v->u)} score[v]*w/deg[v]   (PageRank.cpp:54-63)
+4. dangling mass NOT redistributed during iteration
+   (Newman's definition, PageRank.cpp:57-59)
+5. convergence ||pr - score||_2 <= tol (or L1), capped by
+   maxIterations                                              (PageRank.cpp:32-49)
+6. final normalization: default divide by total sum; normalized=True
+   divides by (1/n)((1-damp) + damp*sum_dangling)             (PageRank.cpp:73-89)
+
+Spark-first plan: one superstep = broadcast-or-shuffle hash join of the
+(static, persisted) normalized out-edge table with the current score vector,
+then a partial+final hash aggregation on dst — Catalyst's map-side combine
+is the analogue of the reference's per-thread accumulation, and AQE
+skew-join splitting stands in for balancedParallelForNodes (Graph.hpp:1788).
+The convergence check is the only extra action per iteration. Plan growth is
+cut by IterationState (persist i / unpersist i-1 / checkpoint every k).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.checkpoint import CheckpointManager, IterationState
+
+
+def pagerank(
+    graph: Graph,
+    damp: float = 0.85,
+    tol: float = 1e-8,
+    norm: str = "l2",
+    max_iterations: int | None = None,
+    normalized: bool = False,
+    checkpoint: CheckpointManager | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Return scores(id: long, score: double), sum-normalized.
+
+    ``max_iterations=None`` iterates to tolerance (reference default is
+    unbounded, PageRank.hpp:62). With a durable ``checkpoint`` and
+    ``resume=True`` the loop restarts from the latest complete iteration.
+    """
+    spark = graph.vertices.sparkSession
+    n = graph.num_nodes()
+    if n == 0:
+        return spark.createDataFrame([], "id long, score double")
+    teleport = (1.0 - damp) / n
+
+    deg = graph.degrees()
+    # static per-edge fraction w/deg(src); deg==0 rows can't exist as src
+    out = (
+        graph.edges.alias("e")
+        .join(deg.filter(F.col("wdeg") > 0).alias("d"), F.col("e.src") == F.col("d.id"))
+        .select(
+            F.col("e.src").alias("src"),
+            F.col("e.dst").alias("dst"),
+            (F.col("e.weight").cast("double") / F.col("d.wdeg")).alias("frac"),
+        )
+        .persist()
+    )
+    out.count()  # materialize once; reused every superstep
+
+    it0 = 0
+    if resume and checkpoint is not None:
+        last = checkpoint.latest_complete_iteration("pagerank")
+        if last is not None:
+            scores = checkpoint.load_state(spark, "pagerank", last)
+            it0 = last
+        else:
+            scores = graph.vertices.select("id", F.lit(1.0 / n).alias("score"))
+    else:
+        scores = graph.vertices.select("id", F.lit(1.0 / n).alias("score"))
+
+    state = IterationState(checkpoint, "pagerank", start_iteration=it0)
+    scores = state.advance(it0, scores)
+
+    iteration = it0
+    while True:
+        iteration += 1
+        t0 = time.time()
+        msgs = (
+            out.join(scores.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("score") * F.col("frac")).alias("mass"))
+        )
+        new = (
+            graph.vertices.select("id")
+            .join(msgs.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (F.lit(teleport) + F.lit(damp) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
+                    "score"
+                ),
+            )
+        )
+        new = state.advance(iteration, new)
+
+        diff = F.col("new.score") - F.col("old.score")
+        delta_expr = (
+            F.sum(diff * diff) if norm == "l2" else F.sum(F.abs(diff))
+        )
+        delta = (
+            new.alias("new")
+            .join(scores.alias("old"), "id")
+            .agg(delta_expr.alias("d"))
+            .first()["d"]
+        ) or 0.0
+        if norm == "l2":
+            delta = math.sqrt(delta)
+
+        if checkpoint is not None:
+            checkpoint.record(
+                "pagerank",
+                iteration,
+                delta=float(delta),
+                wall_ms=(time.time() - t0) * 1000.0,
+            )
+        scores = new
+        if delta <= tol or (max_iterations is not None and iteration - it0 >= max_iterations):
+            break
+
+    if normalized:
+        # (1/n) * ((1-damp) + damp * sum over dangling vertices) — PageRank.cpp:80-89
+        dangling_sum = (
+            scores.join(deg.filter(F.col("wdeg") <= 0).select("id"), "id", "semi")
+            .agg(F.sum("score"))
+            .first()[0]
+            or 0.0
+        )
+        denom = (1.0 / n) * ((1.0 - damp) + damp * dangling_sum)
+    else:
+        denom = scores.agg(F.sum("score")).first()[0] or 1.0
+
+    result = scores.select("id", (F.col("score") / F.lit(denom)).alias("score"))
+    # snapshot before releasing cached state
+    result = result.localCheckpoint(eager=True)
+    state.close()
+    out.unpersist()
+    if checkpoint is not None:
+        checkpoint.flush_metrics(spark)
+    return result
+
+
+def ranking(scores: DataFrame, k: int | None = None) -> DataFrame:
+    """(id, score) ordered by (score desc, id asc) — Centrality::ranking
+    (networkit/cpp/centrality/Centrality.cpp:30-42); limit(k) for top-k."""
+    r = scores.orderBy(F.desc("score"), F.asc("id"))
+    return r.limit(k) if k is not None else r

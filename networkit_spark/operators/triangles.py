@@ -1,0 +1,164 @@
+"""Wedge-based exact triangle counting via degree-ordered orientation.
+
+Reference technique (shared by TriangleEdgeScore, LocalClusteringCoefficient
+and ClusteringCoefficient::exactGlobal): direct each undirected edge from the
+higher-(degree, id) endpoint to the lower one — `isOutEdge` at
+networkit/cpp/edgescores/TriangleEdgeScore.cpp:26-28 and
+networkit/cpp/centrality/LocalClusteringCoefficient.cpp:21-23 — then close
+wedges over the oriented adjacency so each triangle is found exactly once.
+
+Spark-first plan: the orientation is a filter on the degree-joined edge table
+(degree table broadcast when small); wedges are one self-equi-join of the
+oriented table; closure is one more join against the oriented table. AQE
+handles the skewed hub keys; there is no Python in the plan at all. This is
+the canonical 2-join distributed triangle listing; the oriented table has
+max out-degree O(sqrt(m)) regardless of hub degree, which is what bounds the
+wedge explosion at 100 TB scale (same reason the reference orients).
+
+Self-loops never form triangles here (src!=dst enforced); directed input is
+treated as its undirected support, mirroring LocalClusteringCoefficient.cpp:7-9
+which rejects directed graphs outright.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+
+
+def _oriented(graph: Graph) -> DataFrame:
+    """One row per undirected edge, directed from higher (degree, id) to
+    lower: (lo, hi) with rank(hi) > rank(lo). Returned columns (src, dst)
+    where src is the HIGHER-ranked endpoint."""
+    g = graph.to_undirected() if graph.directed else graph
+    edges = (
+        g.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = g.degrees().select("id", "degree")
+    e = (
+        edges.join(F.broadcast(deg).withColumnRenamed("id", "src"), "src")
+        .withColumnRenamed("degree", "sdeg")
+        .join(F.broadcast(deg).withColumnRenamed("id", "dst"), "dst")
+        .withColumnRenamed("degree", "ddeg")
+    )
+    keep = (F.col("sdeg") > F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") > F.col("dst"))
+    )
+    return e.filter(keep).select("src", "dst")
+
+
+def triangle_corners(graph: Graph) -> DataFrame:
+    """(a, b, c) — one row per triangle, where edge orientation gives
+    a -> b, a -> c, b -> c in oriented order (a highest-ranked)."""
+    o = _oriented(graph).persist()
+    # wedges centered at a: a->b and a->c with b != c (column-renamed copy
+    # avoids the self-join ambiguity trap)
+    oy = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    w = (
+        o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(oy, "a")
+        .filter(F.col("b") != F.col("c"))
+    )
+    # close: need oriented edge b->c (each unordered {b,c} appears once
+    # as b->c or c->b across the two wedge rows, so the triangle is
+    # counted exactly once)
+    tri = w.join(
+        o.select(F.col("src").alias("b"), F.col("dst").alias("c")),
+        ["b", "c"],
+        "semi",
+    )
+    return tri
+
+
+def global_triangle_count(graph: Graph) -> int:
+    return triangle_corners(graph).count()
+
+
+def triangle_counts(graph: Graph) -> DataFrame:
+    """(id, triangles: long) per node — union of the three corner roles
+    (ref: LocalClusteringCoefficient.cpp:61-83 turbo path counts oriented
+    wedges once then credits all three corners)."""
+    tri = triangle_corners(graph)
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionByName(tri.select(F.col("b").alias("id")))
+        .unionByName(tri.select(F.col("c").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    g = graph.to_undirected() if graph.directed else graph
+    return (
+        g.vertices.select("id")
+        .join(counts, "id", "left")
+        .fillna({"triangles": 0})
+    )
+
+
+def local_clustering_coefficient(graph: Graph) -> DataFrame:
+    """(id, lcc: double) with c(u) = 2*tri(u) / (d(u)*(d(u)-1)); 0 when
+    degree < 2 (ref: LocalClusteringCoefficient.cpp semantics; degree over
+    the simple undirected support, self-loops excluded)."""
+    g = graph.to_undirected() if graph.directed else graph
+    simple_deg = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(graph)
+    return (
+        tri.join(simple_deg, "id", "left")
+        .fillna({"degree": 0})
+        .select(
+            "id",
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+def global_transitivity(graph: Graph) -> float:
+    """3*triangles / wedges (ref: ClusteringCoefficient::exactGlobal,
+    global/ClusteringCoefficient.cpp:170-219 — triangles counted 6x over
+    ordered wedges; equivalent closed form used here)."""
+    g = graph.to_undirected() if graph.directed else graph
+    tri = global_triangle_count(graph)
+    wedges = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1)).alias("w"))
+        .first()["w"]
+        or 0
+    )
+    return (6.0 * tri / wedges) if wedges else 0.0
+
+
+def triangle_edge_scores(graph: Graph) -> DataFrame:
+    """(src, dst, score: long) per canonical (src<dst) undirected edge: the
+    number of triangles containing it (ref: TriangleEdgeScore.cpp:63-105)."""
+    tri = triangle_corners(graph)
+    e1 = tri.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    e2 = tri.select(F.col("a").alias("u"), F.col("c").alias("v"))
+    e3 = tri.select(F.col("b").alias("u"), F.col("c").alias("v"))
+    all_e = e1.unionByName(e2).unionByName(e3).select(
+        F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
+    )
+    counted = all_e.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("score"))
+    g = graph.to_undirected() if graph.directed else graph
+    canon = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .distinct()
+    )
+    return canon.join(counted, ["src", "dst"], "left").fillna({"score": 0})

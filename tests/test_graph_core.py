@@ -1,0 +1,83 @@
+"""Graph core primitives (SURVEY.md §2.1, §2.8)."""
+
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph, from_edge_rows
+
+
+def test_counts_and_weights(spark):
+    g = from_edge_rows(spark, [(0, 1, 2.0), (1, 2, 3.0), (2, 2, 5.0)])
+    assert g.num_nodes() == 3
+    assert g.num_edges() == 3  # self-loop counted once
+    assert g.total_edge_weight() == 10.0
+
+
+def test_degrees_and_isolated(spark):
+    g = from_edge_rows(spark, [(0, 1, 2.0), (0, 0, 1.0)], num_nodes=4)
+    d = {r["id"]: (r["degree"], r["wdeg"]) for r in g.degrees().collect()}
+    # undirected: self-loop contributes 1 to degree rows but 2x weight
+    assert d[0] == (2, 4.0)
+    assert d[1] == (1, 2.0)
+    assert d[2] == (0, 0.0)
+    iso = {r["id"] for r in g.isolated_nodes().collect()}
+    assert iso == {2, 3}
+
+
+def test_density_volume(spark):
+    g = from_edge_rows(spark, [(0, 1), (1, 2)], num_nodes=3)
+    assert abs(g.density() - 2 / 3) < 1e-12
+
+
+def test_transpose_directed(spark):
+    g = from_edge_rows(spark, [(0, 1)], directed=True)
+    gt = g.transpose()
+    assert gt.has_edge(1, 0) and not gt.has_edge(0, 1)
+
+
+def test_to_undirected(spark):
+    g = from_edge_rows(spark, [(0, 1), (1, 2)], directed=True)
+    u = g.to_undirected()
+    assert u.has_edge(1, 0) and u.has_edge(2, 1)
+    assert u.num_edges() == 2
+
+
+def test_subgraph_and_remove(spark):
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (2, 3)], num_nodes=4)
+    sub = g.subgraph_from_nodes(spark.createDataFrame([(0,), (1,), (2,)], "id long"))
+    assert sub.num_nodes() == 3 and sub.num_edges() == 2
+    rem = g.remove_nodes(spark.createDataFrame([(1,)], "id long"))
+    assert rem.num_nodes() == 3 and rem.num_edges() == 1
+    re = g.remove_edges(spark.createDataFrame([(2, 1)], "src long, dst long"))
+    assert re.num_edges() == 2 and not re.has_edge(1, 2) and not re.has_edge(2, 1)
+
+
+def test_append_and_merge(spark):
+    a = from_edge_rows(spark, [(0, 1)])
+    b = from_edge_rows(spark, [(0, 1)])
+    ap = a.append(b)
+    assert ap.num_nodes() == 4 and ap.num_edges() == 2
+    assert ap.has_edge(2, 3)
+    mg = a.merge(b)
+    assert mg.num_nodes() == 2 and mg.num_edges() == 1
+
+
+def test_index_edges(spark):
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (0, 2)])
+    idx = g.index_edges().collect()
+    assert sorted(r["edge_id"] for r in idx) == [0, 1, 2]
+
+
+def test_empty_graph(spark):
+    g = Graph.empty(spark)
+    assert g.num_nodes() == 0 and g.num_edges() == 0
+    assert g.total_edge_weight() == 0.0
+
+
+def test_check_consistency_catches_asymmetry(spark):
+    import pytest
+
+    v = spark.range(2).select(F.col("id").cast("long"))
+    e = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight float")
+    g = Graph(v, e, directed=False)
+    with pytest.raises(AssertionError):
+        g.check_consistency()

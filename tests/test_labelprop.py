@@ -1,0 +1,97 @@
+"""Label-propagation parity tests (FIXTURES.md §2.5, §2.6)."""
+
+import numpy as np
+
+from networkit_spark.graph import from_edge_rows
+from networkit_spark.operators.labelprop import (
+    label_propagation,
+    stable_partition_fraction,
+)
+from networkit_spark.oracle import lp_oracle
+
+
+def _labels_array(df, n):
+    out = np.zeros(n, np.int64)
+    for r in df.collect():
+        out[r["id"]] = r["label"]
+    return out
+
+
+def _sym(rows):
+    return [(a, b, w[0] if w else 1.0) for a, b, *w in rows] + [
+        (b, a, w[0] if w else 1.0) for a, b, *w in rows if a != b
+    ]
+
+
+def test_four_cycle_single_sweep_tiebreak(spark):
+    # FIXTURES §2.6: after one synchronous sweep from singletons, each node
+    # adopts min(neighbor labels) under (desc weight, asc label)
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    got = _labels_array(label_propagation(g, max_iterations=1, theta=0), 4)
+    assert got.tolist() == [1, 0, 1, 0]
+
+
+def test_weighted_tiebreak(spark):
+    # node 2 has neighbors 0 (w=1) and 1 (w=5): heavier label wins even
+    # though label 0 < label 1 (MPLP.cpp:122-128)
+    g = from_edge_rows(spark, [(0, 2, 1.0), (1, 2, 5.0)])
+    got = _labels_array(label_propagation(g, max_iterations=1, theta=0), 3)
+    assert got[2] == 1
+
+
+def test_planted_cliques_exact_recovery(spark):
+    # FIXTURES §2.5: k disjoint cliques -> exactly k communities == the
+    # planted blocks after min-member canonicalization
+    rng = np.random.default_rng(42)
+    n, k = 100, 3
+    member = rng.integers(0, k, n)
+    rows = [
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if member[i] == member[j]
+    ]
+    g = from_edge_rows(spark, rows, num_nodes=n)
+    labels = label_propagation(g, theta=0)
+    arr = _labels_array(labels, n)
+    comms = {}
+    for i in range(n):
+        comms.setdefault(arr[i], set()).add(i)
+    planted = {}
+    for i in range(n):
+        planted.setdefault(int(member[i]), set()).add(i)
+    assert set(map(frozenset, comms.values())) == set(map(frozenset, planted.values()))
+
+
+def test_matches_numpy_oracle_random(spark):
+    rng = np.random.default_rng(7)
+    n = 120
+    rows = list(
+        {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in rng.integers(0, n, size=(300, 2))
+            if a != b
+        }
+    )
+    weighted = [(a, b, float(1 + ((a * 7 + b) % 5))) for a, b in rows]
+    g = from_edge_rows(spark, weighted, num_nodes=n)
+    for iters in (1, 2, 5):
+        got = _labels_array(
+            label_propagation(g, max_iterations=iters, theta=0), n
+        )
+        want = lp_oracle(n, _sym(weighted), max_iterations=iters, theta=0)
+        assert np.array_equal(got, want), f"divergence at {iters} sweeps"
+
+
+def test_isolated_stay_singleton(spark):
+    g = from_edge_rows(spark, [(0, 1)], num_nodes=4)
+    got = _labels_array(label_propagation(g, theta=0, max_iterations=10), 4)
+    assert got[2] == 2 and got[3] == 3
+
+
+def test_stable_partition_fraction(spark):
+    # two disjoint triangles labeled by their components: fully stable
+    rows = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    g = from_edge_rows(spark, rows)
+    labels = label_propagation(g, theta=0)
+    assert stable_partition_fraction(g, labels) == 1.0
