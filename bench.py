@@ -1,0 +1,110 @@
+"""Per-round bench harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the north rule's: directed-edge visits per second per
+PageRank superstep at 1e-6 convergence (steady-state median, first superstep
+excluded as warmup), measured on a deterministic synthetic transcript graph
+(seed=42) large enough to exercise shuffles — the sf-dir event graph is also
+timed for completeness. Scaling-efficiency evidence (local[8] vs local[32])
+is produced by tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "50000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from networkit_spark.session import get_spark
+
+    spark = get_spark("networkit-spark-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from networkit_spark import entry_queries as EQ
+    from networkit_spark.edges import derive_edges
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.pagerank import pagerank
+    from networkit_spark.plans.checkpoint import CheckpointManager
+    from networkit_spark.transcripts import synth_transcripts
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # ---- headline: PageRank superstep throughput on the synthetic
+    # transcript graph (seed=42, deterministic at any parallelism) ----------
+    t = synth_transcripts(spark, n_convs=n_convs, n_tools=64, seed=42)
+    vertices, edges = derive_edges(t)
+    g = Graph(vertices.select("id"), edges).with_cached_degrees()
+    directed_edges = g.edges.count()
+
+    cp = CheckpointManager(tempfile.mkdtemp(prefix="bench-cp-"), durable=False)
+    t0 = time.time()
+    pagerank(g, tol=1e-6, checkpoint=cp)
+    timings["pagerank_synth_total"] = round(time.time() - t0, 3)
+    walls = [m["wall_ms"] / 1000.0 for m in cp._metrics if m["algo"] == "pagerank"]
+    supersteps = len(walls)
+    steady = walls[1:] if len(walls) > 1 else walls
+    med = statistics.median(steady)
+    edges_per_sec = directed_edges / med if med > 0 else 0.0
+
+    # ---- sf-dir queries (the driver-contract surface) ---------------------
+    for name in [
+        "graph_pagerank",
+        "graph_components",
+        "graph_labelprop",
+        "graph_triangle_count",
+        "graph_degrees",
+        "dedup_minhash_bands",
+        "dedup_simhash",
+        "embed_cosine_topk",
+        "text_token_stats",
+        "events_sessionize",
+    ]:
+        fn = EQ.QUERIES[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save())
+
+    print(
+        json.dumps(
+            {
+                "metric": "pagerank_edges_per_sec_per_superstep",
+                "value": round(edges_per_sec, 1),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "detail": {
+                    "synth_convs": n_convs,
+                    "directed_edges": directed_edges,
+                    "supersteps": supersteps,
+                    "median_superstep_sec": round(med, 4),
+                    "cores": cpus,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -95,8 +95,9 @@ def q_graph_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # coarsen by LP communities (CC gives one part on this connected graph)
     g, _ = L.events_graph(spark, sf_dir)
-    labels = connected_components(g, max_iterations=CC_ITERS)
+    labels = label_propagation(g, theta=-1, max_iterations=LP_ITERS)
     cg, _ = coarsen(g, labels)
     return cg.edges.select(
         "src", "dst", F.col("weight").cast("double").alias("weight")
@@ -106,7 +107,7 @@ def q_graph_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     g, _ = L.events_graph(spark, sf_dir)
     labels = label_propagation(g, theta=-1, max_iterations=LP_ITERS)
-    m = round(modularity(g, labels), 6)
+    m = round(modularity(g, labels), 6) + 0.0
     return spark.createDataFrame([(m,)], "modularity double")
 
 
@@ -172,13 +173,16 @@ def q_multimodal_meta(spark, sf_dir):
 def q_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = L.load(spark, sf_dir, "events")
+    ev = L.load(spark, sf_dir, "events").withColumn(
+        # parquet yields TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+        "ts_utc", F.col("ts").cast("timestamp")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = ev.withColumn("prev", F.lag("ts").over(w)).withColumn(
+    marked = ev.withColumn("prev", F.lag("ts_utc").over(w)).withColumn(
         "new_session",
         F.when(
             F.col("prev").isNull()
-            | (F.unix_micros("ts") - F.unix_micros("prev") > 1800 * 1_000_000),
+            | (F.unix_micros("ts_utc") - F.unix_micros("prev") > 1800 * 1_000_000),
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
@@ -209,7 +213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_lcc": q_graph_lcc,
     "graph_transitivity": q_graph_transitivity,
     "graph_top_entities": q_graph_top_entities,
-    "graph_coarsen_by_component": q_graph_coarsen,
+    "graph_coarsen_by_community": q_graph_coarsen,
     "graph_modularity_lp": q_graph_modularity,
     "text_token_stats": q_token_stats,
     "text_quality": q_quality,
@@ -239,7 +243,7 @@ def build_oracles() -> dict[str, str]:
         "graph_lcc": L.sql_lcc(),
         "graph_transitivity": L.sql_transitivity(),
         "graph_top_entities": L.sql_top_entities(20),
-        "graph_coarsen_by_component": L.sql_coarsen(CC_ITERS),
+        "graph_coarsen_by_community": L.sql_coarsen_lp(LP_ITERS),
         "graph_modularity_lp": L.sql_modularity(LP_ITERS),
         "text_token_stats": L.sql_token_stats(),
         "text_quality": L.sql_quality(),

@@ -94,12 +94,12 @@ pair_rows AS (
         FROM ev
     ) WHERE prev IS NOT NULL
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT least(a, b) AS src_key, greatest(a, b) AS dst_key,
            CAST(count(*) AS DOUBLE) AS weight
     FROM pair_rows GROUP BY 1, 2
 ),
-dict AS (
+dict AS MATERIALIZED (
     SELECT key, CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS id
     FROM (
         SELECT DISTINCT src_key AS key FROM pairs
@@ -113,12 +113,12 @@ half AS (
     JOIN dict da ON da.key = p.src_key
     JOIN dict db ON db.key = p.dst_key
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT src, dst, weight FROM half
     UNION ALL
     SELECT dst AS src, src AS dst, weight FROM half WHERE src <> dst
 ),
-vertices AS (SELECT id FROM dict)
+vertices AS MATERIALIZED (SELECT id FROM dict)
 """
 
 
@@ -152,7 +152,7 @@ def sql_pagerank(iters: int, damp: float = 0.85) -> str:
     ]
     for k in range(1, iters + 1):
         ctes.append(
-            f"""pr{k} AS (
+            f"""pr{k} AS MATERIALIZED (
     SELECT v.id,
            (SELECT (1.0 - {damp})/n FROM nn) + {damp} * COALESCE(m.mass, 0.0) AS score
     FROM vertices v
@@ -184,7 +184,7 @@ def sql_components(iters: int) -> str:
     ctes = ["cc0 AS (SELECT id, id AS label FROM vertices)"]
     for k in range(1, iters + 1):
         ctes.append(
-            f"""cc{k} AS (
+            f"""cc{k} AS MATERIALIZED (
     SELECT l.id, least(l.label, COALESCE(m.cand, l.label)) AS label
     FROM cc{k-1} l
     LEFT JOIN (
@@ -205,7 +205,7 @@ def sql_labelprop(iters: int) -> str:
     ctes = ["lp0 AS (SELECT id, id AS label FROM vertices)"]
     for k in range(1, iters + 1):
         ctes.append(
-            f"""lp{k} AS (
+            f"""lp{k} AS MATERIALIZED (
     SELECT l.id, COALESCE(c.cand, l.label) AS label
     FROM lp{k-1} l
     LEFT JOIN (
@@ -227,20 +227,20 @@ def sql_labelprop(iters: int) -> str:
 
 
 TRI_CTE = """
-simple AS (
+simple AS MATERIALIZED (
     SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
     FROM edges WHERE src <> dst
 ),
-und AS (SELECT u AS a, v AS b FROM simple UNION ALL SELECT v, u FROM simple),
+und AS MATERIALIZED (SELECT u AS a, v AS b FROM simple UNION ALL SELECT v, u FROM simple),
 degt AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
-orient AS (
+orient AS MATERIALIZED (
     SELECT u.a AS src, u.b AS dst
     FROM und u
     JOIN degt da ON da.id = u.a
     JOIN degt db ON db.id = u.b
     WHERE (da.deg > db.deg) OR (da.deg = db.deg AND u.a > u.b)
 ),
-tri AS (
+tri AS MATERIALIZED (
     SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
     FROM orient o1
     JOIN orient o2 ON o1.src = o2.src AND o1.dst <> o2.dst
@@ -317,13 +317,9 @@ LIMIT {k}"""
     return _with_graph(body)
 
 
-def sql_coarsen(cc_iters: int) -> str:
-    cc_sql = sql_components(cc_iters)
-    # splice: reuse the components CTE chain, then contract
-    inner = cc_sql[len("WITH "):cc_sql.rindex("SELECT id, label")]
-    last = f"cc{cc_iters}"
+def _sql_contract(inner: str, last: str) -> str:
     return f"""WITH {inner.rstrip().rstrip(',')},
-cdict AS (
+cdict AS MATERIALIZED (
     SELECT label, CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS cid
     FROM (SELECT DISTINCT label FROM {last})
 ),
@@ -339,6 +335,18 @@ contracted AS (
 SELECT src, dst,
        CAST(CASE WHEN src = dst THEN w / 2 ELSE w END AS DOUBLE) AS weight
 FROM contracted ORDER BY src, dst"""
+
+
+def sql_coarsen(cc_iters: int) -> str:
+    cc_sql = sql_components(cc_iters)
+    inner = cc_sql[len("WITH "):cc_sql.rindex("SELECT id, label")]
+    return _sql_contract(inner, f"cc{cc_iters}")
+
+
+def sql_coarsen_lp(lp_iters: int) -> str:
+    lp_sql = sql_labelprop(lp_iters)
+    inner = lp_sql[len("WITH "):lp_sql.rindex("SELECT id, label")]
+    return _sql_contract(inner, f"lp{lp_iters}")
 
 
 def sql_modularity(lp_iters: int) -> str:
@@ -372,7 +380,7 @@ SELECT ROUND(
     (SELECT COALESCE(w, 0) FROM intra) / (SELECT w FROM tew)
     - (SELECT SUM((vol / (SELECT w FROM tew)) * (vol / (SELECT w FROM tew)) / 4.0)
        FROM vols),
-6) AS modularity"""
+6) + 0.0 AS modularity"""
 
 
 # --------------------------------------------------------------------------
@@ -388,7 +396,7 @@ docs_norm AS (
                                ' +', ' ', 'g')) AS norm
     FROM documents
 ),
-docs_tok AS (
+docs_tok AS MATERIALIZED (
     SELECT doc_id,
            list_filter(string_split(norm, ' '), t -> t <> '') AS toks,
            norm
@@ -481,7 +489,7 @@ tok_pos AS (
     SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
     FROM docs_tok
 ),
-sh AS (
+sh AS MATERIALIZED (
     SELECT DISTINCT doc_id AS id,
            concat_ws(' ', tok,
                      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
@@ -563,7 +571,7 @@ emb AS (
     SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
     FROM embeddings
 ),
-norms AS (
+norms AS MATERIALIZED (
     SELECT vec_id,
            sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS nrm,
            e

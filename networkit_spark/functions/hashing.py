@@ -17,7 +17,11 @@ HEX_CHARS = 12  # 48 bits — collision-safe for corpus-scale dedup buckets
 
 
 def _hexval(c: str) -> str:
-    return f"(ascii({c}) - (CASE WHEN ascii({c}) >= 97 THEN 87 ELSE 48 END))"
+    # CAST keeps the multiplication in 64-bit (DuckDB would otherwise
+    # overflow INT32 on the high-order 16^k terms)
+    return (
+        f"CAST(ascii({c}) - (CASE WHEN ascii({c}) >= 97 THEN 87 ELSE 48 END) AS BIGINT)"
+    )
 
 
 def hex_to_long_sql(col_sql: str, n: int = HEX_CHARS) -> str:

@@ -92,9 +92,10 @@ def lsh_ann_topk(
     """(query_id, neighbor_id, sim) — approximate top-k: candidates limited
     to the query's LSH bucket (bucket equi-join, no cross join), then exact
     cosine re-rank within the bucket."""
-    b = sign_lsh_bucket(emb, nbits, id_col, vec_col)
-    withb = emb.join(b, emb[id_col] == b["vec_id"]).select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "bucket"
+    b = sign_lsh_bucket(emb, nbits, id_col, vec_col).withColumnRenamed("vec_id", "nid")
+    withb = (
+        emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+        .join(b, "nid")
     )
     q = withb.filter(F.col("nid").isin(query_ids)).select(
         F.col("nid").alias("query_id"), F.col("nv").alias("qv"), "bucket"

@@ -72,12 +72,14 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     count token hits in its stopword list; argmax, ties by language code asc,
     'unk' when no hits."""
     t = tokens(F.col(text_col))
+
+    def _membership(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        # factory keeps the lambda single-arg (Spark inspects the signature)
+        return lambda x: F.array_contains(arr, x)
+
     hits = {
-        lang: F.size(
-            F.filter(t, lambda x, ws=words: F.array_contains(
-                F.array(*[F.lit(w) for w in ws]), x
-            ))
-        ).cast("bigint")
+        lang: F.size(F.filter(t, _membership(words))).cast("bigint")
         for lang, words in sorted(STOPWORDS.items())
     }
     # ascending scan with strict > implements (count desc, lang asc): on a
