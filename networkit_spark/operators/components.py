@@ -31,13 +31,28 @@ def connected_components(
     graph: Graph,
     max_iterations: int | None = None,
     checkpoint: CheckpointManager | None = None,
+    impl: str = "expr",
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """labels(id: long, label: long) — label == min member id of component."""
+    """labels(id: long, label: long) — label == min member id of component.
+
+    ``impl="csr"`` runs the candidate step as the CSR-block min-gather
+    kernel (networkit_spark.blocks.gather_min_label); frontier semantics
+    are preserved by routing only the frontier vertices' labels.
+    """
     g = graph.to_undirected() if graph.directed else graph
     spark = g.vertices.sparkSession
 
     edges = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).persist()
     edges.count()
+
+    csr = None
+    if impl == "csr":
+        from networkit_spark.blocks import CsrBlocks
+
+        if num_blocks is None:
+            num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        csr = CsrBlocks.build(edges.withColumn("val", F.lit(1.0)), num_blocks, "val")
 
     labels = g.vertices.select("id", F.col("id").alias("label"))
     state = IterationState(checkpoint, "components")
@@ -50,15 +65,22 @@ def connected_components(
         t0 = time.time()
         # propagate candidates only FROM the frontier (the activeNodes
         # optimization, ParallelConnectedComponents.cpp:56-76)
-        active_edges = edges.join(
-            frontier.withColumnRenamed("id", "src"), "src", "semi"
-        )
-        cand = (
-            active_edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.min("label").alias("cand"))
-            .withColumnRenamed("dst", "id")
-        )
+        if csr is not None:
+            cand = csr.gather_min_label(
+                labels.join(frontier, "id", "semi").select(
+                    F.col("id").alias("src"), "label"
+                )
+            )
+        else:
+            active_edges = edges.join(
+                frontier.withColumnRenamed("id", "src"), "src", "semi"
+            )
+            cand = (
+                active_edges.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.min("label").alias("cand"))
+                .withColumnRenamed("dst", "id")
+            )
         # one checkpointed step DF per iteration; labels/frontier are cheap
         # projections over the materialized blocks
         step = state.advance(
@@ -88,6 +110,8 @@ def connected_components(
     result = labels.localCheckpoint(eager=True)
     state.close()
     edges.unpersist()
+    if csr is not None:
+        csr.unpersist()
     if checkpoint is not None:
         checkpoint.flush_metrics(spark)
     return result

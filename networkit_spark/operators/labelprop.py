@@ -59,6 +59,8 @@ def label_propagation(
     theta: int | None = None,
     max_iterations: int | None = 100,
     checkpoint: CheckpointManager | None = None,
+    impl: str = "expr",
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """labels(id: long, label: long) at the synchronous-PLP fixed point.
 
@@ -75,6 +77,14 @@ def label_propagation(
     edges = g.edges.filter(F.col("src") != F.col("dst")).persist()
     edges.count()
 
+    csr = None
+    if impl == "csr":
+        from networkit_spark.blocks import CsrBlocks
+
+        if num_blocks is None:
+            num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        csr = CsrBlocks.build(edges, num_blocks, val_col="weight")
+
     labels = g.vertices.select("id", F.col("id").alias("label"))
     state = IterationState(checkpoint, "labelprop")
     labels = state.advance(0, labels)
@@ -85,13 +95,20 @@ def label_propagation(
         iteration += 1
         t0 = time.time()
         # only frontier nodes recompute their label; everyone else keeps it
-        active_edges = edges.join(
-            frontier.withColumnRenamed("id", "dst"), "dst", "semi"
-        )
-        el = active_edges.join(labels.withColumnRenamed("id", "src"), "src").select(
-            "dst", "label", "weight"
-        )
-        cand = _heaviest_label(el)
+        if csr is not None:
+            # the weight-sum needs ALL neighbors' labels, so every label is
+            # routed; the frontier restriction applies to which dsts adopt
+            cand = csr.gather_heaviest_label(
+                labels.select(F.col("id").alias("src"), "label")
+            ).join(frontier, "id", "semi")
+        else:
+            active_edges = edges.join(
+                frontier.withColumnRenamed("id", "dst"), "dst", "semi"
+            )
+            el = active_edges.join(labels.withColumnRenamed("id", "src"), "src").select(
+                "dst", "label", "weight"
+            )
+            cand = _heaviest_label(el)
         step = state.advance(
             iteration,
             labels.join(cand, "id", "left").select(
@@ -126,6 +143,8 @@ def label_propagation(
     result = labels.localCheckpoint(eager=True)
     state.close()
     edges.unpersist()
+    if csr is not None:
+        csr.unpersist()
     if checkpoint is not None:
         checkpoint.flush_metrics(spark)
     return result

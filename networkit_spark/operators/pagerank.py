@@ -45,12 +45,19 @@ def pagerank(
     normalized: bool = False,
     checkpoint: CheckpointManager | None = None,
     resume: bool = False,
+    impl: str = "expr",
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Return scores(id: long, score: double), sum-normalized.
 
     ``max_iterations=None`` iterates to tolerance (reference default is
     unbounded, PageRank.hpp:62). With a durable ``checkpoint`` and
     ``resume=True`` the loop restarts from the latest complete iteration.
+
+    ``impl="expr"`` runs the pure-DataFrame superstep (join + hash agg,
+    whole-stage codegen); ``impl="csr"`` runs the north star's CSR-block
+    gather-scatter (networkit_spark.blocks) — same fixed point, asserted
+    equal to 1e-12 by tests/test_csr_blocks.py.
     """
     spark = graph.vertices.sparkSession
     n = graph.num_nodes()
@@ -72,6 +79,14 @@ def pagerank(
     )
     out.count()  # materialize once; reused every superstep
 
+    csr = None
+    if impl == "csr":
+        from networkit_spark.blocks import CsrBlocks
+
+        if num_blocks is None:
+            num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        csr = CsrBlocks.build(out, num_blocks, val_col="frac")
+
     it0 = 0
     if resume and checkpoint is not None:
         last = checkpoint.latest_complete_iteration("pagerank")
@@ -90,11 +105,16 @@ def pagerank(
     while True:
         iteration += 1
         t0 = time.time()
-        msgs = (
-            out.join(scores.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("score") * F.col("frac")).alias("mass"))
-        )
+        if csr is not None:
+            msgs = csr.gather_sum(
+                scores.select(F.col("id").alias("src"), F.col("score").alias("value"))
+            ).withColumnRenamed("id", "dst")
+        else:
+            msgs = (
+                out.join(scores.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("score") * F.col("frac")).alias("mass"))
+            )
         new = (
             graph.vertices.select("id")
             .join(msgs.withColumnRenamed("dst", "id"), "id", "left")
@@ -148,6 +168,8 @@ def pagerank(
     result = result.localCheckpoint(eager=True)
     state.close()
     out.unpersist()
+    if csr is not None:
+        csr.unpersist()
     if checkpoint is not None:
         checkpoint.flush_metrics(spark)
     return result

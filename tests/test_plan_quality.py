@@ -61,5 +61,7 @@ def test_supersteps_whole_stage_codegen(spark):
     step.collect()  # run so AQE finalizes the physical plan
     plan = _plan(step)
     assert "isFinalPlan=true" in plan
-    assert "WholeStageCodegen" in plan
+    # formatted explain marks codegen'd operators with a `*` prefix
+    # (simple-mode shows `WholeStageCodegen (N)` spans); accept either
+    assert "WholeStageCodegen" in plan or "\n   * HashAggregate" in plan or "* HashAggregate" in plan
     assert "BatchEvalPython" not in plan
