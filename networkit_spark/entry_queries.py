@@ -30,6 +30,12 @@ from networkit_spark.operators.triangles import (
 PR_ITERS = 12
 CC_ITERS = 12
 LP_ITERS = 4
+EIG_ITERS = 10
+KATZ_ITERS = 10
+KATZ_ALPHA = 0.05
+KATZ_BETA = 0.1
+BFS_ITERS = 15
+SSSP_ITERS = 15
 
 
 # ---- graph family ---------------------------------------------------------
@@ -109,6 +115,144 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = label_propagation(g, theta=-1, max_iterations=LP_ITERS)
     m = round(modularity(g, labels), 6) + 0.0
     return spark.createDataFrame([(m,)], "modularity double")
+
+
+# ---- CSR-block execution paths (same oracles as the expr paths) -----------
+
+
+def q_graph_pagerank_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    scores = pagerank(g, damp=0.85, tol=0.0, max_iterations=PR_ITERS, impl="csr")
+    return scores.select("id", F.round("score", 6).alias("score"))
+
+
+def q_graph_components_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    return connected_components(g, max_iterations=CC_ITERS, impl="csr").select(
+        "id", "label"
+    )
+
+
+def q_graph_labelprop_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_graph(spark, sf_dir)
+    return label_propagation(
+        g, theta=-1, max_iterations=LP_ITERS, impl="csr"
+    ).select("id", "label")
+
+
+# ---- centrality / distance family ------------------------------------------
+
+
+def q_centrality_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import degree_centrality
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return degree_centrality(g).select("id", F.round("score", 6).alias("score"))
+
+
+def q_centrality_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import eigenvector_centrality
+
+    g, _ = L.events_graph(spark, sf_dir)
+    s = eigenvector_centrality(g, tol=0.0, max_iterations=EIG_ITERS)
+    return s.select("id", F.round("score", 6).alias("score"))
+
+
+def q_centrality_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import katz_centrality
+
+    g, _ = L.events_graph(spark, sf_dir)
+    s = katz_centrality(
+        g, alpha=KATZ_ALPHA, beta=KATZ_BETA, tol=0.0, max_iterations=KATZ_ITERS
+    )
+    return s.select("id", F.round("score", 6).alias("score"))
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import bfs_hops
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return bfs_hops(g, source=0, max_iterations=BFS_ITERS).select("id", "dist")
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import sssp_weighted
+
+    g, _ = L.events_graph(spark, sf_dir)
+    d = sssp_weighted(g, source=0, max_iterations=SSSP_ITERS)
+    return d.select("id", F.round("dist", 6).alias("dist"))
+
+
+def q_graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no SQL oracle: the peel loop's iteration count is data-dependent
+    # (driver records the weaker rows-only check)
+    from networkit_spark.operators.centrality import core_decomposition
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return core_decomposition(g).select("id", "core")
+
+
+def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no SQL oracle: multilevel Louvain's sweep count is data-dependent
+    from networkit_spark.operators.louvain import plm
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return plm(g).select("id", "label")
+
+
+# ---- community measures over the LP partition ------------------------------
+
+
+def q_community_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.coarsening import coverage
+
+    g, _ = L.events_graph(spark, sf_dir)
+    labels = label_propagation(g, theta=-1, max_iterations=LP_ITERS)
+    c = round(coverage(g, labels), 6) + 0.0
+    return spark.createDataFrame([(c,)], "coverage double")
+
+
+def q_community_edgecut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.coarsening import edge_cut
+
+    g, _ = L.events_graph(spark, sf_dir)
+    labels = label_propagation(g, theta=-1, max_iterations=LP_ITERS)
+    c = round(edge_cut(g, labels), 6) + 0.0
+    return spark.createDataFrame([(c,)], "edge_cut double")
+
+
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.coarsening import conductance_per_cluster
+
+    g, _ = L.events_graph(spark, sf_dir)
+    labels = label_propagation(g, theta=-1, max_iterations=LP_ITERS)
+    return conductance_per_cluster(g, labels).select(
+        "label", F.round("conductance", 6).alias("conductance")
+    )
+
+
+def q_community_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.labelprop import stable_partition_fraction
+
+    g, _ = L.events_graph(spark, sf_dir)
+    labels = label_propagation(g, theta=-1, max_iterations=LP_ITERS)
+    s = round(stable_partition_fraction(g, labels), 6) + 0.0
+    return spark.createDataFrame([(s,)], "stable_fraction double")
+
+
+# ---- generators (deterministic; no SQL oracle — xxhash64 is Spark-side) ----
+
+
+def q_gen_rmat_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.sources.generators import rmat
+
+    g = rmat(spark, scale=10, edge_factor=8, seed=42)
+    return (
+        g.degrees()
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("degree")
+    )
 
 
 # ---- pipeline family ------------------------------------------------------
@@ -215,6 +359,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_top_entities": q_graph_top_entities,
     "graph_coarsen_by_community": q_graph_coarsen,
     "graph_modularity_lp": q_graph_modularity,
+    "graph_pagerank_csr": q_graph_pagerank_csr,
+    "graph_components_csr": q_graph_components_csr,
+    "graph_labelprop_csr": q_graph_labelprop_csr,
+    "centrality_degree": q_centrality_degree,
+    "centrality_eigenvector": q_centrality_eigenvector,
+    "centrality_katz": q_centrality_katz,
+    "graph_bfs": q_graph_bfs,
+    "graph_sssp": q_graph_sssp,
+    "graph_core_decomposition": q_graph_core_decomposition,
+    "graph_plm": q_graph_plm,
+    "community_coverage": q_community_coverage,
+    "community_edgecut": q_community_edgecut,
+    "community_conductance": q_community_conductance,
+    "community_stability": q_community_stability,
+    "gen_rmat_degree_hist": q_gen_rmat_degree_hist,
     "text_token_stats": q_token_stats,
     "text_quality": q_quality,
     "text_lang_id": q_lang_id,
@@ -245,6 +404,21 @@ def build_oracles() -> dict[str, str]:
         "graph_top_entities": L.sql_top_entities(20),
         "graph_coarsen_by_community": L.sql_coarsen_lp(LP_ITERS),
         "graph_modularity_lp": L.sql_modularity(LP_ITERS),
+        "graph_pagerank_csr": L.sql_pagerank(PR_ITERS),
+        "graph_components_csr": L.sql_components(CC_ITERS),
+        "graph_labelprop_csr": L.sql_labelprop(LP_ITERS),
+        "centrality_degree": L.sql_degree_centrality(),
+        "centrality_eigenvector": L.sql_eigenvector(EIG_ITERS),
+        "centrality_katz": L.sql_katz(KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
+        "graph_bfs": L.sql_bfs(BFS_ITERS),
+        "graph_sssp": L.sql_sssp(SSSP_ITERS),
+        # graph_core_decomposition / graph_plm / gen_rmat_degree_hist:
+        # intentionally no oracle (data-dependent iteration counts /
+        # Spark-side hash) — driver records the rows-only check
+        "community_coverage": L.sql_coverage(LP_ITERS),
+        "community_edgecut": L.sql_edgecut(LP_ITERS),
+        "community_conductance": L.sql_conductance(LP_ITERS),
+        "community_stability": L.sql_stable_fraction(LP_ITERS),
         "text_token_stats": L.sql_token_stats(),
         "text_quality": L.sql_quality(),
         "text_lang_id": L.sql_lang_id(),

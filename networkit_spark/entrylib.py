@@ -650,3 +650,187 @@ SELECT user_id,
        CAST(max(n_events) AS BIGINT) AS max_session_len,
        CAST(sum(n_events) AS BIGINT) AS n_events
 FROM per_session GROUP BY user_id ORDER BY user_id"""
+
+
+# --------------------------------------------------------------------------
+# centrality / distance / measure oracles (DuckDB dialect)
+# --------------------------------------------------------------------------
+
+
+def sql_degree_centrality(normalized: bool = False) -> str:
+    scale = "/ ((SELECT count(*) FROM vertices) - 1)" if normalized else ""
+    return _with_graph(
+        f"""{DEG_CTE.strip()}
+SELECT id, ROUND(CAST(degree AS DOUBLE){scale}, 6) AS score FROM degrees ORDER BY id"""
+    )
+
+
+def sql_eigenvector(iters: int) -> str:
+    """Per-step L2-normalized power iteration, exactly the operator's shape
+    (operators/centrality.py eigenvector_centrality)."""
+    ctes = [
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices)",
+        "ev0 AS (SELECT id, 1.0/sqrt((SELECT n FROM nn)) AS score FROM vertices)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""raw{k} AS MATERIALIZED (
+    SELECT v.id, COALESCE(m.mass, 0.0) AS raw
+    FROM vertices v LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.score * e.weight) AS mass
+        FROM edges e JOIN ev{k-1} p ON p.id = e.src GROUP BY e.dst
+    ) m ON m.id = v.id
+),
+ev{k} AS MATERIALIZED (
+    SELECT id, raw / (SELECT sqrt(SUM(raw*raw)) FROM raw{k}) AS score FROM raw{k}
+)"""
+        )
+    body = ", ".join(ctes) + f" SELECT id, ROUND(score, 6) AS score FROM ev{iters} ORDER BY id"
+    return _with_graph(body)
+
+
+def sql_katz(iters: int, alpha: float, beta: float) -> str:
+    ctes = ["kz0 AS (SELECT id, 0.0 AS score FROM vertices)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""kz{k} AS MATERIALIZED (
+    SELECT v.id, {beta} + {alpha} * COALESCE(m.mass, 0.0) AS score
+    FROM vertices v LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.score * e.weight) AS mass
+        FROM edges e JOIN kz{k-1} p ON p.id = e.src GROUP BY e.dst
+    ) m ON m.id = v.id
+)"""
+        )
+    body = ", ".join(ctes) + (
+        f""" SELECT id, ROUND(score / (SELECT sqrt(SUM(score*score)) FROM kz{iters}), 6) AS score
+FROM kz{iters} ORDER BY id"""
+    )
+    return _with_graph(body)
+
+
+def sql_bfs(iters: int, source: int = 0) -> str:
+    """Unrolled min-plus BFS from ``source``; unreachable vertices absent."""
+    ctes = [f"b0 AS (SELECT CAST({source} AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""b{k} AS MATERIALIZED (
+    SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM b{k-1}
+        UNION ALL
+        SELECT e.dst AS id, p.dist + 1 AS dist
+        FROM edges e JOIN b{k-1} p ON p.id = e.src
+    ) GROUP BY id
+)"""
+        )
+    body = ", ".join(ctes) + f" SELECT id, dist FROM b{iters} ORDER BY id"
+    return _with_graph(body)
+
+
+def sql_sssp(iters: int, source: int = 0) -> str:
+    """Unrolled Bellman-Ford relaxation (weighted min-plus)."""
+    ctes = [f"s0 AS (SELECT CAST({source} AS BIGINT) AS id, 0.0 AS dist)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+    SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM s{k-1}
+        UNION ALL
+        SELECT e.dst AS id, p.dist + e.weight AS dist
+        FROM edges e JOIN s{k-1} p ON p.id = e.src
+    ) GROUP BY id
+)"""
+        )
+    body = ", ".join(ctes) + f" SELECT id, ROUND(dist, 6) AS dist FROM s{iters} ORDER BY id"
+    return _with_graph(body)
+
+
+def _lp_inner(lp_iters: int) -> tuple[str, str]:
+    lp_sql = sql_labelprop(lp_iters)
+    inner = lp_sql[len("WITH "):lp_sql.rindex("SELECT id, label")]
+    return inner.rstrip().rstrip(","), f"lp{lp_iters}"
+
+
+TEW_CTE = """tew AS (
+    SELECT (SUM(weight) - SUM(CASE WHEN src = dst THEN weight ELSE 0 END)) / 2
+           + SUM(CASE WHEN src = dst THEN weight ELSE 0 END) AS w
+    FROM edges
+)"""
+
+
+def sql_coverage(lp_iters: int) -> str:
+    inner, last = _lp_inner(lp_iters)
+    return f"""WITH {inner},
+{TEW_CTE},
+intra AS (
+    SELECT (SUM(e.weight) - SUM(CASE WHEN e.src = e.dst THEN e.weight ELSE 0 END)) / 2
+           + SUM(CASE WHEN e.src = e.dst THEN e.weight ELSE 0 END) AS w
+    FROM edges e
+    JOIN {last} la ON la.id = e.src
+    JOIN {last} lb ON lb.id = e.dst
+    WHERE la.label = lb.label
+)
+SELECT ROUND((SELECT COALESCE(w, 0) FROM intra) / (SELECT w FROM tew), 6) + 0.0 AS coverage"""
+
+
+def sql_edgecut(lp_iters: int) -> str:
+    inner, last = _lp_inner(lp_iters)
+    return f"""WITH {inner},
+cut AS (
+    SELECT SUM(e.weight) / 2 AS w
+    FROM edges e
+    JOIN {last} la ON la.id = e.src
+    JOIN {last} lb ON lb.id = e.dst
+    WHERE la.label <> lb.label
+)
+SELECT ROUND(COALESCE((SELECT w FROM cut), 0), 6) + 0.0 AS edge_cut"""
+
+
+def sql_conductance(lp_iters: int) -> str:
+    inner, last = _lp_inner(lp_iters)
+    return f"""WITH {inner},
+wdeg AS (
+    SELECT src AS id, SUM(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS wd
+    FROM edges GROUP BY src
+),
+vols AS (
+    SELECT l.label, SUM(COALESCE(w.wd, 0)) AS vol
+    FROM {last} l LEFT JOIN wdeg w ON w.id = l.id GROUP BY l.label
+),
+total AS (SELECT SUM(vol) AS tv FROM vols),
+cut AS (
+    SELECT la.label, SUM(e.weight) AS c
+    FROM edges e
+    JOIN {last} la ON la.id = e.src
+    JOIN {last} lb ON lb.id = e.dst
+    WHERE la.label <> lb.label
+    GROUP BY la.label
+)
+SELECT v.label,
+       ROUND(CASE WHEN least(v.vol, (SELECT tv FROM total) - v.vol) > 0
+             THEN COALESCE(c.c, 0.0) / least(v.vol, (SELECT tv FROM total) - v.vol)
+             ELSE 0.0 END, 6) AS conductance
+FROM vols v LEFT JOIN cut c ON c.label = v.label
+ORDER BY v.label"""
+
+
+def sql_stable_fraction(lp_iters: int) -> str:
+    """One extra synchronous LP superstep over lp{N}; fraction of nodes whose
+    label equals the plurality of their neighbors (StablePartitionNodes)."""
+    inner, last = _lp_inner(lp_iters)
+    return f"""WITH {inner},
+cand AS (
+    SELECT dst AS id, label AS cand FROM (
+        SELECT e.dst, p.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.dst
+                   ORDER BY SUM(e.weight) DESC, p.label ASC
+               ) AS rn
+        FROM edges e JOIN {last} p ON p.id = e.src
+        WHERE e.src <> e.dst
+        GROUP BY e.dst, p.label
+    ) WHERE rn = 1
+)
+SELECT ROUND(
+    CAST(SUM(CASE WHEN c.cand IS NULL OR c.cand = l.label THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*), 6) + 0.0 AS stable_fraction
+FROM {last} l LEFT JOIN cand c ON c.id = l.id"""

@@ -1,0 +1,283 @@
+"""Centrality family beyond PageRank (SURVEY.md §2.12 `centrality/`).
+
+Each operator mirrors a reference Algorithm subclass's run() contract and
+returns a scores(id, score) DataFrame; ranking() in operators.pagerank
+applies the (score desc, id asc) ordering of Centrality::ranking
+(networkit/cpp/centrality/Centrality.cpp:30-42).
+
+All supersteps are pure DataFrame joins + partial+final hash aggregations;
+iteration state is lineage-truncated via IterationState.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.checkpoint import IterationState
+
+
+def degree_centrality(graph: Graph, normalized: bool = False) -> DataFrame:
+    """scores(id, score) — out-degree, optionally /(n-1)
+    (ref: networkit/cpp/centrality/DegreeCentrality.cpp, 53 LoC)."""
+    deg = graph.degrees().select("id", F.col("degree").cast("double").alias("score"))
+    if normalized:
+        n = graph.num_nodes()
+        scale = 1.0 / (n - 1) if n > 1 else 1.0
+        deg = deg.select("id", (F.col("score") * scale).alias("score"))
+    return deg
+
+
+def eigenvector_centrality(
+    graph: Graph, tol: float = 1e-9, max_iterations: int | None = 100
+) -> DataFrame:
+    """Power iteration on the weighted adjacency, L2-normalized per step
+    (ref: networkit/cpp/centrality/EigenvectorCentrality.cpp, 69 LoC — the
+    near-clone of the PageRank loop, SURVEY.md §2.12). Convergence:
+    L1 distance of consecutive normalized vectors <= tol."""
+    spark = graph.vertices.sparkSession
+    n = graph.num_nodes()
+    if n == 0:
+        return spark.createDataFrame([], "id long, score double")
+
+    edges = graph.edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("w")
+    ).persist()
+    edges.count()
+    scores = graph.vertices.select("id", F.lit(1.0 / math.sqrt(n)).alias("score"))
+    state = IterationState(None, "eigenvector")
+    scores = state.advance(0, scores)
+
+    iteration = 0
+    while True:
+        iteration += 1
+        msgs = (
+            edges.join(scores.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("score") * F.col("w")).alias("mass"))
+            .withColumnRenamed("dst", "id")
+        )
+        raw = (
+            graph.vertices.select("id")
+            .join(msgs, "id", "left")
+            .select("id", F.coalesce("mass", F.lit(0.0)).alias("raw"))
+        )
+        norm = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).first()[0] or 1.0
+        new = state.advance(
+            iteration, raw.select("id", (F.col("raw") / norm).alias("score"))
+        )
+        delta = (
+            new.alias("a")
+            .join(scores.alias("b"), "id")
+            .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))))
+            .first()[0]
+            or 0.0
+        )
+        scores = new
+        if delta <= tol or (max_iterations is not None and iteration >= max_iterations):
+            break
+
+    result = scores.localCheckpoint(eager=True)
+    state.close()
+    edges.unpersist()
+    return result
+
+
+def katz_centrality(
+    graph: Graph,
+    alpha: float = 5e-4,
+    beta: float = 0.1,
+    tol: float = 1e-8,
+    max_iterations: int | None = 100,
+) -> DataFrame:
+    """x_{k+1}[u] = beta + alpha * Σ_{(v→u)} w(v,u)·x_k[v]; converge on L1;
+    final L2 normalization (ref: networkit/cpp/centrality/KatzCentrality.cpp)."""
+    spark = graph.vertices.sparkSession
+    n = graph.num_nodes()
+    if n == 0:
+        return spark.createDataFrame([], "id long, score double")
+    edges = graph.edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("w")
+    ).persist()
+    edges.count()
+    scores = graph.vertices.select("id", F.lit(0.0).alias("score"))
+    state = IterationState(None, "katz")
+    scores = state.advance(0, scores)
+
+    iteration = 0
+    while True:
+        iteration += 1
+        msgs = (
+            edges.join(scores.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("score") * F.col("w")).alias("mass"))
+            .withColumnRenamed("dst", "id")
+        )
+        new = state.advance(
+            iteration,
+            graph.vertices.select("id")
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                (F.lit(beta) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias(
+                    "score"
+                ),
+            ),
+        )
+        delta = (
+            new.alias("a")
+            .join(scores.alias("b"), "id")
+            .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))))
+            .first()[0]
+            or 0.0
+        )
+        scores = new
+        if delta <= tol or (max_iterations is not None and iteration >= max_iterations):
+            break
+
+    norm = scores.agg(F.sqrt(F.sum(F.col("score") * F.col("score")))).first()[0] or 1.0
+    result = scores.select("id", (F.col("score") / norm).alias("score"))
+    result = result.localCheckpoint(eager=True)
+    state.close()
+    edges.unpersist()
+    return result
+
+
+def core_decomposition(graph: Graph) -> DataFrame:
+    """cores(id, core) — k-core number per vertex by iterative peeling
+    (ref: networkit/cpp/centrality/CoreDecomposition.cpp, 342 LoC: bucket
+    peel by degree; here: for k = 0,1,2,... repeatedly strip vertices with
+    remaining degree <= k until none, assigning core=k as they fall out).
+    Distributed shape: each inner step is one degree agg + one anti-join —
+    the peel-by-degree loop as iterative filter+agg (SURVEY.md §2.12)."""
+    spark = graph.vertices.sparkSession
+    g = graph.to_undirected() if graph.directed else graph
+    edges = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
+    live_edges = edges.persist()
+    live_edges.count()
+    live_nodes = g.vertices.select("id").persist()
+
+    assigned: DataFrame | None = None
+    k = 0
+    remaining = live_nodes.count()
+    while remaining > 0:
+        while True:
+            deg = live_edges.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("deg")
+            )
+            peel = (
+                live_nodes.join(deg, "id", "left")
+                .filter(F.coalesce(F.col("deg"), F.lit(0)) <= k)
+                .select("id")
+            )
+            n_peel = peel.count()
+            if n_peel == 0:
+                break
+            out = peel.select("id", F.lit(k).cast("long").alias("core"))
+            assigned = out if assigned is None else assigned.unionByName(out)
+            assigned = assigned.localCheckpoint(eager=True)
+            new_nodes = live_nodes.join(peel, "id", "anti").localCheckpoint(eager=True)
+            new_edges = (
+                live_edges.join(peel.withColumnRenamed("id", "src"), "src", "anti")
+                .join(peel.withColumnRenamed("id", "dst"), "dst", "anti")
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            live_nodes.unpersist()
+            live_edges.unpersist()
+            live_nodes, live_edges = new_nodes.persist(), new_edges.persist()
+            remaining -= n_peel
+        k += 1
+    live_nodes.unpersist()
+    live_edges.unpersist()
+    if assigned is None:
+        return spark.createDataFrame([], "id long, core long")
+    return assigned
+
+
+def bfs_hops(graph: Graph, source: int, max_iterations: int | None = None) -> DataFrame:
+    """dist(id, dist) — unweighted hop distance from ``source``; unreachable
+    vertices are ABSENT (ref: networkit/cpp/distance/BFS.cpp, 80 LoC; the
+    frontier superstep is the same shape as CC's active-set loop)."""
+    g = graph if graph.directed else graph
+    spark = g.vertices.sparkSession
+    edges = g.edges.select("src", "dst").persist()
+    edges.count()
+
+    dist = spark.createDataFrame([(int(source), 0)], "id long, dist long")
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist.select("id")
+    level = 0
+    while True:
+        level += 1
+        nxt = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src", "semi")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist.select("id"), "id", "anti")
+            .select("id", F.lit(level).cast("long").alias("dist"))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        cnt = nxt.count()
+        if cnt == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+        if max_iterations is not None and level >= max_iterations:
+            break
+    edges.unpersist()
+    return dist
+
+
+def sssp_weighted(
+    graph: Graph, source: int, max_iterations: int | None = 50
+) -> DataFrame:
+    """dist(id, dist: double) — single-source shortest paths by synchronous
+    Bellman-Ford-style relaxation (the distributed analogue of
+    networkit/cpp/distance/Dijkstra.cpp, 94 LoC; a priority queue does not
+    distribute, frontier relaxation does). Converges in <= |V|-1 rounds."""
+    spark = graph.vertices.sparkSession
+    edges = graph.edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("w")
+    ).persist()
+    edges.count()
+
+    dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double")
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    iteration = 0
+    while True:
+        iteration += 1
+        cand = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+            .withColumnRenamed("dst", "id")
+        )
+        merged = (
+            dist.join(cand, "id", "full")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                    F.coalesce(F.col("cand"), F.lit(float("inf"))),
+                ).alias("new_dist"),
+                F.col("dist").alias("old_dist"),
+            )
+        )
+        merged = merged.localCheckpoint(eager=True)
+        improved = merged.filter(
+            F.col("old_dist").isNull() | (F.col("new_dist") < F.col("old_dist"))
+        )
+        n_improved = improved.count()
+        dist = merged.select("id", F.col("new_dist").alias("dist"))
+        frontier = improved.select("id", F.col("new_dist").alias("dist"))
+        if n_improved == 0 or (
+            max_iterations is not None and iteration >= max_iterations
+        ):
+            break
+    edges.unpersist()
+    return dist

@@ -132,6 +132,68 @@ def edge_cut(graph: Graph, labels: DataFrame) -> float:
     return w if graph.directed else w / 2.0
 
 
+def conductance_per_cluster(graph: Graph, labels: DataFrame) -> DataFrame:
+    """(label, conductance: double) with conductance(C) =
+    cut(C) / min(vol(C), vol(V) - vol(C)) — the per-cluster measure behind
+    community/Conductance.cpp; vol counts self-loops twice (wdeg)."""
+    le = _labeled_edges(graph, labels)
+    cut = (
+        le.filter(F.col("slabel") != F.col("dlabel"))
+        .groupBy(F.col("slabel").alias("label"))
+        .agg(F.sum(F.col("weight").cast("double")).alias("cut"))
+    )
+    vols = (
+        graph.degrees()
+        .join(labels, "id")
+        .groupBy("label")
+        .agg(F.sum("wdeg").alias("vol"))
+    )
+    total_vol = graph.degrees().agg(F.sum("wdeg")).first()[0] or 0.0
+    return (
+        vols.join(cut, "label", "left")
+        .select(
+            "label",
+            F.when(
+                F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")) > 0,
+                F.coalesce("cut", F.lit(0.0))
+                / F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("conductance"),
+        )
+    )
+
+
+def make_singleton_partition(graph: Graph) -> DataFrame:
+    """Each node its own cluster (community/ClusteringGenerator.cpp
+    makeSingletonClustering)."""
+    return graph.vertices.select("id", F.col("id").alias("label"))
+
+
+def make_one_partition(graph: Graph) -> DataFrame:
+    """All nodes in cluster 0 (makeOneClustering)."""
+    return graph.vertices.select("id", F.lit(0).cast("long").alias("label"))
+
+
+def make_random_partition(graph: Graph, k: int, seed: int = 42) -> DataFrame:
+    """k clusters, per-node deterministic hash assignment
+    (makeRandomClustering; per-row xxhash so the result is identical at any
+    parallelism)."""
+    return graph.vertices.select(
+        "id", F.pmod(F.xxhash64(F.lit(seed), "id"), F.lit(k)).cast("long").alias("label")
+    )
+
+
+def make_continuous_balanced_partition(graph: Graph, k: int) -> DataFrame:
+    """k contiguous equal ranges of the id space
+    (makeContinuousBalancedClustering)."""
+    n = graph.num_nodes()
+    size = max(1, (n + k - 1) // k)
+    return graph.vertices.select(
+        "id", (F.col("id") / size).cast("long").alias("label")
+    )
+
+
 def partition_intersection(a: DataFrame, b: DataFrame) -> DataFrame:
     """Finest common refinement of two partitions
     (community/PartitionIntersection.cpp): nodes grouped by label pairs;

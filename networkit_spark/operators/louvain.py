@@ -1,0 +1,192 @@
+"""PLM (parallel Louvain method) — synchronous distributed variant.
+
+Reference: networkit/cpp/community/PLM.cpp:29-140 (326 LoC) and the fork's
+MPLM/ONPL/OVPL perf variants (community/MPLM.cpp:64, ONPL.cpp:74,
+OVPL.cpp:106 — identical semantics, SIMD-only changes, SURVEY.md §2.7).
+Phases reproduced:
+
+1. singleton init zeta[v] = v (PLM.cpp move-phase entry)
+2. move phase: for each node u, affinity[C] = Σ weight(u, v in C, v != u);
+   modularity gain of moving u from D to C (PLM.cpp:129-135):
+       Δmod = (aff_C - aff_D\\u)/ω + γ·vol(u)·(vol(D\\u) - vol(C))/(2ω²)
+   move to argmax-gain community when gain > 0; repeat up to maxIter sweeps
+3. coarsen by the resulting partition (ParallelPartitionCoarsening), recurse
+   on the coarse graph, project labels back (ClusteringProjector)
+
+The reference's sweep is racy/async (vectgraph.tex:333-335); this engine
+pins the deterministic synchronous variant: every sweep computes all gains
+from the previous sweep's partition and applies all positive moves at once,
+ties broken by the smallest candidate community label. vol(v) counts
+self-loops twice (Modularity.cpp:46-53 volume accumulation); ω is the
+undirected total edge weight (PLM.cpp:42).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.operators.coarsening import coarsen, project_back
+from networkit_spark.plans.checkpoint import IterationState
+
+
+def _move_phase(
+    g: Graph, gamma: float, max_sweeps: int, min_moves: int
+) -> DataFrame:
+    """One level's local-move loop; returns labels(id, label)."""
+    omega = g.total_edge_weight()
+    if omega <= 0:
+        return g.vertices.select("id", F.col("id").alias("label"))
+
+    vol = g.degrees().select("id", F.col("wdeg").alias("vol")).persist()
+    nonloop = g.edges.filter(F.col("src") != F.col("dst")).select(
+        "src", "dst", F.col("weight").cast("double").alias("w")
+    ).persist()
+    nonloop.count()
+
+    labels = g.vertices.select("id", F.col("id").alias("label"))
+    state = IterationState(None, "plm-move")
+    labels = state.advance(0, labels)
+
+    sweep = 0
+    move_history: list[int] = []
+    while sweep < max_sweeps:
+        sweep += 1
+        comm_vol = (
+            labels.join(vol, "id").groupBy("label").agg(F.sum("vol").alias("cvol"))
+        )
+        # affinity of u to each neighboring community
+        aff = (
+            nonloop.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("dlabel")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), F.col("dlabel").alias("cand"))
+            .agg(F.sum("w").alias("aff"))
+        )
+        base = (
+            labels.join(vol, "id")
+            .join(
+                comm_vol.withColumnRenamed("label", "label").withColumnRenamed(
+                    "cvol", "dvol"
+                ),
+                "label",
+            )
+            .select("id", "label", "vol", "dvol")
+        )
+        own_aff = (
+            aff.join(
+                labels.withColumnRenamed("label", "own"), "id"
+            )
+            .filter(F.col("cand") == F.col("own"))
+            .select("id", F.col("aff").alias("own_aff"))
+        )
+        cand = (
+            aff.join(base, "id")
+            .join(own_aff, "id", "left")
+            .join(
+                comm_vol.select(
+                    F.col("label").alias("cand"), F.col("cvol").alias("cand_vol")
+                ),
+                "cand",
+            )
+            .filter(F.col("cand") != F.col("label"))
+            .select(
+                "id",
+                "cand",
+                (
+                    (F.col("aff") - F.coalesce("own_aff", F.lit(0.0))) / omega
+                    + F.lit(gamma)
+                    * F.col("vol")
+                    * ((F.col("dvol") - F.col("vol")) - F.col("cand_vol"))
+                    / (2.0 * omega * omega)
+                ).alias("gain"),
+            )
+        )
+        best = (
+            cand.filter(F.col("gain") > 1e-15)
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    "cand", F.struct(F.col("gain"), (-F.col("cand")).alias("nc"))
+                ).alias("new_label")
+            )
+        )
+        new = state.advance(
+            sweep,
+            labels.join(best, "id", "left").select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.col("new_label").isNotNull() & (F.col("new_label") != F.col("label"))).alias(
+                    "moved"
+                ),
+            ),
+        )
+        n_moved = new.filter("moved").count()
+        labels = new.select("id", "label")
+        if n_moved <= min_moves:
+            break
+        # synchronous sweeps can 2-cycle (a pair of nodes swapping
+        # communities forever — the async reference never faces this);
+        # a plateaued move count over 3 sweeps means oscillation, not
+        # progress, so stop at the current (already-improving) partition
+        move_history.append(n_moved)
+        if len(move_history) >= 3 and len(set(move_history[-3:])) == 1:
+            break
+
+    vol.unpersist()
+    nonloop.unpersist()
+    result = labels.localCheckpoint(eager=True)
+    state.close()
+    return result
+
+
+def plm(
+    graph: Graph,
+    gamma: float = 1.0,
+    max_sweeps: int = 25,
+    max_levels: int = 5,
+    min_moves: int = 0,
+) -> DataFrame:
+    """labels(id, label) in the ORIGINAL id space — multilevel Louvain.
+    max_sweeps mirrors the reference's <=25 move passes per level
+    (SURVEY.md §2.7); levels recurse while the partition keeps contracting
+    meaningfully (PLM.cpp coarsen+recurse), composing fine->coarse maps."""
+    g = graph.to_undirected() if graph.directed else graph
+    # fine-id -> current-level-id composition (identity at level 0)
+    fine_map = g.vertices.select("id", F.col("id").alias("cur"))
+
+    level = 0
+    while True:
+        level += 1
+        labels_g = _move_phase(g, gamma, max_sweeps, min_moves)
+        n_g = g.num_nodes()
+        n_comms = labels_g.select("label").distinct().count()
+        # stop when done, or when contraction stalls (<10% shrink buys
+        # nothing and each level costs a full move-phase loop)
+        if level >= max_levels or n_comms <= 1 or n_comms >= 0.9 * n_g:
+            break
+        coarse_g, f2c = coarsen(g, labels_g)  # f2c: (id in g, coarse_id)
+        fine_map = (
+            fine_map.join(f2c.withColumnRenamed("id", "cur"), "cur")
+            .select("id", F.col("coarse_id").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        g = coarse_g
+
+    return project_back(
+        fine_map.withColumnRenamed("cur", "coarse_id"), labels_g
+    ).localCheckpoint(eager=True)
+
+
+def detect_communities(graph: Graph, algo: str = "plm", **kw) -> DataFrame:
+    """Convenience driver (ref: networkit/community.pyx:1159-1177
+    detectCommunities defaulting to PLM)."""
+    if algo == "plm":
+        return plm(graph, **kw)
+    if algo == "plp":
+        from networkit_spark.operators.labelprop import label_propagation
+
+        return label_propagation(graph, **kw)
+    raise ValueError(f"unknown algo {algo!r}")

@@ -1,0 +1,189 @@
+"""Synthetic graph generators (SURVEY.md §2.10) — fully distributed and
+per-row deterministic: every edge is a pure function of (seed, edge index)
+via xxhash64 column expressions, so the same (seed, params) produce the
+identical graph at any parallelism or cluster size. All JVM-side
+whole-stage-codegen expressions; no Python in the generation path.
+
+RMAT is the fork's benchmark workload (Unittests-X.cpp:245-249; generator at
+networkit/cpp/generators/RmatGenerator.cpp:16-124): n = 2^scale nodes,
+recursive quadrant descent per edge with probabilities (a, b, c, d). The
+reference's unweighted path REJECTS duplicate edges and redraws until
+n*edgeFactor distinct edges exist (RmatGenerator.cpp:113-118) — a sequential
+rejection loop that does not distribute; this engine instead overdraws by a
+factor and keeps the first n*edgeFactor distinct edges in draw order, which
+preserves the degree distribution and determinism (the properties the
+benchmark sweep exercises) without a sequential dependency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import EDGE_SCHEMA, Graph
+
+
+def _u01(seed: int, *cols) -> F.Column:
+    """Deterministic uniform [0,1) from a 63-bit hash."""
+    return F.abs(F.xxhash64(F.lit(seed), *cols)) / F.lit(float(1 << 63))
+
+
+def rmat(
+    spark: SparkSession,
+    scale: int,
+    edge_factor: int,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    d: float = 0.05,
+    seed: int = 42,
+    weighted: bool = False,
+    overdraw: float = 2.0,
+) -> Graph:
+    """Undirected RMAT graph: 2^scale nodes, ~2^scale * edge_factor distinct
+    edges. Per edge index i and level l, one hash draw picks the quadrant:
+    src bit = draw >= a+b, dst bit = draw in [a, a+b) or >= a+b+c — the
+    recursive descent of RmatGenerator.cpp:38-66 unrolled into `scale`
+    column expressions."""
+    n = 1 << scale
+    m_target = n * edge_factor
+    m_draw = int(m_target * overdraw)
+    ab, abc = a + b, a + b + c
+
+    e = spark.range(m_draw).select(F.col("id").alias("i"))
+    src = F.lit(0).cast("long")
+    dst = F.lit(0).cast("long")
+    for level in range(scale):
+        u = _u01(seed * 1_000_003 + level, "i")
+        src_bit = (u >= ab).cast("long")
+        dst_bit = ((u >= abc) | ((u >= a) & (u < ab))).cast("long")
+        src = src * 2 + src_bit
+        dst = dst * 2 + dst_bit
+    drawn = e.select("i", src.alias("src"), dst.alias("dst"))
+
+    if weighted:
+        # weighted path accumulates duplicate draws via increaseWeight
+        # (RmatGenerator.cpp:107-111): weight = multiplicity
+        half = (
+            drawn.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("float").alias("weight"))
+        )
+    else:
+        # distinct edges in draw order, truncated to the target count
+        half = (
+            drawn.filter(F.col("src") != F.col("dst"))
+            .select(
+                "i",
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.min("i").alias("first_draw"))
+            .orderBy("first_draw")
+            .limit(m_target)
+            .select("src", "dst", F.lit(1.0).cast("float").alias("weight"))
+        )
+
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(vertices, sym, directed=False, weighted=weighted)
+
+
+def erdos_renyi(
+    spark: SparkSession, n: int, p: float, seed: int = 42, directed: bool = False
+) -> Graph:
+    """G(n, m) with m = round(p * n(n-1)/2) — the fixed-edge-count variant of
+    generators/ErdosRenyiGenerator.cpp (its skip-sampling loop is inherently
+    sequential; fixed-m hashing gives the same degree statistics
+    distributively). Each edge index hashes to a uniform (u, v) pair."""
+    m = int(round(p * n * (n - 1) / (1 if directed else 2)))
+    e = spark.range(int(m * 1.5) + 16).select(F.col("id").alias("i"))
+    u = (F.abs(F.xxhash64(F.lit(seed), "i", F.lit(0))) % n).cast("long")
+    v = (F.abs(F.xxhash64(F.lit(seed), "i", F.lit(1))) % n).cast("long")
+    drawn = e.select("i", u.alias("u"), v.alias("v")).filter(F.col("u") != F.col("v"))
+    if not directed:
+        drawn = drawn.select(
+            "i", F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+    half = (
+        drawn.groupBy("u", "v")
+        .agg(F.min("i").alias("first_draw"))
+        .orderBy("first_draw")
+        .limit(m)
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.lit(1.0).cast("float").alias("weight"),
+        )
+    )
+    edges = half if directed else half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(vertices, edges, directed=directed, weighted=False)
+
+
+def clustered_random_graph(
+    spark: SparkSession,
+    n: int,
+    k: int,
+    p_intra: float,
+    p_inter: float,
+    seed: int = 42,
+) -> tuple[Graph, DataFrame]:
+    """Planted-partition graph + ground-truth partition
+    (generators/ClusteredRandomGraphGenerator.cpp — the PLP test fixture,
+    community/test/CommunityGTest.cpp:73-110). Nodes are assigned to k
+    clusters by hash; candidate pairs are drawn by index and kept with
+    probability p_intra (same cluster) / p_inter (different), decided by a
+    second hash — one pass, no rejection loop."""
+    m_intra = int(p_intra * n * max(1, n // k) / 2 * 1.2) + k
+    m_inter = int(p_inter * n * n / 2 * 1.2) + k
+
+    def cluster_of(col):
+        # membership is striped: cluster(id) = id % k (see intra drawing)
+        return F.pmod(col, F.lit(k))
+
+    # intra: pick a cluster, then two members of it
+    intra = spark.range(m_intra).select(F.col("id").alias("i"))
+    ci = F.pmod(F.xxhash64(F.lit(seed + 1), "i"), F.lit(k))
+    # member j of cluster c is node j*k + c style striping (deterministic)
+    sz = n // k
+    u_i = (ci + (F.abs(F.xxhash64(F.lit(seed + 2), "i")) % sz) * k).cast("long")
+    v_i = (ci + (F.abs(F.xxhash64(F.lit(seed + 3), "i")) % sz) * k).cast("long")
+    intra_e = intra.select("i", u_i.alias("u"), v_i.alias("v"))
+
+    inter = spark.range(m_inter).select((F.col("id") + m_intra).alias("i"))
+    u_x = (F.abs(F.xxhash64(F.lit(seed + 4), "i")) % n).cast("long")
+    v_x = (F.abs(F.xxhash64(F.lit(seed + 5), "i")) % n).cast("long")
+    inter_e = inter.select("i", u_x.alias("u"), v_x.alias("v")).filter(
+        cluster_of(F.col("u")) != cluster_of(F.col("v"))
+    )
+
+    drawn = (
+        intra_e.unionByName(inter_e)
+        .filter((F.col("u") != F.col("v")) & (F.col("u") < n) & (F.col("v") < n))
+        .select("i", F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+    )
+    half = (
+        drawn.groupBy("u", "v")
+        .agg(F.min("i").alias("fd"))
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.lit(1.0).cast("float").alias("weight"),
+        )
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    truth = vertices.select("id", (F.col("id") % k).cast("long").alias("label"))
+    return Graph(vertices, edges, directed=False, weighted=False), truth

@@ -1,0 +1,166 @@
+"""Graph IO readers/writers (SURVEY.md §2.9).
+
+The reference ships ~15 single-threaded line-parser readers behind
+`readGraph(path, Format.…)` (networkit/graphio.pyx:724-786). Spark-first
+equivalents for the formats worth keeping:
+
+* edge lists (SNAP / EdgeList variants: separator x first-node-id x
+  comment prefix, optional weight) — `spark.read.csv` with comment
+  pushdown, fully distributed (EdgeListReader.cpp:37-80,
+  SNAPGraphReader.cpp:16-40);
+* METIS adjacency format — fixture-scale only, single file
+  (METISParser.cpp:93-148);
+* partition (label-per-line) files (io/PartitionReader.cpp) and the
+  engine-native parquet labels/edges tables;
+* writers mirror EdgeListWriter / SNAPGraphWriter / METISGraphWriter /
+  PartitionWriter.
+
+Non-continuous string ids are remapped to dense longs through the same
+dictionary minting as the transcript pipeline (GraphTools::
+getContinuousNodeIds, GraphTools.cpp:438).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from networkit_spark.edges import mint_dense_ids
+from networkit_spark.graph import EDGE_SCHEMA, Graph
+
+
+def read_edge_list(
+    spark: SparkSession,
+    path: str,
+    sep: str = "\t",
+    comment: str = "#",
+    first_node: int = 0,
+    directed: bool = False,
+    continuous: bool = True,
+) -> Graph:
+    """EdgeListReader(sep, firstNode, comment, continuous, directed)
+    semantics (include/networkit/io/EdgeListReader.hpp:26-58): lines of
+    `u<sep>v[<sep>w]`; `continuous=True` treats ids as ints offset by
+    ``first_node``; otherwise ids are opaque strings mapped to dense longs.
+    Returns an undirected-symmetrized Graph unless ``directed``.
+    SNAP format (SNAPGraphReader.cpp) == tab sep, '#' comments."""
+    raw = (
+        spark.read.option("sep", sep)
+        .option("comment", comment)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    cols = raw.columns
+    has_w = len(cols) >= 3
+    w = F.col(cols[2]).cast("float") if has_w else F.lit(1.0).cast("float")
+
+    if continuous:
+        half = raw.select(
+            (F.col(cols[0]).cast("long") - first_node).alias("src"),
+            (F.col(cols[1]).cast("long") - first_node).alias("dst"),
+            w.alias("weight"),
+        ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        n = (
+            half.agg(F.greatest(F.max("src"), F.max("dst")).alias("m")).first()["m"]
+        )
+        vertices = spark.range((n or -1) + 1).select(F.col("id").cast("long"))
+    else:
+        keyed = raw.select(
+            F.col(cols[0]).cast("string").alias("sk"),
+            F.col(cols[1]).cast("string").alias("dk"),
+            w.alias("weight"),
+        )
+        keys = keyed.select(F.col("sk").alias("key")).unionByName(
+            keyed.select(F.col("dk").alias("key"))
+        )
+        ids = mint_dense_ids(keys)
+        half = (
+            keyed.join(
+                F.broadcast(ids.withColumnRenamed("key", "sk").withColumnRenamed("id", "src")),
+                "sk",
+            )
+            .join(
+                F.broadcast(ids.withColumnRenamed("key", "dk").withColumnRenamed("id", "dst")),
+                "dk",
+            )
+            .select("src", "dst", "weight")
+        )
+        vertices = ids.select("id")
+
+    if directed:
+        return Graph(vertices, half, directed=True)
+    sym = half.unionByName(
+        half.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    return Graph(vertices, sym, directed=False)
+
+
+def read_snap(spark: SparkSession, path: str, directed: bool = False) -> Graph:
+    """SNAP `u\\tv` lines with '#' comments (io/SNAPGraphReader.cpp:16-40)."""
+    return read_edge_list(spark, path, sep="\t", comment="#", directed=directed)
+
+
+def read_metis(spark: SparkSession, path: str) -> Graph:
+    """METIS: header `n m [fmt]`, then one 1-indexed adjacency line per
+    vertex, optional weights when fmt has the 1-bit set
+    (io/METISGraphReader.cpp:17-21, METISParser.cpp:93-148). Line number ==
+    vertex id, so ordering matters: fixture-scale reader (single file) using
+    an RDD zipWithIndex — NOT for 100 TB inputs (edge lists / parquet are)."""
+    lines = (
+        spark.sparkContext.textFile(path, minPartitions=1)
+        .zipWithIndex()
+        .filter(lambda t: t[0].strip() != "" and not t[0].lstrip().startswith("%"))
+        .zipWithIndex()  # re-number after dropping comments/blanks
+        .map(lambda t: (t[1], t[0][0]))
+    )
+    header = lines.filter(lambda t: t[0] == 0).collect()[0][1].split()
+    n = int(header[0])
+    fmt = header[2] if len(header) > 2 else "0"
+    has_weights = fmt.endswith("1") and fmt != "0" and int(fmt) % 10 == 1
+
+    def parse(t):
+        row_no, line = t
+        if row_no == 0:
+            return []
+        u = row_no - 1  # 0-based vertex id
+        toks = line.split()
+        out = []
+        if has_weights:
+            for j in range(0, len(toks) - 1, 2):
+                out.append((u, int(toks[j]) - 1, float(toks[j + 1])))
+        else:
+            for tok in toks:
+                out.append((u, int(tok) - 1, 1.0))
+        return out
+
+    edges = spark.createDataFrame(lines.flatMap(parse), schema=EDGE_SCHEMA)
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    # METIS lists each undirected edge in both adjacency rows already
+    return Graph(vertices, edges, directed=False)
+
+
+def write_edge_list(
+    graph: Graph, path: str, sep: str = "\t", weighted: bool | None = None
+) -> None:
+    """EdgeListWriter/SNAPGraphWriter: canonical (src<=dst) representatives
+    once per undirected edge."""
+    e = graph.edges if graph.directed else graph.edges.filter(
+        F.col("src") <= F.col("dst")
+    )
+    if weighted is None:
+        weighted = graph.weighted
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    e.select(*cols).write.mode("overwrite").option("sep", sep).csv(path)
+
+
+def read_partition(spark: SparkSession, path: str) -> DataFrame:
+    """labels(id, label) from the engine's parquet partition layout
+    (PartitionReader analogue; the text label-per-line format does not
+    carry ids, so the parquet table is the native sink)."""
+    return spark.read.parquet(path).select("id", "label")
+
+
+def write_partition(labels: DataFrame, path: str) -> None:
+    labels.select("id", "label").write.mode("overwrite").parquet(path)

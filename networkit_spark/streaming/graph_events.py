@@ -1,0 +1,136 @@
+"""GraphEvent batch-incremental updates (ref: networkit/cpp/dynamics/
+GraphEvent.hpp + the Dyn* algorithm family, networkit/components.pyx:411-570).
+
+Events are rows (etype, u, v, w):
+
+    NODE_ADD, NODE_REMOVE, EDGE_ADD, EDGE_REMOVE, EDGE_WEIGHT_UPDATE
+
+``apply_events`` folds a batch of events into a Graph (the DGSReader /
+GraphUpdater path); ``update_components_incremental`` reproduces
+DynConnectedComponents' cheap path — on edge ADDITIONS, components can only
+merge, so the existing labels seed a hash-min loop whose frontier is just
+the touched endpoints (O(diameter-of-change) supersteps instead of a full
+recompute). Removals may split components; like the reference's DynCC
+backbone-invalidation fallback, that case recomputes from scratch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from networkit_spark.graph import Graph
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("etype", T.StringType(), False),
+        T.StructField("u", T.LongType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("w", T.FloatType(), True),
+    ]
+)
+
+
+def apply_events(graph: Graph, events: DataFrame) -> Graph:
+    """Fold one event batch into the graph (bulk, set-oriented: each event
+    class is one union/anti-join — never row-at-a-time)."""
+    ev = events.persist()
+
+    node_add = ev.filter("etype = 'NODE_ADD'").select(F.col("u").alias("id"))
+    node_rm = ev.filter("etype = 'NODE_REMOVE'").select(F.col("u").alias("id"))
+    edge_add = ev.filter("etype = 'EDGE_ADD'").select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        F.coalesce("w", F.lit(1.0)).cast("float").alias("weight"),
+    )
+    edge_rm = ev.filter("etype = 'EDGE_REMOVE'").select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    )
+    w_upd = ev.filter("etype = 'EDGE_WEIGHT_UPDATE'").select(
+        F.col("u").alias("src"), F.col("v").alias("dst"),
+        F.col("w").cast("float").alias("weight"),
+    )
+
+    vertices = graph.vertices.select("id").unionByName(node_add).distinct()
+    vertices = vertices.join(node_rm, "id", "anti")
+
+    if not graph.directed:
+        edge_add = edge_add.unionByName(
+            edge_add.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+        edge_rm = edge_rm.unionByName(
+            edge_rm.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        w_upd = w_upd.unionByName(
+            w_upd.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
+        )
+
+    edges = graph.edges.unionByName(edge_add)
+    edges = edges.join(edge_rm.distinct(), ["src", "dst"], "anti")
+    # removing a node removes its incident edges (Graph.cpp removeNode)
+    edges = edges.join(node_rm.withColumnRenamed("id", "src"), "src", "anti")
+    edges = edges.join(node_rm.withColumnRenamed("id", "dst"), "dst", "anti")
+    # weight updates replace the existing weight
+    upd = w_upd.withColumnRenamed("weight", "new_w")
+    edges = (
+        edges.join(upd, ["src", "dst"], "left")
+        .select("src", "dst", F.coalesce("new_w", "weight").alias("weight"))
+    )
+    return Graph(vertices, edges, graph.directed, graph.weighted)
+
+
+def update_components_incremental(
+    graph_after: Graph, old_labels: DataFrame, added_edges: DataFrame
+) -> DataFrame:
+    """New component labels after EDGE_ADD events. Seeds hash-min with the
+    previous labels; only the added edges' endpoints start active, so a
+    batch that merges two components costs supersteps proportional to the
+    merge's reach, not the graph's diameter from scratch."""
+    g = graph_after.to_undirected() if graph_after.directed else graph_after
+    edges = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).persist()
+    edges.count()
+
+    labels = (
+        g.vertices.select("id")
+        .join(old_labels, "id", "left")
+        .select("id", F.coalesce("label", "id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        added_edges.select(F.col("src").alias("id"))
+        .unionByName(added_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+    while True:
+        cand = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src", "semi")
+            .join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("cand"))
+            .withColumnRenamed("dst", "id")
+        )
+        step = (
+            labels.join(cand, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("cand", F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = step.filter(F.col("new_label") < F.col("old_label"))
+        n_changed = changed.count()
+        labels = step.select("id", F.col("new_label").alias("label"))
+        if n_changed == 0:
+            break
+        frontier = changed.select("id")
+
+    edges.unpersist()
+    return labels

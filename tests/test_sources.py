@@ -1,0 +1,118 @@
+"""Generators (determinism, shape) and IO readers/writers (round-trips)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import from_edge_rows
+from networkit_spark.sources.generators import (
+    clustered_random_graph,
+    erdos_renyi,
+    rmat,
+)
+from networkit_spark.sources.io import (
+    read_edge_list,
+    read_metis,
+    read_partition,
+    read_snap,
+    write_edge_list,
+    write_partition,
+)
+
+
+def test_rmat_shape_and_determinism(spark):
+    g1 = rmat(spark, scale=8, edge_factor=4, seed=7)
+    g2 = rmat(spark, scale=8, edge_factor=4, seed=7)
+    assert g1.num_nodes() == 256
+    assert g1.num_edges() == 256 * 4
+    e1 = sorted((r["src"], r["dst"]) for r in g1.edges.collect())
+    e2 = sorted((r["src"], r["dst"]) for r in g2.edges.collect())
+    assert e1 == e2
+    # a different seed gives a different graph
+    e3 = sorted((r["src"], r["dst"]) for r in rmat(spark, 8, 4, seed=8).edges.collect())
+    assert e1 != e3
+    # skewed mix -> hub vertices: max degree well above the mean (8)
+    maxdeg = g1.degrees().agg(F.max("degree")).first()[0]
+    assert maxdeg > 20
+
+
+def test_rmat_determinism_across_parallelism(spark):
+    a = rmat(spark, 6, 2, seed=3).edges.repartition(1)
+    b = rmat(spark, 6, 2, seed=3).edges.repartition(13)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_rmat_weighted_multiplicity(spark):
+    g = rmat(spark, 5, 8, seed=1, weighted=True)
+    w = g.edges.agg(F.max("weight")).first()[0]
+    assert w >= 2.0  # duplicate draws accumulate (increaseWeight path)
+
+
+def test_erdos_renyi(spark):
+    g = erdos_renyi(spark, n=100, p=0.05, seed=5)
+    m = g.num_edges()
+    assert m == round(0.05 * 100 * 99 / 2)
+    assert g.num_nodes() == 100
+
+
+def test_clustered_random_graph(spark):
+    g, truth = clustered_random_graph(spark, n=30, k=3, p_intra=0.8, p_inter=0.01)
+    lab = {r["id"]: r["label"] for r in truth.collect()}
+    assert set(lab.values()) == {0, 1, 2}
+    intra = (
+        g.edges.join(
+            truth.withColumnRenamed("id", "src").withColumnRenamed("label", "sl"), "src"
+        )
+        .join(truth.withColumnRenamed("id", "dst").withColumnRenamed("label", "dl"), "dst")
+        .select((F.col("sl") == F.col("dl")).cast("int").alias("i"))
+        .agg(F.avg("i"))
+        .first()[0]
+    )
+    assert intra > 0.8  # intra edges dominate
+
+
+def test_edge_list_roundtrip(spark, tmp_path):
+    g = from_edge_rows(spark, [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 3.0)])
+    path = os.path.join(str(tmp_path), "el")
+    write_edge_list(g, path)
+    g2 = read_edge_list(spark, path, sep="\t")
+    assert sorted(map(tuple, g2.edges.collect())) == sorted(map(tuple, g.edges.collect()))
+
+
+def test_edge_list_string_ids(spark, tmp_path):
+    p = tmp_path / "x.tsv"
+    p.write_text("# comment\nalice\tbob\t2.0\nbob\tcarol\t1.0\n")
+    g = read_edge_list(spark, str(p), continuous=False)
+    assert g.num_nodes() == 3
+    assert g.num_edges() == 2
+    # dense ids in lexicographic key order: alice=0, bob=1, carol=2
+    assert {tuple(r) for r in g.edges.select("src", "dst").collect()} == {
+        (0, 1), (1, 0), (1, 2), (2, 1)
+    }
+
+
+def test_snap_reader(spark, tmp_path):
+    p = tmp_path / "snap.txt"
+    p.write_text("# Directed graph\n0\t1\n1\t2\n")
+    g = read_snap(spark, str(p))
+    assert g.num_edges() == 2
+
+
+def test_metis_reader(spark, tmp_path):
+    # triangle + pendant: 4 nodes, 4 edges (METIS: 1-indexed, m counts once)
+    p = tmp_path / "g.metis"
+    p.write_text("4 4\n2 3\n1 3\n1 2 4\n3\n")
+    g = read_metis(spark, str(p))
+    assert g.num_nodes() == 4
+    assert g.num_edges() == 4
+    deg = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    assert deg == {0: 2, 1: 2, 2: 3, 3: 1}
+
+
+def test_partition_roundtrip(spark, tmp_path):
+    g = from_edge_rows(spark, [(0, 1)])
+    labels = g.vertices.select("id", (F.col("id") * 10).alias("label"))
+    path = os.path.join(str(tmp_path), "part")
+    write_partition(labels, path)
+    back = read_partition(spark, path)
+    assert sorted(map(tuple, back.collect())) == [(0, 0), (1, 10)]

@@ -1,0 +1,226 @@
+"""Structured Streaming layer: watermarked windowed aggregation, stateful
+tool transitions (applyInPandasWithState), foreachBatch incremental degrees,
+and GraphEvent batch-incremental updates."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import from_edge_rows
+from networkit_spark.streaming.graph_events import (
+    EVENT_SCHEMA,
+    apply_events,
+    update_components_incremental,
+)
+from networkit_spark.streaming.transcripts_stream import (
+    incremental_degrees,
+    read_degrees,
+    read_transcript_stream,
+    tool_transitions_stream,
+    turn_pairs_stream,
+    windowed_edge_counts,
+)
+from networkit_spark.transcripts import synth_transcripts
+
+
+def _write_batches(spark, base, n_batches=3):
+    """Split a synthetic transcript table into per-conv-range parquet drops
+    (each drop = one micro-batch input file)."""
+    t = synth_transcripts(spark, n_convs=30, seed=11)
+    for b in range(n_batches):
+        part = t.filter(
+            F.pmod(F.xxhash64("conv_id"), F.lit(n_batches)) == b
+        )
+        part.coalesce(1).write.mode("append").parquet(base)
+    return t
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "in")
+    t = _write_batches(spark, src)
+    stream = read_transcript_stream(spark, src)
+    # batches are split by conv hash (not by event time), so run with a wide
+    # watermark and COMPLETE output (append only emits watermark-finalized
+    # windows); late-drop behavior has its own test below
+    q = (
+        windowed_edge_counts(turn_pairs_stream(stream), "60 minutes", "3650 days")
+        .writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select src_key, dst_key, cast(sum(weight) as long) n from wincounts group by 1,2"
+    )
+    # batch equivalent (no windows, total counts)
+    conv = F.concat(F.lit("conv:"), F.col("conv_id"))
+    p1 = t.select(conv.alias("a"), F.concat(F.lit("role:"), F.col("role")).alias("b"))
+    p2 = t.filter(F.col("tool").isNotNull()).select(
+        conv.alias("a"), F.concat(F.lit("tool:"), F.col("tool")).alias("b")
+    )
+    want = (
+        p1.unionByName(p2)
+        .select(F.least("a", "b").alias("src_key"), F.greatest("a", "b").alias("dst_key"))
+        .groupBy("src_key", "dst_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_windowed_counts_watermark_advances_and_finalizes(spark, tmp_path):
+    """The watermark advances to (max event time - delay) across
+    micro-batches, and append mode emits exactly the finalized windows.
+    (Dropping data later than the delay is documented as best-effort in
+    Spark, so this asserts the guaranteed side: watermark progression +
+    append-mode finalization.)"""
+    import datetime
+
+    src = os.path.join(str(tmp_path), "late_in")
+    base = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    batch1 = spark.createDataFrame(
+        [("c1", 0, "user", "hi", None, base),
+         ("c1", 1, "assistant", "yo", None, base + datetime.timedelta(hours=2))],
+        schema,
+    )
+    # 2h - watermark(30m) => watermark passed 10:00; this 9:00 row is late
+    batch2 = spark.createDataFrame(
+        [("c2", 0, "user", "late", None, base - datetime.timedelta(hours=3))], schema
+    )
+    import time as _time
+
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.5)  # file source orders micro-batches by mtime
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    # two files -> maxFilesPerTrigger makes them separate micro-batches
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        windowed_edge_counts(turn_pairs_stream(stream), "60 minutes", "30 minutes")
+        .writeStream.format("memory")
+        .queryName("latecounts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # watermark reached max(ts) - 30min = 13:30 by the last batch
+    marks = [
+        p["eventTime"].get("watermark")
+        for p in q.recentProgress
+        if p["eventTime"].get("watermark")
+    ]
+    assert any(m.startswith("2026-01-01T13:30") for m in marks), marks
+    rows = spark.sql("select * from latecounts").collect()
+    keys = {r["src_key"] for r in rows} | {r["dst_key"] for r in rows}
+    assert any("conv:c1" in k for k in keys)
+    # only windows whose end <= watermark are emitted in append mode:
+    # c1's 14:00 turn sits in [14:00, 15:00), past the 13:30 watermark
+    ends = {r["window_end"].isoformat() for r in rows}
+    assert all(e <= "2026-01-01T13:30:00" for e in ends), ends
+
+
+def test_stateful_tool_transitions(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "in")
+    t = _write_batches(spark, src, n_batches=2)
+    stream = read_transcript_stream(spark, src)
+    q = (
+        tool_transitions_stream(stream)
+        .writeStream.format("memory")
+        .queryName("transitions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select src_key, dst_key, count(*) n from transitions group by 1,2"
+    )
+    # batch oracle: lag over (conv_id, turn_idx)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    want = (
+        t.filter(F.col("tool").isNotNull())
+        .withColumn("prev", F.lag("tool").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.concat(F.lit("tool:"), F.col("prev")).alias("a"),
+            F.concat(F.lit("tool:"), F.col("tool")).alias("b"),
+        )
+        .select(F.least("a", "b").alias("src_key"), F.greatest("a", "b").alias("dst_key"))
+        .groupBy("src_key", "dst_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_incremental_degrees(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "in")
+    state = os.path.join(str(tmp_path), "state")
+    cp = os.path.join(str(tmp_path), "cp")
+    t = _write_batches(spark, src)
+    stream = read_transcript_stream(spark, src)
+    q = incremental_degrees(turn_pairs_stream(stream), state, cp).start()
+    q.awaitTermination(120)
+    got = {r["key"]: r["deg"] for r in read_degrees(spark, state).collect()}
+    assert len(got) > 0
+    # degree of each key == its appearances across all pairs (batch oracle)
+    conv = F.concat(F.lit("conv:"), F.col("conv_id"))
+    pairs = (
+        t.select(conv.alias("a"), F.concat(F.lit("role:"), F.col("role")).alias("b"))
+        .unionByName(
+            t.filter(F.col("tool").isNotNull()).select(
+                conv.alias("a"), F.concat(F.lit("tool:"), F.col("tool")).alias("b")
+            )
+        )
+    )
+    want = {
+        r["key"]: r["deg"]
+        for r in pairs.select(F.col("a").alias("key"))
+        .unionByName(pairs.select(F.col("b").alias("key")))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_apply_events(spark):
+    g = from_edge_rows(spark, [(0, 1), (1, 2)])
+    ev = spark.createDataFrame(
+        [
+            ("NODE_ADD", 3, None, None),
+            ("EDGE_ADD", 2, 3, 2.0),
+            ("EDGE_REMOVE", 0, 1, None),
+            ("EDGE_WEIGHT_UPDATE", 1, 2, 5.0),
+        ],
+        EVENT_SCHEMA,
+    )
+    g2 = apply_events(g, ev)
+    assert g2.num_nodes() == 4
+    edges = {(r["src"], r["dst"]): r["weight"] for r in g2.edges.collect()}
+    assert (0, 1) not in edges and (1, 0) not in edges
+    assert edges[(2, 3)] == 2.0 and edges[(3, 2)] == 2.0
+    assert edges[(1, 2)] == 5.0 and edges[(2, 1)] == 5.0
+
+
+def test_incremental_cc_merge(spark):
+    from networkit_spark.operators.components import connected_components
+
+    g = from_edge_rows(spark, [(0, 1), (2, 3)], num_nodes=4)
+    labels0 = connected_components(g)
+    ev = spark.createDataFrame([("EDGE_ADD", 1, 2, 1.0)], EVENT_SCHEMA)
+    g2 = apply_events(g, ev)
+    added = spark.createDataFrame([(1, 2)], "src long, dst long")
+    labels1 = update_components_incremental(g2, labels0, added)
+    got = {r["id"]: r["label"] for r in labels1.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+    # matches a from-scratch recompute
+    fresh = {r["id"]: r["label"] for r in connected_components(g2).collect()}
+    assert got == fresh
