@@ -57,11 +57,16 @@ def main() -> None:
     g = Graph(vertices.select("id"), edges).with_cached_degrees()
     directed_edges = g.edges.count()
 
+    # fixed superstep count: the metric is steady-state per-superstep
+    # throughput; convergence-to-1e-6 superstep counts are data/scale
+    # dependent (absolute L2 tol tightens per-vertex as n grows) and can
+    # collapse to 1-2 samples, so throughput is sampled over a pinned loop
+    n_steps = int(os.environ.get("SPARK_GRAFT_BENCH_STEPS", "10"))
     cp = CheckpointManager(tempfile.mkdtemp(prefix="bench-cp-"), durable=False)
     t0 = time.time()
-    pagerank(g, tol=1e-6, checkpoint=cp)
+    pagerank(g, tol=0.0, max_iterations=n_steps, checkpoint=cp)
     timings["pagerank_synth_total"] = round(time.time() - t0, 3)
-    walls = [m["wall_ms"] / 1000.0 for m in cp._metrics if m["algo"] == "pagerank"]
+    walls = [m["wall_ms"] / 1000.0 for m in cp.history if m["algo"] == "pagerank"]
     supersteps = len(walls)
     steady = walls[1:] if len(walls) > 1 else walls
     med = statistics.median(steady)

@@ -62,20 +62,55 @@ def transcript_edge_keys(transcripts: DataFrame) -> DataFrame:
 
 def mint_dense_ids(keys: DataFrame, key_col: str = "key", partitions: int | None = None) -> DataFrame:
     """Dictionary DF (id: long, <key_col>: string) — dense 0-based ids in
-    lexicographic key order, deterministically.
+    lexicographic key order, deterministically, at any scale.
 
-    Scale path: range-partition the sorted keys, number rows within each
-    partition, then add cumulative offsets (one tiny count-per-partition
-    collect). Equivalent to ``row_number() over (order by key) - 1`` without
-    the single-reducer global window.
+    Equivalent to ``row_number() over (order by key) - 1`` without the
+    single-reducer global window. The range boundaries are NOT taken from
+    Spark's range partitioner (its reservoir sample depends on shuffle
+    fetch order, so recomputations can shift boundaries between the
+    offset-collect job and downstream jobs — minting colliding ids; this
+    bit at 2M+ keys). Instead:
+
+    1. deterministic sample: keys with ``xxhash64(key) % rate == 0`` —
+       a pure function of the key set, ~64 samples per target partition;
+    2. boundaries = every k-th sorted sample (driver-side, tiny);
+    3. bucket(key) = #boundaries < key (broadcast array + filter expr);
+    4. row_number within bucket ordered by key; per-bucket counts ->
+       cumulative offsets (one B-row collect); id = offset + rn - 1.
+
+    Every step is a pure function of the key set, so the mapping is
+    identical across recomputations, parallelism levels, and cluster sizes.
     """
     distinct = keys.select(key_col).distinct()
-    if partitions is not None:
-        distinct = distinct.repartitionByRange(partitions, key_col)
-    else:
-        distinct = distinct.repartitionByRange(key_col)
+    total = distinct.count()
+    if total == 0:
+        return distinct.select(F.lit(0).cast("long").alias("id"), F.col(key_col))
+    if partitions is None:
+        sess = keys.sparkSession
+        partitions = max(1, min(int(sess.conf.get("spark.sql.shuffle.partitions")),
+                                total // 4096 + 1))
 
-    df = distinct.withColumn("pid", F.spark_partition_id()).withColumn(
+    if partitions > 1:
+        # deterministic ~64-samples-per-partition hash sample
+        rate = max(1, total // (64 * partitions))
+        sample = sorted(
+            r[0]
+            for r in distinct.filter(
+                F.pmod(F.xxhash64(F.col(key_col)), F.lit(rate)) == 0
+            ).collect()
+        )
+        step = max(1, len(sample) // partitions)
+        boundaries = sample[step::step][: partitions - 1]
+    else:
+        boundaries = []
+
+    if boundaries:
+        barr = F.array(*[F.lit(b) for b in boundaries])
+        bucket = F.size(F.filter(barr, lambda b: b <= F.col(key_col)))
+    else:
+        bucket = F.lit(0)
+
+    df = distinct.withColumn("pid", bucket).withColumn(
         "rn",
         F.row_number().over(Window.partitionBy("pid").orderBy(key_col)) - 1,
     )

@@ -47,6 +47,7 @@ def pagerank(
     resume: bool = False,
     impl: str = "expr",
     num_blocks: int | None = None,
+    broadcast_scores: bool | None = None,
 ) -> DataFrame:
     """Return scores(id: long, score: double), sum-normalized.
 
@@ -58,6 +59,13 @@ def pagerank(
     whole-stage codegen); ``impl="csr"`` runs the north star's CSR-block
     gather-scatter (networkit_spark.blocks) — same fixed point, asserted
     equal to 1e-12 by tests/test_csr_blocks.py.
+
+    ``broadcast_scores`` hints the per-superstep edges⋈scores join to
+    broadcast the (vertex-sized) score vector — the checkpointed score DF
+    has no stats, so Catalyst can't pick this itself. None = auto: broadcast
+    when n <= 2M (a ~50 MB broadcast; entity vertex sets are orders of
+    magnitude smaller than the edge table they join). With broadcast, the
+    only per-superstep shuffle is the partial+final dst aggregation.
     """
     spark = graph.vertices.sparkSession
     n = graph.num_nodes()
@@ -87,11 +95,15 @@ def pagerank(
             num_blocks = int(spark.conf.get("spark.sql.shuffle.partitions"))
         csr = CsrBlocks.build(out, num_blocks, val_col="frac")
 
+    if broadcast_scores is None:
+        broadcast_scores = n <= 2_000_000
+
     it0 = 0
     if resume and checkpoint is not None:
         last = checkpoint.latest_complete_iteration("pagerank")
         if last is not None:
-            scores = checkpoint.load_state(spark, "pagerank", last)
+            # durable snapshots persist the full step (id, score[, old])
+            scores = checkpoint.load_state(spark, "pagerank", last).select("id", "score")
             it0 = last
         else:
             scores = graph.vertices.select("id", F.lit(1.0 / n).alias("score"))
@@ -110,35 +122,36 @@ def pagerank(
                 scores.select(F.col("id").alias("src"), F.col("score").alias("value"))
             ).withColumnRenamed("id", "dst")
         else:
+            sc = scores.withColumnRenamed("id", "src")
+            if broadcast_scores:
+                sc = F.broadcast(sc)
             msgs = (
-                out.join(scores.withColumnRenamed("id", "src"), "src")
+                out.join(sc, "src")
                 .groupBy("dst")
                 .agg(F.sum(F.col("score") * F.col("frac")).alias("mass"))
             )
-        new = (
-            graph.vertices.select("id")
+        # scores is vertex-complete, so it IS the vertex list: one left join
+        # builds the new vector AND carries the old score, making the
+        # convergence check a scan of the materialized step (no extra join)
+        step = (
+            scores.withColumnRenamed("score", "old")
             .join(msgs.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
                 (F.lit(teleport) + F.lit(damp) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
                     "score"
                 ),
+                "old",
             )
         )
-        new = state.advance(iteration, new)
+        step = state.advance(iteration, step)
 
-        diff = F.col("new.score") - F.col("old.score")
-        delta_expr = (
-            F.sum(diff * diff) if norm == "l2" else F.sum(F.abs(diff))
-        )
-        delta = (
-            new.alias("new")
-            .join(scores.alias("old"), "id")
-            .agg(delta_expr.alias("d"))
-            .first()["d"]
-        ) or 0.0
+        diff = F.col("score") - F.col("old")
+        delta_expr = F.sum(diff * diff) if norm == "l2" else F.sum(F.abs(diff))
+        delta = step.agg(delta_expr.alias("d")).first()["d"] or 0.0
         if norm == "l2":
             delta = math.sqrt(delta)
+        new = step.select("id", "score")
 
         if checkpoint is not None:
             checkpoint.record(

@@ -42,6 +42,9 @@ class CheckpointManager:
         self.durable = durable
         self.interval = max(1, interval)
         self._metrics: list[dict] = []
+        # full in-memory history; unlike _metrics it survives flush_metrics
+        # (the bench harness reads per-iteration walls from here)
+        self.history: list[dict] = []
 
     # ---- paths -----------------------------------------------------------
     def _iter_dir(self, algo: str, i: int) -> str:
@@ -90,15 +93,15 @@ class CheckpointManager:
 
     # ---- metrics ---------------------------------------------------------
     def record(self, algo: str, iteration: int, **kv) -> None:
-        self._metrics.append(
-            {
-                "run_id": self.run_id,
-                "algo": algo,
-                "iteration": iteration,
-                "ts": time.time(),
-                **kv,
-            }
-        )
+        row = {
+            "run_id": self.run_id,
+            "algo": algo,
+            "iteration": iteration,
+            "ts": time.time(),
+            **kv,
+        }
+        self._metrics.append(row)
+        self.history.append(row)
 
     def flush_metrics(self, spark: SparkSession) -> None:
         if not self._metrics:

@@ -49,7 +49,7 @@ def main() -> None:
     pagerank(g, tol=0.0, max_iterations=args.iters, checkpoint=cp)
     total = time.time() - t0
 
-    walls = [m["wall_ms"] / 1000.0 for m in cp._metrics if m["algo"] == "pagerank"]
+    walls = [m["wall_ms"] / 1000.0 for m in cp.history if m["algo"] == "pagerank"]
     steady = walls[1:] if len(walls) > 1 else walls
     med = statistics.median(steady)
     out = {
