@@ -200,6 +200,20 @@ def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plm(g).select("id", "label")
 
 
+def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.linkprediction import link_prediction_scores
+
+    g, _ = L.events_graph(spark, sf_dir)
+    s = link_prediction_scores(g)
+    return s.select(
+        "u", "v", "cn",
+        F.round("aa", 6).alias("aa"),
+        F.round("ra", 6).alias("ra"),
+        F.round("jaccard", 6).alias("jaccard"),
+        "pa", "tn",
+    )
+
+
 # ---- community measures over the LP partition ------------------------------
 
 
@@ -368,6 +382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_bfs": q_graph_bfs,
     "graph_sssp": q_graph_sssp,
     "graph_core_decomposition": q_graph_core_decomposition,
+    "graph_linkpred": q_graph_linkpred,
     "graph_plm": q_graph_plm,
     "community_coverage": q_community_coverage,
     "community_edgecut": q_community_edgecut,
@@ -411,6 +426,7 @@ def build_oracles() -> dict[str, str]:
         "centrality_eigenvector": L.sql_eigenvector(EIG_ITERS),
         "centrality_katz": L.sql_katz(KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
         "graph_bfs": L.sql_bfs(BFS_ITERS),
+        "graph_linkpred": L.sql_linkpred(),
         "graph_sssp": L.sql_sssp(SSSP_ITERS),
         # graph_core_decomposition / graph_plm / gen_rmat_degree_hist:
         # intentionally no oracle (data-dependent iteration counts /

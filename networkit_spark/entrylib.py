@@ -834,3 +834,43 @@ SELECT ROUND(
     CAST(SUM(CASE WHEN c.cand IS NULL OR c.cand = l.label THEN 1 ELSE 0 END) AS DOUBLE)
     / count(*), 6) + 0.0 AS stable_fraction
 FROM {last} l LEFT JOIN cand c ON c.id = l.id"""
+
+
+def sql_linkpred() -> str:
+    """All-index link prediction over 2-hop non-adjacent pairs (matches
+    operators/linkprediction.py)."""
+    return _with_graph(
+        """simple2 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+und2 AS MATERIALIZED (SELECT a, b FROM simple2 UNION ALL SELECT b, a FROM simple2),
+sdeg AS (SELECT a AS id, count(*) AS deg FROM und2 GROUP BY a),
+wedges AS (
+    SELECT uw.b AS u, wv.b AS v, uw.a AS w
+    FROM und2 uw JOIN und2 wv ON uw.a = wv.a AND uw.b < wv.b
+),
+overlap AS (
+    SELECT w2.u, w2.v,
+           CAST(count(*) AS BIGINT) AS cn,
+           SUM(1.0 / ln(dw.deg)) AS aa,
+           SUM(1.0 / dw.deg) AS ra
+    FROM wedges w2 JOIN sdeg dw ON dw.id = w2.w
+    GROUP BY w2.u, w2.v
+),
+cand AS (
+    SELECT o.* FROM overlap o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM simple2 s WHERE s.a = o.u AND s.b = o.v
+    )
+)
+SELECT c.u, c.v, c.cn, ROUND(c.aa, 6) AS aa, ROUND(c.ra, 6) AS ra,
+       ROUND(CAST(c.cn AS DOUBLE) / (du.deg + dv.deg - c.cn), 6) AS jaccard,
+       CAST(du.deg * dv.deg AS BIGINT) AS pa,
+       CAST(du.deg + dv.deg - c.cn AS BIGINT) AS tn
+FROM cand c
+JOIN sdeg du ON du.id = c.u
+JOIN sdeg dv ON dv.id = c.v
+WHERE c.cn >= 1
+ORDER BY c.u, c.v"""
+    )

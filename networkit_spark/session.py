@@ -37,6 +37,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # default skew threshold (256 MB) never fires on hub-entity
+        # partitions that are 10-40x the median but < 256 MB; a hub key
+        # holding 2M of 43M edge rows is ~80 MB
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # iterative supersteps re-join cached tables every round: the
+        # sort-merge sort of the big side repeats per iteration, while a
+        # shuffled-hash probe streams it (measured 6.6s vs 7.6s and the
+        # gap widens with edge count)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # iterative algorithms re-join small score/label tables every

@@ -22,15 +22,12 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
-    from pyspark.sql import SparkSession
+    from networkit_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.appName(f"bench-scaling-{args.cores}")
-        .config("spark.sql.shuffle.partitions", str(2 * args.cores))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    # same conf surface as the engine's session factory (AQE + skew
+    # thresholds + SHJ preference), so the scaling run measures the
+    # production plan shape
+    spark = get_spark(f"bench-scaling-{args.cores}", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
 
     from networkit_spark.edges import derive_edges
