@@ -148,11 +148,12 @@ def derive_edges(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     dict_a = vertices.withColumnRenamed("key", "src_key").withColumnRenamed("id", "src")
     dict_b = vertices.withColumnRenamed("key", "dst_key").withColumnRenamed("id", "dst")
-    # the dictionary is tiny relative to edges at any scale where this
-    # matters (entities << turns): broadcast both joins
+    # no forced broadcast: the dictionary is vertex-sized (one row per
+    # entity) — usually small relative to edges but unbounded; AQE promotes
+    # the join to broadcast-hash at runtime when the dictionary fits
     half = (
-        pairs.join(F.broadcast(dict_a), "src_key")
-        .join(F.broadcast(dict_b), "dst_key")
+        pairs.join(dict_a, "src_key")
+        .join(dict_b, "dst_key")
         .select("src", "dst", "weight")
     )
     sym = half.unionByName(

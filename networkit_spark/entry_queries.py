@@ -36,6 +36,13 @@ KATZ_ALPHA = 0.05
 KATZ_BETA = 0.1
 BFS_ITERS = 15
 SSSP_ITERS = 15
+# hub-hinge cap for link prediction (mirrored in sql_linkpred): hinges with
+# degree above this are dropped, bounding the wedge join at Σ min(deg,cap)².
+# The sf0.01 events graph is hub-dominated (5 etype hubs at deg 154, users at
+# deg 5), so any binding cap there empties the result; the gate runs the cap
+# code path non-bindingly and tests/test_linkprediction.py exercises a
+# binding cap on a hub fixture.
+LINKPRED_HINGE_CAP = 10_000
 
 
 # ---- graph family ---------------------------------------------------------
@@ -204,7 +211,7 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.linkprediction import link_prediction_scores
 
     g, _ = L.events_graph(spark, sf_dir)
-    s = link_prediction_scores(g)
+    s = link_prediction_scores(g, max_hinge_degree=LINKPRED_HINGE_CAP)
     return s.select(
         "u", "v", "cn",
         F.round("aa", 6).alias("aa"),
@@ -426,7 +433,7 @@ def build_oracles() -> dict[str, str]:
         "centrality_eigenvector": L.sql_eigenvector(EIG_ITERS),
         "centrality_katz": L.sql_katz(KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
         "graph_bfs": L.sql_bfs(BFS_ITERS),
-        "graph_linkpred": L.sql_linkpred(),
+        "graph_linkpred": L.sql_linkpred(LINKPRED_HINGE_CAP),
         "graph_sssp": L.sql_sssp(SSSP_ITERS),
         # graph_core_decomposition / graph_plm / gen_rmat_degree_hist:
         # intentionally no oracle (data-dependent iteration counts /

@@ -64,8 +64,8 @@ def events_graph(spark: SparkSession, sf_dir: str) -> tuple[Graph, DataFrame]:
     da = vertices.withColumnRenamed("key", "src_key").withColumnRenamed("id", "src")
     db = vertices.withColumnRenamed("key", "dst_key").withColumnRenamed("id", "dst")
     half = (
-        pairs.join(F.broadcast(da), "src_key")
-        .join(F.broadcast(db), "dst_key")
+        pairs.join(da, "src_key")
+        .join(db, "dst_key")
         .select("src", "dst", F.col("weight").cast("float").alias("weight"))
     )
     sym = half.unionByName(
@@ -324,7 +324,9 @@ cdict AS MATERIALIZED (
     FROM (SELECT DISTINCT label FROM {last})
 ),
 contracted AS (
-    SELECT ca.cid AS src, cb.cid AS dst, SUM(e.weight) AS w
+    SELECT ca.cid AS src, cb.cid AS dst,
+           SUM(CASE WHEN e.src = e.dst THEN e.weight ELSE 0 END) AS loop_w,
+           SUM(CASE WHEN e.src <> e.dst THEN e.weight ELSE 0 END) AS nl_w
     FROM edges e
     JOIN {last} la ON la.id = e.src
     JOIN {last} lb ON lb.id = e.dst
@@ -333,7 +335,7 @@ contracted AS (
     GROUP BY ca.cid, cb.cid
 )
 SELECT src, dst,
-       CAST(CASE WHEN src = dst THEN w / 2 ELSE w END AS DOUBLE) AS weight
+       CAST(CASE WHEN src = dst THEN loop_w + nl_w / 2 ELSE nl_w END AS DOUBLE) AS weight
 FROM contracted ORDER BY src, dst"""
 
 
@@ -836,11 +838,16 @@ SELECT ROUND(
 FROM {last} l LEFT JOIN cand c ON c.id = l.id"""
 
 
-def sql_linkpred() -> str:
+def sql_linkpred(max_hinge_degree: int | None = None) -> str:
     """All-index link prediction over 2-hop non-adjacent pairs (matches
-    operators/linkprediction.py)."""
+    operators/linkprediction.py, including the hub-hinge cap)."""
+    hinge_cap = (
+        f"JOIN sdeg dh ON dh.id = uw.a AND dh.deg <= {max_hinge_degree}"
+        if max_hinge_degree is not None
+        else ""
+    )
     return _with_graph(
-        """simple2 AS MATERIALIZED (
+        f"""simple2 AS MATERIALIZED (
     SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
     FROM edges WHERE src <> dst
 ),
@@ -849,6 +856,7 @@ sdeg AS (SELECT a AS id, count(*) AS deg FROM und2 GROUP BY a),
 wedges AS (
     SELECT uw.b AS u, wv.b AS v, uw.a AS w
     FROM und2 uw JOIN und2 wv ON uw.a = wv.a AND uw.b < wv.b
+    {hinge_cap}
 ),
 overlap AS (
     SELECT w2.u, w2.v,

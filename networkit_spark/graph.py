@@ -189,8 +189,9 @@ class Graph:
             "key", F.format_string("%019d:%019d", "src", "dst")
         )
         ids = mint_dense_ids(keyed.select("key"), "key")
+        # edge-id dictionary is EDGE-sized — never force-broadcast it
         return (
-            keyed.join(F.broadcast(ids), "key")
+            keyed.join(ids, "key")
             .select("src", "dst", "weight", F.col("id").alias("edge_id"))
         )
 

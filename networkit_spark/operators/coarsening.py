@@ -38,34 +38,56 @@ def coarsen(graph: Graph, labels: DataFrame) -> tuple[Graph, DataFrame]:
     dict_df = mint_dense_ids(
         labels.select(F.col("label").alias("key")), "key"
     ).withColumnRenamed("id", "coarse_id")
+    # label-count-sized dictionary: often small, but a near-singleton
+    # partition makes it vertex-sized — no forced broadcast, AQE decides
     fine_to_coarse = labels.join(
-        F.broadcast(dict_df), labels["label"] == dict_df["key"]
+        dict_df, labels["label"] == dict_df["key"]
     ).select("id", "coarse_id")
 
     le = _labeled_edges(graph, labels)
-    cmap_s = F.broadcast(dict_df).withColumnRenamed("key", "slabel").withColumnRenamed(
+    cmap_s = dict_df.withColumnRenamed("key", "slabel").withColumnRenamed(
         "coarse_id", "csrc"
     )
-    cmap_d = F.broadcast(dict_df).withColumnRenamed("key", "dlabel").withColumnRenamed(
+    cmap_d = dict_df.withColumnRenamed("key", "dlabel").withColumnRenamed(
         "coarse_id", "cdst"
     )
     contracted = (
         le.join(cmap_s, "slabel")
         .join(cmap_d, "dlabel")
-        .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
-        .agg(F.sum(F.col("weight").cast("double")).alias("w"))
+        .select(
+            F.col("csrc").alias("src"),
+            F.col("cdst").alias("dst"),
+            # fine self-loops are stored ONCE in the symmetric table while
+            # non-loop edges appear twice — track the two contributions
+            # separately so the coarse loop weight is loop_w + nonloop_w/2
+            # (ParallelPartitionCoarsening.cpp:40-49: intra edges counted
+            # once via the u >= v guard, self-loops once)
+            F.when(F.col("src") == F.col("dst"), F.col("weight").cast("double"))
+            .otherwise(0.0)
+            .alias("loop_w"),
+            F.when(F.col("src") != F.col("dst"), F.col("weight").cast("double"))
+            .otherwise(0.0)
+            .alias("nl_w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("loop_w").alias("loop_w"), F.sum("nl_w").alias("nl_w"))
     )
     if not graph.directed:
-        # the symmetric fine table contracts to a symmetric coarse table,
-        # but intra-part non-loop edges arrive twice onto the (c,c) loop;
-        # reference stores the contracted self-loop once with the summed
-        # weight of BOTH directions halved (each undirected edge once)
+        # a fine self-loop always lands on a coarse (c, c) pair, so loop_w
+        # is zero on off-diagonal coarse edges
         contracted = contracted.select(
             "src",
             "dst",
-            F.when(F.col("src") == F.col("dst"), F.col("w") / 2)
-            .otherwise(F.col("w"))
+            F.when(
+                F.col("src") == F.col("dst"),
+                F.col("loop_w") + F.col("nl_w") / 2,
+            )
+            .otherwise(F.col("nl_w"))
             .alias("w"),
+        )
+    else:
+        contracted = contracted.select(
+            "src", "dst", (F.col("loop_w") + F.col("nl_w")).alias("w")
         )
     edges = contracted.select(
         "src", "dst", F.col("w").cast("float").alias("weight")
@@ -206,4 +228,4 @@ def partition_intersection(a: DataFrame, b: DataFrame) -> DataFrame:
         .withColumn("key", F.format_string("%019d:%019d", "la", "lb"))
     )
     ids = mint_dense_ids(joined.select("key"), "key").withColumnRenamed("id", "label")
-    return joined.join(F.broadcast(ids), "key").select("id", "label")
+    return joined.join(ids, "key").select("id", "label")

@@ -144,6 +144,8 @@ def canonicalize_labels(labels: DataFrame) -> DataFrame:
     """Relabel each group to its min member id — the comparison
     canonicalization used by the pytest oracles (FIXTURES.md §3)."""
     m = labels.groupBy("label").agg(F.min("id").alias("canon"))
-    return labels.join(F.broadcast(m), "label").select(
+    # m is label-count-sized (vertex-sized for a singleton partition):
+    # let AQE pick broadcast when it fits
+    return labels.join(m, "label").select(
         "id", F.col("canon").alias("label")
     )

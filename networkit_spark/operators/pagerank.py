@@ -63,8 +63,8 @@ def pagerank(
     ``broadcast_scores`` hints the per-superstep edges⋈scores join to
     broadcast the (vertex-sized) score vector — the checkpointed score DF
     has no stats, so Catalyst can't pick this itself. None = auto: broadcast
-    when n <= 2M (a ~50 MB broadcast; entity vertex sets are orders of
-    magnitude smaller than the edge table they join). With broadcast, the
+    when n <= 4M (a ~100 MB broadcast ceiling; entity vertex sets are orders
+    of magnitude smaller than the edge table they join). With broadcast, the
     only per-superstep shuffle is the partial+final dst aggregation.
     """
     spark = graph.vertices.sparkSession

@@ -39,10 +39,13 @@ def _oriented(graph: Graph) -> DataFrame:
         .distinct()
     )
     deg = g.degrees().select("id", "degree")
+    # no forced broadcast: the degree table is vertex-sized (10^9+ rows at
+    # target scale, a guaranteed OOM if hinted); AQE's runtime size stats
+    # pick broadcast-hash automatically whenever it actually fits
     e = (
-        edges.join(F.broadcast(deg).withColumnRenamed("id", "src"), "src")
+        edges.join(deg.withColumnRenamed("id", "src"), "src")
         .withColumnRenamed("degree", "sdeg")
-        .join(F.broadcast(deg).withColumnRenamed("id", "dst"), "dst")
+        .join(deg.withColumnRenamed("id", "dst"), "dst")
         .withColumnRenamed("degree", "ddeg")
     )
     keep = (F.col("sdeg") > F.col("ddeg")) | (

@@ -17,10 +17,37 @@ benchmark sweep exercises) without a sequential dependency.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import EDGE_SCHEMA, Graph
+
+
+def _distinct_to_target(draw_fn, m_target: int, overdraw: float, max_overdraw: float = 64.0):
+    """Overdraw-with-retry: ``draw_fn(m_draw)`` must return a DataFrame of
+    candidate distinct edges with a ``first_draw`` ordering column, as a pure
+    function of the draw index — so enlarging the draw range only APPENDS
+    candidates and the first ``m_target`` in draw order are stable across
+    retries. Doubles the overdraw factor until the target edge count exists
+    (dense G(n,p) / heavily skewed RMAT quadrants can exceed any fixed
+    factor); raises if ``max_overdraw`` still falls short."""
+    factor = overdraw
+    while True:
+        got = draw_fn(int(m_target * factor)).limit(m_target)
+        n_got = got.count()
+        if n_got >= m_target:
+            return got
+        if factor >= max_overdraw:
+            raise ValueError(
+                f"generator exhausted: {n_got}/{m_target} distinct edges at "
+                f"overdraw {factor}x — graph too dense for the requested m"
+            )
+        warnings.warn(
+            f"generator redraw: {n_got}/{m_target} distinct at {factor}x, doubling"
+        )
+        factor *= 2
 
 
 def _u01(seed: int, *cols) -> F.Column:
@@ -47,25 +74,26 @@ def rmat(
     column expressions."""
     n = 1 << scale
     m_target = n * edge_factor
-    m_draw = int(m_target * overdraw)
     ab, abc = a + b, a + b + c
 
-    e = spark.range(m_draw).select(F.col("id").alias("i"))
-    src = F.lit(0).cast("long")
-    dst = F.lit(0).cast("long")
-    for level in range(scale):
-        u = _u01(seed * 1_000_003 + level, "i")
-        src_bit = (u >= ab).cast("long")
-        dst_bit = ((u >= abc) | ((u >= a) & (u < ab))).cast("long")
-        src = src * 2 + src_bit
-        dst = dst * 2 + dst_bit
-    drawn = e.select("i", src.alias("src"), dst.alias("dst"))
+    def drawn_df(m_draw: int) -> DataFrame:
+        e = spark.range(m_draw).select(F.col("id").alias("i"))
+        src = F.lit(0).cast("long")
+        dst = F.lit(0).cast("long")
+        for level in range(scale):
+            u = _u01(seed * 1_000_003 + level, "i")
+            src_bit = (u >= ab).cast("long")
+            dst_bit = ((u >= abc) | ((u >= a) & (u < ab))).cast("long")
+            src = src * 2 + src_bit
+            dst = dst * 2 + dst_bit
+        return e.select("i", src.alias("src"), dst.alias("dst"))
 
     if weighted:
         # weighted path accumulates duplicate draws via increaseWeight
         # (RmatGenerator.cpp:107-111): weight = multiplicity
         half = (
-            drawn.filter(F.col("src") != F.col("dst"))
+            drawn_df(int(m_target * overdraw))
+            .filter(F.col("src") != F.col("dst"))
             .select(
                 F.least("src", "dst").alias("src"),
                 F.greatest("src", "dst").alias("dst"),
@@ -74,20 +102,24 @@ def rmat(
             .agg(F.count(F.lit(1)).cast("float").alias("weight"))
         )
     else:
-        # distinct edges in draw order, truncated to the target count
-        half = (
-            drawn.filter(F.col("src") != F.col("dst"))
-            .select(
-                "i",
-                F.least("src", "dst").alias("src"),
-                F.greatest("src", "dst").alias("dst"),
-            )
-            .groupBy("src", "dst")
-            .agg(F.min("i").alias("first_draw"))
-            .orderBy("first_draw")
-            .limit(m_target)
-            .select("src", "dst", F.lit(1.0).cast("float").alias("weight"))
-        )
+        # distinct edges in draw order, truncated to the target count;
+        # redraw with a larger factor if duplicates ate the overdraw
+        half = _distinct_to_target(
+            lambda m: (
+                drawn_df(m)
+                .filter(F.col("src") != F.col("dst"))
+                .select(
+                    "i",
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                )
+                .groupBy("src", "dst")
+                .agg(F.min("i").alias("first_draw"))
+                .orderBy("first_draw")
+            ),
+            m_target,
+            overdraw,
+        ).select("src", "dst", F.lit(1.0).cast("float").alias("weight"))
 
     sym = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
@@ -104,24 +136,22 @@ def erdos_renyi(
     sequential; fixed-m hashing gives the same degree statistics
     distributively). Each edge index hashes to a uniform (u, v) pair."""
     m = int(round(p * n * (n - 1) / (1 if directed else 2)))
-    e = spark.range(int(m * 1.5) + 16).select(F.col("id").alias("i"))
-    u = (F.abs(F.xxhash64(F.lit(seed), "i", F.lit(0))) % n).cast("long")
-    v = (F.abs(F.xxhash64(F.lit(seed), "i", F.lit(1))) % n).cast("long")
-    drawn = e.select("i", u.alias("u"), v.alias("v")).filter(F.col("u") != F.col("v"))
-    if not directed:
-        drawn = drawn.select(
-            "i", F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
-        )
-    half = (
-        drawn.groupBy("u", "v")
-        .agg(F.min("i").alias("first_draw"))
-        .orderBy("first_draw")
-        .limit(m)
-        .select(
-            F.col("u").alias("src"),
-            F.col("v").alias("dst"),
-            F.lit(1.0).cast("float").alias("weight"),
-        )
+
+    def drawn_df(m_draw: int) -> DataFrame:
+        e = spark.range(m_draw + 16).select(F.col("id").alias("i"))
+        u = (F.abs(F.xxhash64(F.lit(seed), "i", F.lit(0))) % n).cast("long")
+        v = (F.abs(F.xxhash64(F.lit(seed), "i", F.lit(1))) % n).cast("long")
+        d = e.select("i", u.alias("u"), v.alias("v")).filter(F.col("u") != F.col("v"))
+        if not directed:
+            d = d.select(
+                "i", F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+            )
+        return d.groupBy("u", "v").agg(F.min("i").alias("first_draw")).orderBy("first_draw")
+
+    half = _distinct_to_target(drawn_df, m, overdraw=1.5).select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        F.lit(1.0).cast("float").alias("weight"),
     )
     edges = half if directed else half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")

@@ -74,13 +74,15 @@ def read_edge_list(
             keyed.select(F.col("dk").alias("key"))
         )
         ids = mint_dense_ids(keys)
+        # no forced broadcast: large non-continuous inputs are exactly the
+        # case where the minted dictionary is huge; AQE decides at runtime
         half = (
             keyed.join(
-                F.broadcast(ids.withColumnRenamed("key", "sk").withColumnRenamed("id", "src")),
+                ids.withColumnRenamed("key", "sk").withColumnRenamed("id", "src"),
                 "sk",
             )
             .join(
-                F.broadcast(ids.withColumnRenamed("key", "dk").withColumnRenamed("id", "dst")),
+                ids.withColumnRenamed("key", "dk").withColumnRenamed("id", "dst"),
                 "dk",
             )
             .select("src", "dst", "weight")

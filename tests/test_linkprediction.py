@@ -40,6 +40,31 @@ def test_excludes_existing_edges(spark):
         assert (min(u, v), max(u, v)) not in pairs
 
 
+def test_hinge_cap_drops_hub_wedges(spark):
+    # star hub 0 with leaves 1..5 plus a path 1-6-2: hub-mediated pairs
+    # exist only through hinge 0 (deg 5); pair (1,2) also closes via 6
+    star = [(0, i) for i in range(1, 6)] + [(1, 6), (6, 2)]
+    g = from_edge_rows(spark, star)
+    full = {(r["u"], r["v"]): r["cn"] for r in link_prediction_scores(g).collect()}
+    assert full[(1, 2)] == 2  # via hub 0 and via 6
+    capped = {
+        (r["u"], r["v"]): r["cn"]
+        for r in link_prediction_scores(g, max_hinge_degree=2).collect()
+    }
+    # hub 0 (deg 5) excluded as hinge: (1,2) keeps only its wedge through 6,
+    # (0,6) survives via low-degree hinges 1 and 2, and all hub-mediated
+    # leaf pairs (3,4),(3,5),... disappear
+    assert set(capped) == {(1, 2), (0, 6)}
+    assert capped[(1, 2)] == 1
+    assert capped[(0, 6)] == 2
+    # non-binding cap reproduces the exact result
+    uncapped_eq = {
+        (r["u"], r["v"]): r["cn"]
+        for r in link_prediction_scores(g, max_hinge_degree=100).collect()
+    }
+    assert uncapped_eq == full
+
+
 def test_topk_deterministic(spark):
     g = from_edge_rows(spark, EDGES)
     top = top_predicted_links(g, k=2, by="cn").collect()
