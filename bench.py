@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import tempfile
 import time
@@ -62,14 +61,15 @@ def main() -> None:
     # dependent (absolute L2 tol tightens per-vertex as n grows) and can
     # collapse to 1-2 samples, so throughput is sampled over a pinned loop
     n_steps = int(os.environ.get("SPARK_GRAFT_BENCH_STEPS", "10"))
-    cp = CheckpointManager(tempfile.mkdtemp(prefix="bench-cp-"), durable=False)
+    cp = CheckpointManager(
+        tempfile.mkdtemp(prefix="bench-cp-"), durable=False, interval=5
+    )
     t0 = time.time()
-    pagerank(g, tol=0.0, max_iterations=n_steps, checkpoint=cp)
+    pagerank(g, tol=0.0, max_iterations=n_steps, checkpoint=cp, broadcast_scores=False)
     timings["pagerank_synth_total"] = round(time.time() - t0, 3)
-    walls = [m["wall_ms"] / 1000.0 for m in cp.history if m["algo"] == "pagerank"]
-    supersteps = len(walls)
-    steady = walls[1:] if len(walls) > 1 else walls
-    med = statistics.median(steady)
+    from networkit_spark.plans.checkpoint import per_superstep_seconds
+
+    med, supersteps = per_superstep_seconds(cp.history, "pagerank")
     edges_per_sec = directed_edges / med if med > 0 else 0.0
 
     # ---- sf-dir queries (the driver-contract surface) ---------------------

@@ -36,6 +36,9 @@ KATZ_ALPHA = 0.05
 KATZ_BETA = 0.1
 BFS_ITERS = 15
 SSSP_ITERS = 15
+KCORE_ITERS = 16  # h-index rounds; fixed point reached well before this
+PLM_PINNED_SWEEPS = 3  # single-level Louvain move sweeps (oracle-unrolled)
+APSP_ITERS = 8  # all-pairs BFS depth bound (events-graph diameter << this)
 # hub-hinge cap for link prediction (mirrored in sql_linkpred): hinges with
 # degree above this are dropped, bounding the wedge join at Σ min(deg,cap)².
 # The sf0.01 events graph is hub-dominated (5 etype hubs at deg 154, users at
@@ -175,6 +178,38 @@ def q_centrality_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("id", F.round("score", 6).alias("score"))
 
 
+def q_centrality_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.betweenness import betweenness
+
+    g, _ = L.events_graph(spark, sf_dir)
+    s = betweenness(g, max_depth=APSP_ITERS)
+    return s.select("id", F.round("score", 6).alias("score"))
+
+
+def q_centrality_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distance import harmonic_closeness
+
+    g, _ = L.events_graph(spark, sf_dir)
+    s = harmonic_closeness(g)
+    return s.select("id", F.round("score", 6).alias("score"))
+
+
+def q_centrality_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distance import closeness
+
+    g, _ = L.events_graph(spark, sf_dir)
+    s = closeness(g, variant="standard")
+    return s.select("id", F.round("score", 6).alias("score"))
+
+
+def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distance import diameter_exact
+
+    g, _ = L.events_graph(spark, sf_dir)
+    d = diameter_exact(g)
+    return spark.createDataFrame([(d,)], "diameter bigint")
+
+
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.centrality import bfs_hops
 
@@ -191,12 +226,10 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle: the peel loop's iteration count is data-dependent
-    # (driver records the weaker rows-only check)
     from networkit_spark.operators.centrality import core_decomposition
 
     g, _ = L.events_graph(spark, sf_dir)
-    return core_decomposition(g).select("id", "core")
+    return core_decomposition(g, max_iterations=KCORE_ITERS).select("id", "core")
 
 
 def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,6 +238,13 @@ def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g, _ = L.events_graph(spark, sf_dir)
     return plm(g).select("id", "label")
+
+
+def q_graph_plm_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.louvain import plm_pinned
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return plm_pinned(g, sweeps=PLM_PINNED_SWEEPS).select("id", "label")
 
 
 def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,18 +301,47 @@ def q_community_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(s,)], "stable_fraction double")
 
 
-# ---- generators (deterministic; no SQL oracle — xxhash64 is Spark-side) ----
+# ---- generators ------------------------------------------------------------
+
+RMAT_SCALE = 10
+RMAT_EF = 8
 
 
-def q_gen_rmat_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_gen_rmat_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form invariants of the deterministic RMAT draw (the overdraw-
+    with-retry path guarantees EXACTLY n*edge_factor distinct undirected
+    edges): edge count, handshake degree sum = 2m, id-range containment.
+    The oracle is the literal expected row — the generator itself is
+    Spark-side xxhash64, so invariants are what SQL can check."""
     from networkit_spark.sources.generators import rmat
 
-    g = rmat(spark, scale=10, edge_factor=8, seed=42)
+    g = rmat(spark, scale=RMAT_SCALE, edge_factor=RMAT_EF, seed=42)
+    n = 1 << RMAT_SCALE
+    deg = g.degrees()
     return (
-        g.degrees()
-        .groupBy("degree")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-        .orderBy("degree")
+        deg.agg(
+            F.sum("degree").alias("degree_sum"),
+            F.count(F.lit(1)).alias("n_vertices"),
+        )
+        .crossJoin(
+            g.edges.agg(
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+                F.sum(
+                    (
+                        (F.col("src") < 0)
+                        | (F.col("src") >= n)
+                        | (F.col("dst") < 0)
+                        | (F.col("dst") >= n)
+                    ).cast("long")
+                ).alias("out_of_range"),
+            )
+        )
+        .select(
+            F.col("n_vertices").cast("bigint").alias("n_vertices"),
+            F.col("n_edges"),
+            F.col("degree_sum").cast("bigint").alias("degree_sum"),
+            F.col("out_of_range").cast("bigint").alias("out_of_range"),
+        )
     )
 
 
@@ -386,16 +455,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centrality_degree": q_centrality_degree,
     "centrality_eigenvector": q_centrality_eigenvector,
     "centrality_katz": q_centrality_katz,
+    "centrality_betweenness": q_centrality_betweenness,
+    "centrality_harmonic": q_centrality_harmonic,
+    "centrality_closeness": q_centrality_closeness,
+    "graph_diameter": q_graph_diameter,
     "graph_bfs": q_graph_bfs,
     "graph_sssp": q_graph_sssp,
     "graph_core_decomposition": q_graph_core_decomposition,
     "graph_linkpred": q_graph_linkpred,
     "graph_plm": q_graph_plm,
+    "graph_plm_pinned": q_graph_plm_pinned,
     "community_coverage": q_community_coverage,
     "community_edgecut": q_community_edgecut,
     "community_conductance": q_community_conductance,
     "community_stability": q_community_stability,
-    "gen_rmat_degree_hist": q_gen_rmat_degree_hist,
+    "gen_rmat_invariants": q_gen_rmat_invariants,
     "text_token_stats": q_token_stats,
     "text_quality": q_quality,
     "text_lang_id": q_lang_id,
@@ -432,12 +506,23 @@ def build_oracles() -> dict[str, str]:
         "centrality_degree": L.sql_degree_centrality(),
         "centrality_eigenvector": L.sql_eigenvector(EIG_ITERS),
         "centrality_katz": L.sql_katz(KATZ_ITERS, KATZ_ALPHA, KATZ_BETA),
+        "centrality_betweenness": L.sql_betweenness(APSP_ITERS),
+        "centrality_harmonic": L.sql_harmonic_closeness(APSP_ITERS),
+        "centrality_closeness": L.sql_closeness(APSP_ITERS),
+        "graph_diameter": L.sql_diameter(APSP_ITERS),
         "graph_bfs": L.sql_bfs(BFS_ITERS),
         "graph_linkpred": L.sql_linkpred(LINKPRED_HINGE_CAP),
         "graph_sssp": L.sql_sssp(SSSP_ITERS),
-        # graph_core_decomposition / graph_plm / gen_rmat_degree_hist:
-        # intentionally no oracle (data-dependent iteration counts /
-        # Spark-side hash) — driver records the rows-only check
+        "graph_core_decomposition": L.sql_core_decomposition(KCORE_ITERS),
+        "graph_plm_pinned": L.sql_plm_pinned(PLM_PINNED_SWEEPS),
+        # graph_plm stays oracle-free (free-running multilevel Louvain);
+        # graph_plm_pinned below carries the full unrolled-sweep oracle
+        "gen_rmat_invariants": (
+            f"SELECT CAST({1 << RMAT_SCALE} AS BIGINT) AS n_vertices, "
+            f"CAST({(1 << RMAT_SCALE) * RMAT_EF} AS BIGINT) AS n_edges, "
+            f"CAST({2 * (1 << RMAT_SCALE) * RMAT_EF} AS BIGINT) AS degree_sum, "
+            f"CAST(0 AS BIGINT) AS out_of_range"
+        ),
         "community_coverage": L.sql_coverage(LP_ITERS),
         "community_edgecut": L.sql_edgecut(LP_ITERS),
         "community_conductance": L.sql_conductance(LP_ITERS),

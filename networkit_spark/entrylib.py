@@ -838,6 +838,214 @@ SELECT ROUND(
 FROM {last} l LEFT JOIN cand c ON c.id = l.id"""
 
 
+def _apsp_ctes(iters: int) -> list[str]:
+    """All-pairs unweighted BFS, frontier-unrolled: ap{k}(s, v, dist) holds
+    every pair with true distance <= k (simple symmetric adjacency)."""
+    ctes = [
+        "uadj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "ap0 AS (SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist FROM vertices)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""apn{k} AS (
+    SELECT p.s, e.dst AS v, CAST({k} AS BIGINT) AS dist
+    FROM ap{k-1} p JOIN uadj e ON e.src = p.v
+    WHERE p.dist = {k-1}
+    GROUP BY p.s, e.dst
+),
+ap{k} AS MATERIALIZED (
+    SELECT s, v, dist FROM ap{k-1}
+    UNION ALL
+    SELECT n.s, n.v, n.dist FROM apn{k} n
+    WHERE NOT EXISTS (SELECT 1 FROM ap{k-1} o WHERE o.s = n.s AND o.v = n.v)
+)"""
+        )
+    return ctes
+
+
+def sql_harmonic_closeness(iters: int, normalized: bool = False) -> str:
+    scale = f" / ({'(SELECT count(*) FROM vertices) - 1'})" if normalized else ""
+    body = ", ".join(_apsp_ctes(iters)) + f""",
+hsc AS (
+    SELECT s AS id, SUM(1.0 / dist) AS sc FROM ap{iters} WHERE dist > 0 GROUP BY s
+)
+SELECT ver.id, ROUND(COALESCE(h.sc, 0.0){scale}, 6) AS score
+FROM vertices ver LEFT JOIN hsc h ON h.id = ver.id ORDER BY ver.id"""
+    return _with_graph(body)
+
+
+def sql_closeness(iters: int, normalized: bool = False) -> str:
+    """Standard-variant closeness 1/sum(dist), Closeness.hpp:80-94."""
+    scale = " * ((SELECT count(*) FROM vertices) - 1)" if normalized else ""
+    body = ", ".join(_apsp_ctes(iters)) + f""",
+csc AS (
+    SELECT s AS id, SUM(dist) AS sum_d FROM ap{iters} GROUP BY s
+)
+SELECT ver.id,
+       ROUND(CASE WHEN c.sum_d > 0 THEN 1.0 / c.sum_d ELSE 0.0 END{scale}, 6) AS score
+FROM vertices ver LEFT JOIN csc c ON c.id = ver.id ORDER BY ver.id"""
+    return _with_graph(body)
+
+
+def sql_diameter(iters: int) -> str:
+    body = ", ".join(_apsp_ctes(iters)) + (
+        f" SELECT CAST(MAX(dist) AS BIGINT) AS diameter FROM ap{iters}"
+    )
+    return _with_graph(body)
+
+
+def sql_betweenness(iters: int, normalized: bool = False) -> str:
+    """Exact betweenness via the pair-dependency closed form over an
+    all-pairs (dist, sigma) table: bc(v) = Σ_{s≠v≠t, s≠t, d(s,v)+d(v,t)=d(s,t)}
+    σ_sv·σ_vt/σ_st — summed over ORDERED pairs, matching Betweenness.cpp's
+    all-sources dependency accumulation (no undirected halving). The
+    (dist, sigma) table is frontier-unrolled BFS with path counting — a
+    structurally different algorithm from the engine's Brandes backward
+    pass, same fixed point."""
+    ctes = [
+        "uadj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        """bw0 AS (
+    SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist, CAST(1 AS DOUBLE) AS sigma
+    FROM vertices
+)""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""bwn{k} AS (
+    SELECT p.s, e.dst AS v, CAST({k} AS BIGINT) AS dist, SUM(p.sigma) AS sigma
+    FROM bw{k-1} p JOIN uadj e ON e.src = p.v
+    WHERE p.dist = {k-1}
+    GROUP BY p.s, e.dst
+),
+bw{k} AS MATERIALIZED (
+    SELECT s, v, dist, sigma FROM bw{k-1}
+    UNION ALL
+    SELECT n.s, n.v, n.dist, n.sigma FROM bwn{k} n
+    WHERE NOT EXISTS (SELECT 1 FROM bw{k-1} o WHERE o.s = n.s AND o.v = n.v)
+)"""
+        )
+    scale = (
+        " / (((SELECT count(*) FROM vertices) - 1.0)"
+        " * ((SELECT count(*) FROM vertices) - 2.0))"
+        if normalized
+        else ""
+    )
+    body = ", ".join(ctes) + f""",
+bsc AS (
+    SELECT sv.v AS id, SUM(sv.sigma * vt.sigma / st.sigma) AS sc
+    FROM bw{iters} sv
+    JOIN bw{iters} vt ON vt.s = sv.v
+    JOIN bw{iters} st ON st.s = sv.s AND st.v = vt.v
+    WHERE sv.dist + vt.dist = st.dist
+      AND sv.s <> sv.v AND vt.v <> sv.v AND sv.s <> vt.v
+    GROUP BY sv.v
+)
+SELECT ver.id, ROUND(COALESCE(b.sc, 0.0){scale}, 6) AS score
+FROM vertices ver LEFT JOIN bsc b ON b.id = ver.id ORDER BY ver.id"""
+    return _with_graph(body)
+
+
+def sql_plm_pinned(sweeps: int, gamma: float = 1.0) -> str:
+    """Unrolled synchronous Louvain move phase, sweep-for-sweep the shape of
+    operators/louvain.py _move_phase(exact_sweeps=True): per sweep, each
+    node's affinity to neighboring communities, the PLM.cpp:129-135 gain
+    Δmod = (aff_C - aff_D\\u)/ω + γ·vol(u)·((vol(D)-vol(u)) - vol(C))/(2ω²),
+    argmax gain > 1e-15 with smallest-community tie-break, all moves applied
+    at once. Every gain operand is an exactly-representable integer sum, so
+    the comparison order is identical across engines."""
+    ctes = [
+        TEW_CTE,
+        """pvol AS MATERIALIZED (
+    SELECT ver.id, COALESCE(w.wd, 0) AS vol
+    FROM vertices ver LEFT JOIN (
+        SELECT src AS id, SUM(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS wd
+        FROM edges GROUP BY src
+    ) w ON w.id = ver.id
+)""",
+        "pnl AS MATERIALIZED (SELECT src, dst, weight FROM edges WHERE src <> dst)",
+        "pl0 AS (SELECT id, id AS label FROM vertices)",
+    ]
+    for k in range(1, sweeps + 1):
+        p = f"pl{k-1}"
+        ctes.append(
+            f"""pcv{k} AS MATERIALIZED (
+    SELECT l.label, SUM(v.vol) AS cvol
+    FROM {p} l JOIN pvol v ON v.id = l.id GROUP BY l.label
+),
+paff{k} AS MATERIALIZED (
+    SELECT e.src AS id, lb.label AS cand, SUM(e.weight) AS aff
+    FROM pnl e JOIN {p} lb ON lb.id = e.dst
+    GROUP BY e.src, lb.label
+),
+pbest{k} AS (
+    SELECT id, cand FROM (
+        SELECT a.id, a.cand,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.id ORDER BY
+                   ((a.aff - COALESCE(own.aff, 0)) / (SELECT w FROM tew)
+                    + {gamma} * v.vol * ((dv.cvol - v.vol) - cv.cvol)
+                      / (2.0 * (SELECT w FROM tew) * (SELECT w FROM tew))) DESC,
+                   a.cand ASC
+               ) AS rn
+        FROM paff{k} a
+        JOIN {p} l ON l.id = a.id
+        JOIN pvol v ON v.id = a.id
+        JOIN pcv{k} dv ON dv.label = l.label
+        JOIN pcv{k} cv ON cv.label = a.cand
+        LEFT JOIN paff{k} own ON own.id = a.id AND own.cand = l.label
+        WHERE a.cand <> l.label
+          AND ((a.aff - COALESCE(own.aff, 0)) / (SELECT w FROM tew)
+               + {gamma} * v.vol * ((dv.cvol - v.vol) - cv.cvol)
+                 / (2.0 * (SELECT w FROM tew) * (SELECT w FROM tew))) > 1e-15
+    ) WHERE rn = 1
+),
+pl{k} AS MATERIALIZED (
+    SELECT l.id, COALESCE(b.cand, l.label) AS label
+    FROM {p} l LEFT JOIN pbest{k} b ON b.id = l.id
+)"""
+        )
+    body = ", ".join(ctes) + f" SELECT id, label FROM pl{sweeps} ORDER BY id"
+    return _with_graph(body)
+
+
+def sql_core_decomposition(iters: int) -> str:
+    """Unrolled h-index iteration (same recurrence as
+    operators/centrality.py core_decomposition): core0 = simple degree;
+    core_k(v) = min(core_{k-1}(v), H(neighbor cores)). H over the
+    desc-sorted neighbor cores is MAX(rn where core >= rn) — the indicator
+    is prefix-true, so it equals the Spark side's Σ 1[a[i] >= i+1]."""
+    ctes = [
+        """sek AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges WHERE src <> dst
+)""",
+        "sndk AS MATERIALIZED (SELECT u AS a, v AS b FROM sek UNION ALL SELECT v, u FROM sek)",
+        """kc0 AS (
+    SELECT ver.id, CAST(COALESCE(d.deg, 0) AS BIGINT) AS core
+    FROM vertices ver
+    LEFT JOIN (SELECT a AS id, count(*) AS deg FROM sndk GROUP BY a) d ON d.id = ver.id
+)""",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""kh{k} AS (
+    SELECT id, MAX(CASE WHEN ncore >= rn THEN rn ELSE 0 END) AS h FROM (
+        SELECT e.a AS id, c.core AS ncore,
+               ROW_NUMBER() OVER (PARTITION BY e.a ORDER BY c.core DESC) AS rn
+        FROM sndk e JOIN kc{k-1} c ON c.id = e.b
+    ) GROUP BY id
+),
+kc{k} AS MATERIALIZED (
+    SELECT p.id,
+           CAST(CASE WHEN h.h IS NULL THEN p.core
+                     ELSE least(p.core, h.h) END AS BIGINT) AS core
+    FROM kc{k-1} p LEFT JOIN kh{k} h ON h.id = p.id
+)"""
+        )
+    body = ", ".join(ctes) + f" SELECT id, core FROM kc{iters} ORDER BY id"
+    return _with_graph(body)
+
+
 def sql_linkpred(max_hinge_degree: int | None = None) -> str:
     """All-index link prediction over 2-hop non-adjacent pairs (matches
     operators/linkprediction.py, including the hub-hinge cap)."""

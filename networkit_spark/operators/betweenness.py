@@ -1,0 +1,163 @@
+"""Betweenness centrality — distributed Brandes.
+
+Reference: networkit/cpp/centrality/Betweenness.cpp:25-103 — per source s,
+an SSSP records path counts sigma and predecessors, then dependencies
+accumulate in order of DECREASING distance:
+
+    delta_s(v) = sum_{w : succ of v} sigma_s(v)/sigma_s(w) * (1 + delta_s(w))
+    bc(v)      = sum_{s != v} delta_s(v)
+
+Dependencies are summed over ALL sources (each unordered pair contributes
+from both of its ordered orientations on undirected graphs — the reference
+does not halve; normalized=True divides by (n-1)(n-2), Betweenness.cpp:86-95).
+
+Spark-first plan: the per-source loop becomes a SOURCE-BATCHED frontier
+superstep — state is (s, v, dist, sigma) keyed by (s, v), so one join+agg
+per BFS level advances EVERY source at once (the distributed analogue of
+the reference's omp-parallel source loop). The backward pass replays levels
+deepest-first with one join+agg per level. Total supersteps = 2 x diameter,
+independent of source count.
+
+Scale shape: state is O(|sources| x n) rows. Exact mode (sources=None) is
+for small graphs or batched exact sweeps; at 100 TB run the sampled
+estimator (EstimateBetweenness.cpp semantics: a uniform source sample,
+scores scaled by n/|S|) — same code path, sources=[...], scale=True.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.checkpoint import IterationState, materialize
+
+
+def betweenness(
+    graph: Graph,
+    sources: list[int] | None = None,
+    normalized: bool = False,
+    scale_to_n: bool = False,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """scores(id, score). ``sources=None`` = exact (all vertices as
+    sources); a list runs the sampled estimator over that pinned source
+    set. ``scale_to_n`` multiplies sampled scores by n/|sources|
+    (EstimateBetweenness.cpp:49-57). ``normalized`` divides by (n-1)(n-2).
+    Directed graphs follow out-edges, like the reference's BFS."""
+    spark = graph.vertices.sparkSession
+    n = graph.num_nodes()
+    if n == 0:
+        return spark.createDataFrame([], "id long, score double")
+
+    edges = materialize(
+        graph.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+
+    if sources is None:
+        src_df = graph.vertices.select(F.col("id").alias("s"))
+        n_sources = n
+    else:
+        src_df = spark.createDataFrame([(int(s),) for s in sources], "s long")
+        n_sources = len(sources)
+
+    # ---- forward: multi-source BFS with path counts -----------------------
+    # levels[d] = (s, id, sigma) materialized per BFS level
+    state = IterationState(None, "betweenness-fwd")
+    frontier = src_df.select("s", F.col("s").alias("id"), F.lit(1.0).alias("sigma"))
+    frontier = state.advance(0, frontier)
+    visited = frontier.select("s", "id")  # grows by union, re-persisted
+    visited = visited.localCheckpoint(eager=True)
+    levels: list[DataFrame] = [frontier]
+
+    depth = 0
+    while True:
+        depth += 1
+        nxt = (
+            frontier.withColumnRenamed("id", "src")
+            .join(edges, "src")
+            .groupBy("s", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["s", "id"], "anti")
+        )
+        nxt = state.advance(depth, nxt)
+        if nxt.limit(1).count() == 0:
+            depth -= 1
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("s", "id")).localCheckpoint(eager=True)
+        frontier = nxt
+        if max_depth is not None and depth >= max_depth:
+            break
+
+    # ---- backward: dependency accumulation, deepest level first -----------
+    # a vertex sits at exactly one level per source, so its delta is
+    # written once — when its successor level is processed. Only the
+    # PREVIOUS level's deltas are needed as lookup; all levels' deltas are
+    # kept for the final per-vertex sum (delta rows absent = 0).
+    bstate = IterationState(None, "betweenness-bwd")
+    contribs: list[DataFrame] = []
+    prev: DataFrame | None = None  # deltas of the level just processed
+    for d in range(depth, 0, -1):
+        wlev = levels[d].withColumnRenamed("id", "w").withColumnRenamed(
+            "sigma", "sigma_w"
+        )
+        if prev is not None:
+            wlev = wlev.join(
+                prev.select("s", F.col("id").alias("w"), F.col("delta").alias("dw")),
+                ["s", "w"],
+                "left",
+            )
+        else:
+            wlev = wlev.withColumn("dw", F.lit(None).cast("double"))
+        contrib = (
+            wlev.join(
+                edges.select(F.col("src").alias("v"), F.col("dst").alias("w")), "w"
+            )
+            .join(
+                levels[d - 1].select(
+                    "s", F.col("id").alias("v"), F.col("sigma").alias("sigma_v")
+                ),
+                ["s", "v"],
+            )
+            .groupBy("s", F.col("v").alias("id"))
+            .agg(
+                F.sum(
+                    (F.col("sigma_v") / F.col("sigma_w"))
+                    * (1.0 + F.coalesce(F.col("dw"), F.lit(0.0)))
+                ).alias("delta")
+            )
+        )
+        contrib = bstate.advance(depth - d, contrib)
+        contribs.append(contrib)
+        prev = contrib
+
+    if not contribs:
+        bc = graph.vertices.select("id", F.lit(0.0).alias("score"))
+    else:
+        delta = contribs[0]
+        for c in contribs[1:]:
+            delta = delta.unionByName(c)
+        per_v = (
+            delta.filter(F.col("id") != F.col("s"))
+            .groupBy("id")
+            .agg(F.sum("delta").alias("score"))
+        )
+        bc = (
+            graph.vertices.select("id")
+            .join(per_v, "id", "left")
+            .select("id", F.coalesce("score", F.lit(0.0)).alias("score"))
+        )
+
+    factor = 1.0
+    if scale_to_n and n_sources > 0:
+        factor *= n / n_sources
+    if normalized and n > 2:
+        factor /= (n - 1.0) * (n - 2.0)
+    if factor != 1.0:
+        bc = bc.select("id", (F.col("score") * factor).alias("score"))
+
+    bc = bc.localCheckpoint(eager=True)
+    state.close()
+    bstate.close()
+    return bc

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
-from networkit_spark.plans.checkpoint import IterationState
+from networkit_spark.plans.checkpoint import IterationState, materialize
 
 
 def degree_centrality(graph: Graph, normalized: bool = False) -> DataFrame:
@@ -43,10 +43,9 @@ def eigenvector_centrality(
     if n == 0:
         return spark.createDataFrame([], "id long, score double")
 
-    edges = graph.edges.select(
-        "src", "dst", F.col("weight").cast("double").alias("w")
-    ).persist()
-    edges.count()
+    edges = materialize(
+        graph.edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    )
     scores = graph.vertices.select("id", F.lit(1.0 / math.sqrt(n)).alias("score"))
     state = IterationState(None, "eigenvector")
     scores = state.advance(0, scores)
@@ -82,7 +81,6 @@ def eigenvector_centrality(
 
     result = scores.localCheckpoint(eager=True)
     state.close()
-    edges.unpersist()
     return result
 
 
@@ -99,10 +97,9 @@ def katz_centrality(
     n = graph.num_nodes()
     if n == 0:
         return spark.createDataFrame([], "id long, score double")
-    edges = graph.edges.select(
-        "src", "dst", F.col("weight").cast("double").alias("w")
-    ).persist()
-    edges.count()
+    edges = materialize(
+        graph.edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    )
     scores = graph.vertices.select("id", F.lit(0.0).alias("score"))
     state = IterationState(None, "katz")
     scores = state.advance(0, scores)
@@ -142,60 +139,91 @@ def katz_centrality(
     result = scores.select("id", (F.col("score") / norm).alias("score"))
     result = result.localCheckpoint(eager=True)
     state.close()
-    edges.unpersist()
     return result
 
 
-def core_decomposition(graph: Graph) -> DataFrame:
-    """cores(id, core) — k-core number per vertex by iterative peeling
-    (ref: networkit/cpp/centrality/CoreDecomposition.cpp, 342 LoC: bucket
-    peel by degree; here: for k = 0,1,2,... repeatedly strip vertices with
-    remaining degree <= k until none, assigning core=k as they fall out).
-    Distributed shape: each inner step is one degree agg + one anti-join —
-    the peel-by-degree loop as iterative filter+agg (SURVEY.md §2.12)."""
+def core_decomposition(
+    graph: Graph, max_iterations: int | None = None
+) -> DataFrame:
+    """cores(id, core) — k-core number per vertex via distributed h-index
+    iteration (Montresor, De Pellegrini, Miorandi, "Distributed k-core
+    decomposition", IEEE TPDS 2013): init core(v) = simple degree, then
+    repeat core(v) <- min(core(v), H({core(u) : u in N(v)})) where H is the
+    h-index of the neighbor multiset. The fixed point is exactly the
+    reference's coreness (networkit/cpp/centrality/CoreDecomposition.cpp
+    bucket peel computes the same unique values).
+
+    ONE superstep per round — a join + per-vertex sorted-array fold, all
+    JVM expressions — converging in tens of rounds on power-law graphs,
+    versus the O(k_max x peel-rounds) job storm of the degree-peel
+    formulation this replaces. ``max_iterations`` pins the round count for
+    the driver's unrolled SQL oracle; None iterates to the fixed point.
+
+    Skew note: collect_list materializes each vertex's neighbor-core array
+    (size = degree). Total memory is O(m) — the adjacency itself — but a
+    10^8-degree hub makes a single wide row; at that scale feed the hub
+    rows through a two-level H (bucketed counts) instead."""
     spark = graph.vertices.sparkSession
     g = graph.to_undirected() if graph.directed else graph
-    edges = g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst")
-    live_edges = edges.persist()
-    live_edges.count()
-    live_nodes = g.vertices.select("id").persist()
+    edges = materialize(
+        g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
 
-    assigned: DataFrame | None = None
-    k = 0
-    remaining = live_nodes.count()
-    while remaining > 0:
-        while True:
-            deg = live_edges.groupBy(F.col("src").alias("id")).agg(
-                F.count(F.lit(1)).alias("deg")
-            )
-            peel = (
-                live_nodes.join(deg, "id", "left")
-                .filter(F.coalesce(F.col("deg"), F.lit(0)) <= k)
-                .select("id")
-            )
-            n_peel = peel.count()
-            if n_peel == 0:
-                break
-            out = peel.select("id", F.lit(k).cast("long").alias("core"))
-            assigned = out if assigned is None else assigned.unionByName(out)
-            assigned = assigned.localCheckpoint(eager=True)
-            new_nodes = live_nodes.join(peel, "id", "anti").localCheckpoint(eager=True)
-            new_edges = (
-                live_edges.join(peel.withColumnRenamed("id", "src"), "src", "anti")
-                .join(peel.withColumnRenamed("id", "dst"), "dst", "anti")
-                .select("src", "dst")
-                .localCheckpoint(eager=True)
-            )
-            live_nodes.unpersist()
-            live_edges.unpersist()
-            live_nodes, live_edges = new_nodes.persist(), new_edges.persist()
-            remaining -= n_peel
-        k += 1
-    live_nodes.unpersist()
-    live_edges.unpersist()
-    if assigned is None:
-        return spark.createDataFrame([], "id long, core long")
-    return assigned
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    cores = (
+        g.vertices.select("id")
+        .join(deg, "id", "left")
+        .select("id", F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("core"))
+    )
+    state = IterationState(None, "kcore")
+    cores = state.advance(0, cores)
+
+    iteration = 0
+    while True:
+        iteration += 1
+        # neighbor cores gathered per vertex; h-index = Σ 1[a[i] >= i+1]
+        # over the desc-sorted array (the indicator is prefix-true)
+        nb = edges.join(
+            cores.select(F.col("id").alias("dst"), F.col("core").alias("ncore")),
+            "dst",
+        )
+        harr = nb.groupBy(F.col("src").alias("id")).agg(
+            F.sort_array(F.collect_list("ncore"), asc=False).alias("a")
+        )
+        hval = F.aggregate(
+            F.zip_with(
+                F.col("a"),
+                F.sequence(F.lit(1), F.size("a")),
+                lambda v, i: F.when(v >= i.cast("long"), F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        step = state.advance(
+            iteration,
+            cores.join(harr, "id", "left").select(
+                "id",
+                F.when(
+                    F.col("a").isNull(), F.col("core")
+                )
+                .otherwise(F.least(F.col("core"), hval.cast("long")))
+                .alias("new_core"),
+                F.col("core").alias("old_core"),
+            ),
+        )
+        if max_iterations is not None:
+            changed = 1  # pinned-count mode: extra rounds are no-ops
+        else:
+            changed = step.filter(F.col("new_core") < F.col("old_core")).count()
+        cores = step.select("id", F.col("new_core").alias("core"))
+        if changed == 0 or (
+            max_iterations is not None and iteration >= max_iterations
+        ):
+            break
+
+    result = cores.localCheckpoint(eager=True)
+    state.close()
+    return result
 
 
 def bfs_hops(graph: Graph, source: int, max_iterations: int | None = None) -> DataFrame:
@@ -204,8 +232,7 @@ def bfs_hops(graph: Graph, source: int, max_iterations: int | None = None) -> Da
     frontier superstep is the same shape as CC's active-set loop)."""
     g = graph if graph.directed else graph
     spark = g.vertices.sparkSession
-    edges = g.edges.select("src", "dst").persist()
-    edges.count()
+    edges = materialize(g.edges.select("src", "dst"))
 
     dist = spark.createDataFrame([(int(source), 0)], "id long, dist long")
     dist = dist.localCheckpoint(eager=True)
@@ -228,7 +255,6 @@ def bfs_hops(graph: Graph, source: int, max_iterations: int | None = None) -> Da
         frontier = nxt.select("id")
         if max_iterations is not None and level >= max_iterations:
             break
-    edges.unpersist()
     return dist
 
 
@@ -240,10 +266,9 @@ def sssp_weighted(
     networkit/cpp/distance/Dijkstra.cpp, 94 LoC; a priority queue does not
     distribute, frontier relaxation does). Converges in <= |V|-1 rounds."""
     spark = graph.vertices.sparkSession
-    edges = graph.edges.select(
-        "src", "dst", F.col("weight").cast("double").alias("w")
-    ).persist()
-    edges.count()
+    edges = materialize(
+        graph.edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    )
 
     dist = spark.createDataFrame([(int(source), 0.0)], "id long, dist double")
     dist = dist.localCheckpoint(eager=True)
@@ -279,5 +304,4 @@ def sssp_weighted(
             max_iterations is not None and iteration >= max_iterations
         ):
             break
-    edges.unpersist()
     return dist

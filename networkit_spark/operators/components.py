@@ -43,8 +43,11 @@ def connected_components(
     g = graph.to_undirected() if graph.directed else graph
     spark = g.vertices.sparkSession
 
-    edges = g.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).persist()
-    edges.count()
+    from networkit_spark.plans.checkpoint import materialize
+
+    edges = materialize(
+        g.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    )
 
     csr = None
     if impl == "csr":
@@ -109,7 +112,6 @@ def connected_components(
 
     result = labels.localCheckpoint(eager=True)
     state.close()
-    edges.unpersist()
     if csr is not None:
         csr.unpersist()
     if checkpoint is not None:

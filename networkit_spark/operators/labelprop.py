@@ -74,8 +74,9 @@ def label_propagation(
     if theta is None:
         theta = max(0, int(n / 1e5))  # PLP.cpp:41-43
 
-    edges = g.edges.filter(F.col("src") != F.col("dst")).persist()
-    edges.count()
+    from networkit_spark.plans.checkpoint import materialize
+
+    edges = materialize(g.edges.filter(F.col("src") != F.col("dst")))
 
     csr = None
     if impl == "csr":
@@ -142,7 +143,6 @@ def label_propagation(
 
     result = labels.localCheckpoint(eager=True)
     state.close()
-    edges.unpersist()
     if csr is not None:
         csr.unpersist()
     if checkpoint is not None:

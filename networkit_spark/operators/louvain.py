@@ -28,22 +28,30 @@ from pyspark.sql import functions as F
 
 from networkit_spark.graph import Graph
 from networkit_spark.operators.coarsening import coarsen, project_back
-from networkit_spark.plans.checkpoint import IterationState
+from networkit_spark.plans.checkpoint import IterationState, materialize
 
 
 def _move_phase(
-    g: Graph, gamma: float, max_sweeps: int, min_moves: int
+    g: Graph, gamma: float, max_sweeps: int, min_moves: int,
+    exact_sweeps: bool = False,
 ) -> DataFrame:
-    """One level's local-move loop; returns labels(id, label)."""
+    """One level's local-move loop; returns labels(id, label).
+
+    ``exact_sweeps=True`` runs exactly ``max_sweeps`` sweeps with no early
+    stop and no oscillation guard — the pinned variant the driver's
+    unrolled SQL oracle mirrors sweep-for-sweep (a converged sweep applies
+    no moves, so extra pinned sweeps are deterministic no-ops on both
+    engines)."""
     omega = g.total_edge_weight()
     if omega <= 0:
         return g.vertices.select("id", F.col("id").alias("label"))
 
-    vol = g.degrees().select("id", F.col("wdeg").alias("vol")).persist()
-    nonloop = g.edges.filter(F.col("src") != F.col("dst")).select(
-        "src", "dst", F.col("weight").cast("double").alias("w")
-    ).persist()
-    nonloop.count()
+    vol = materialize(g.degrees().select("id", F.col("wdeg").alias("vol")))
+    nonloop = materialize(
+        g.edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", F.col("weight").cast("double").alias("w")
+        )
+    )
 
     labels = g.vertices.select("id", F.col("id").alias("label"))
     state = IterationState(None, "plm-move")
@@ -123,8 +131,10 @@ def _move_phase(
                 ),
             ),
         )
-        n_moved = new.filter("moved").count()
         labels = new.select("id", "label")
+        if exact_sweeps:
+            continue
+        n_moved = new.filter("moved").count()
         if n_moved <= min_moves:
             break
         # synchronous sweeps can 2-cycle (a pair of nodes swapping
@@ -135,8 +145,6 @@ def _move_phase(
         if len(move_history) >= 3 and len(set(move_history[-3:])) == 1:
             break
 
-    vol.unpersist()
-    nonloop.unpersist()
     result = labels.localCheckpoint(eager=True)
     state.close()
     return result
@@ -178,6 +186,16 @@ def plm(
     return project_back(
         fine_map.withColumnRenamed("cur", "coarse_id"), labels_g
     ).localCheckpoint(eager=True)
+
+
+def plm_pinned(graph: Graph, gamma: float = 1.0, sweeps: int = 3) -> DataFrame:
+    """Single-level synchronous move phase with a PINNED sweep count — the
+    oracle-checkable PLM variant (entrylib.sql_plm_pinned unrolls the same
+    ``sweeps`` gain computations in SQL). Gains are ratios of exactly-
+    representable integer sums (weights are occurrence counts), so the
+    argmax/tie-break ordering is engine-portable bit-for-bit."""
+    g = graph.to_undirected() if graph.directed else graph
+    return _move_phase(g, gamma, sweeps, 0, exact_sweeps=True)
 
 
 def detect_communities(graph: Graph, algo: str = "plm", **kw) -> DataFrame:

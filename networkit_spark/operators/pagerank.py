@@ -15,6 +15,20 @@ include/networkit/centrality/PageRank.hpp:38-65. Semantics reproduced:
 6. final normalization: default divide by total sum; normalized=True
    divides by (1/n)((1-damp) + damp*sum_dangling)             (PageRank.cpp:73-89)
 
+Execution has two shapes:
+
+* tol > 0 (convergence mode): one materializing action per superstep (the
+  delta check), old score carried through the step projection.
+* tol == 0 (fixed-iteration mode, the scale/bench path): supersteps are
+  chained LAZILY — zero-contribution self-rows make the dst aggregation
+  vertex-complete so each superstep is join + agg + projection referencing
+  the previous vector exactly once, and the only actions are one per
+  `interval` block (lineage truncation / durable snapshot). This removes
+  the per-superstep scheduling + eager-localCheckpoint floor that capped
+  scaling efficiency at 0.55 (2->8 cores) in round 1, and lets
+  ReusedExchange serve the static edge-side shuffle across the chained
+  supersteps of a block.
+
 Spark-first plan: one superstep = broadcast-or-shuffle hash join of the
 (static, persisted) normalized out-edge table with the current score vector,
 then a partial+final hash aggregation on dst — Catalyst's map-side combine
@@ -85,9 +99,38 @@ def pagerank(
             F.col("e.dst").alias("dst"),
             (F.col("e.weight").cast("double") / F.col("d.wdeg")).alias("frac"),
         )
-        .persist()
     )
-    out.count()  # materialize once; reused every superstep
+    fast_path = tol <= 0.0
+    if fast_path:
+        # fixed-iteration fast path: append one zero-contribution self-row
+        # per vertex so the post-join dst aggregation is vertex-complete BY
+        # CONSTRUCTION. This removes the scores-left-join that carried the
+        # vertex list (and the old score) — each superstep then references
+        # the previous scores exactly once, the logical plan grows linearly,
+        # and supersteps can be chained LAZILY: no per-iteration action, no
+        # per-iteration eager localCheckpoint (the ~4s/superstep fixed cost
+        # behind round 1's 0.55 scaling efficiency at 2->8 cores), lineage
+        # truncated only every `interval` supersteps. Within the chained
+        # job the static out-side exchange is identical each superstep, so
+        # Spark's ReusedExchange serves it from the first shuffle.
+        out = out.unionByName(
+            graph.vertices.select(
+                F.col("id").alias("src"),
+                F.col("id").alias("dst"),
+                F.lit(0.0).alias("frac"),
+            )
+        )
+        # pre-shuffle the static side ONCE: the cached table's
+        # hash(src, P) output partitioning satisfies the superstep join's
+        # distribution requirement, so each superstep only exchanges the
+        # (vertex-sized) score vector — the edge-sized shuffle happens once
+        # per RUN instead of once per superstep. This is the single-machine
+        # analogue of bucketing the adjacency on a cluster.
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        out = out.repartition(n_part, "src")
+    from networkit_spark.plans.checkpoint import materialize
+
+    out = materialize(out)  # compute once; scanned every superstep
 
     csr = None
     if impl == "csr":
@@ -120,60 +163,107 @@ def pagerank(
     scores = state.advance(it0, scores)
 
     iteration = it0
-    while True:
-        iteration += 1
-        t0 = time.time()
-        if csr is not None:
-            msgs = csr.gather_sum(
-                scores.select(F.col("id").alias("src"), F.col("score").alias("value"))
-            ).withColumnRenamed("id", "dst")
-        else:
-            sc = scores.withColumnRenamed("id", "src")
-            if broadcast_scores:
-                sc = F.broadcast(sc)
-            msgs = (
-                out.join(sc, "src")
-                .groupBy("dst")
-                .agg(F.sum(F.col("score") * F.col("frac")).alias("mass"))
+    if fast_path:
+        # lazily-chained supersteps; a single action per `interval` block
+        t_block = time.time()
+        block_start = it0
+        while iteration - it0 < max_iterations:
+            iteration += 1
+            if csr is not None:
+                msgs = csr.gather_sum(
+                    scores.select(F.col("id").alias("src"), F.col("score").alias("value"))
+                ).withColumnRenamed("id", "dst")
+            else:
+                sc = scores.withColumnRenamed("id", "src")
+                if broadcast_scores:
+                    sc = F.broadcast(sc)
+                else:
+                    # pin the distributed strategy: without the hint AQE
+                    # auto-broadcasts the (vertex-sized) score vector under
+                    # 64 MB — a driver-serial build per superstep that
+                    # caps scaling. SHJ probes the cached pre-partitioned
+                    # out table with NO exchange on the edge side.
+                    sc = sc.hint("shuffle_hash")
+                msgs = (
+                    out.join(sc, "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("score") * F.col("frac")).alias("mass"))
+                )
+            # the zero self-rows make msgs vertex-complete: the new vector
+            # is a pure projection, no second scores reference
+            scores = msgs.select(
+                F.col("dst").alias("id"),
+                (F.lit(teleport) + F.lit(damp) * F.col("mass")).alias("score"),
             )
-        # scores is vertex-complete, so it IS the vertex list: one left join
-        # builds the new vector AND carries the old score, making the
-        # convergence check a scan of the materialized step (no extra join)
-        step = (
-            scores.withColumnRenamed("score", "old")
-            .join(msgs.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                (F.lit(teleport) + F.lit(damp) * F.coalesce(F.col("mass"), F.lit(0.0))).alias(
-                    "score"
-                ),
-                "old",
+            if (
+                (iteration - it0) % state.interval == 0
+                or iteration - it0 >= max_iterations
+            ):
+                scores = state.advance(iteration, scores)
+                if checkpoint is not None:
+                    steps = iteration - block_start
+                    checkpoint.record(
+                        "pagerank",
+                        iteration,
+                        steps=steps,
+                        wall_ms=(time.time() - t_block) * 1000.0,
+                    )
+                t_block = time.time()
+                block_start = iteration
+    else:
+        while True:
+            iteration += 1
+            t0 = time.time()
+            if csr is not None:
+                msgs = csr.gather_sum(
+                    scores.select(F.col("id").alias("src"), F.col("score").alias("value"))
+                ).withColumnRenamed("id", "dst")
+            else:
+                sc = scores.withColumnRenamed("id", "src")
+                if broadcast_scores:
+                    sc = F.broadcast(sc)
+                msgs = (
+                    out.join(sc, "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("score") * F.col("frac")).alias("mass"))
+                )
+            # scores is vertex-complete, so it IS the vertex list: one left
+            # join builds the new vector AND carries the old score, making
+            # the convergence check a scan of the materialized step (no
+            # extra join)
+            step = (
+                scores.withColumnRenamed("score", "old")
+                .join(msgs.withColumnRenamed("dst", "id"), "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(teleport)
+                        + F.lit(damp) * F.coalesce(F.col("mass"), F.lit(0.0))
+                    ).alias("score"),
+                    "old",
+                )
             )
-        )
-        step = state.advance(iteration, step)
+            step = state.advance(iteration, step)
 
-        if tol > 0.0:
             diff = F.col("score") - F.col("old")
             delta_expr = F.sum(diff * diff) if norm == "l2" else F.sum(F.abs(diff))
             delta = step.agg(delta_expr.alias("d")).first()["d"] or 0.0
             if norm == "l2":
                 delta = math.sqrt(delta)
-        else:
-            # fixed-iteration run: skip the convergence job entirely (one
-            # fewer action/stage barrier per superstep)
-            delta = float("inf")
-        new = step.select("id", "score")
+            new = step.select("id", "score")
 
-        if checkpoint is not None:
-            checkpoint.record(
-                "pagerank",
-                iteration,
-                delta=float(delta),
-                wall_ms=(time.time() - t0) * 1000.0,
-            )
-        scores = new
-        if delta <= tol or (max_iterations is not None and iteration - it0 >= max_iterations):
-            break
+            if checkpoint is not None:
+                checkpoint.record(
+                    "pagerank",
+                    iteration,
+                    delta=float(delta),
+                    wall_ms=(time.time() - t0) * 1000.0,
+                )
+            scores = new
+            if delta <= tol or (
+                max_iterations is not None and iteration - it0 >= max_iterations
+            ):
+                break
 
     if normalized:
         # (1/n) * ((1-damp) + damp * sum over dangling vertices) — PageRank.cpp:80-89
@@ -191,7 +281,6 @@ def pagerank(
     # snapshot before releasing cached state
     result = result.localCheckpoint(eager=True)
     state.close()
-    out.unpersist()
     if csr is not None:
         csr.unpersist()
     if checkpoint is not None:

@@ -156,3 +156,74 @@ def triangles_oracle(n: int, edges) -> tuple[np.ndarray, int]:
                     per[b] += 1
                     per[c] += 1
     return per, total
+
+
+def betweenness_oracle(n: int, edges, normalized: bool = False) -> np.ndarray:
+    """Textbook sequential Brandes over the (already symmetrized when
+    undirected) edge row list — unweighted BFS variant, dependencies summed
+    over every source (Betweenness.cpp:46-80: no undirected halving);
+    normalized divides by (n-1)(n-2)."""
+    from collections import deque
+
+    src, dst, _ = _arrays(edges)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    seen = set()
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a != b and (a, b) not in seen:
+            seen.add((a, b))
+            adj[a].append(b)
+    bc = np.zeros(n, np.float64)
+    for s in range(n):
+        dist = [-1] * n
+        sigma = np.zeros(n, np.float64)
+        preds: list[list[int]] = [[] for _ in range(n)]
+        order = []
+        dist[s] = 0
+        sigma[s] = 1.0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = np.zeros(n, np.float64)
+        for w in reversed(order):
+            for p in preds[w]:
+                delta[p] += sigma[p] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    if normalized and n > 2:
+        bc /= (n - 1.0) * (n - 2.0)
+    return bc
+
+
+def harmonic_closeness_oracle(n: int, edges, normalized: bool = False) -> np.ndarray:
+    """HarmonicCloseness.cpp:23-48: sum of 1/d over reachable vertices,
+    normalized divides by n-1."""
+    from collections import deque
+
+    src, dst, _ = _arrays(edges)
+    adj: list[set[int]] = [set() for _ in range(n)]
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[int(a)].add(int(b))
+    sc = np.zeros(n, np.float64)
+    for s in range(n):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        sc[s] = sum(1.0 / d for v, d in dist.items() if d > 0)
+    if normalized:
+        sc /= max(n - 1, 1)
+    return sc

@@ -113,6 +113,38 @@ class CheckpointManager:
         self._metrics = []
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize a STATIC per-run table (edge payloads, normalized
+    adjacency) for repeated per-superstep scanning: localCheckpoint —
+    compute once, store as block-manager partitions, CUT the plan.
+
+    Why not persist(): an InMemoryRelation wrapping a deep AQE pipeline
+    (derive/mint/union/repartition) measured ~10x slower per scan than a
+    checkpointed-RDD scan (1.4-1.9s vs 0.16s for a 4.5M-row count at 8
+    cores) and dragged every superstep that re-read it; the cache scan of
+    an adaptive-plan relation does not behave like a columnar table scan.
+    The checkpointed RDD also frees Catalyst from re-analyzing the upstream
+    plan on every superstep."""
+    return df.localCheckpoint(eager=True)
+
+
+def per_superstep_seconds(history: list[dict], algo: str) -> tuple[float, int]:
+    """(steady-state seconds per superstep, total supersteps) from recorded
+    metrics rows. Fixed-iteration runs record one row per truncation BLOCK
+    with a ``steps`` count (supersteps are lazily chained inside a block);
+    convergence runs record one row per superstep (steps==1). The first
+    block is dropped as warmup (JIT/codegen, cache population) when more
+    than one exists."""
+    rows = [m for m in history if m["algo"] == algo and "wall_ms" in m]
+    if not rows:
+        return 0.0, 0
+    total_steps = sum(int(m.get("steps", 1)) for m in rows)
+    steady = rows[1:] if len(rows) > 1 else rows
+    wall = sum(m["wall_ms"] for m in steady) / 1000.0
+    steps = sum(int(m.get("steps", 1)) for m in steady)
+    return (wall / steps if steps else 0.0), total_steps
+
+
 class IterationState:
     """Per-iteration lineage truncation + durable snapshots every
     ``interval`` iterations.

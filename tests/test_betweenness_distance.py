@@ -1,0 +1,103 @@
+"""Betweenness + distance family vs sequential Brandes/BFS oracles
+(reference semantics: Betweenness.cpp, Closeness.hpp:80-94,
+HarmonicCloseness.cpp, Diameter.cpp)."""
+
+import pytest
+
+from networkit_spark.graph import from_edge_rows
+from networkit_spark.operators.betweenness import betweenness
+from networkit_spark.operators.distance import (
+    closeness,
+    diameter_double_sweep,
+    diameter_exact,
+    effective_diameter,
+    harmonic_closeness,
+    multi_source_hops,
+)
+from networkit_spark.oracle import betweenness_oracle, harmonic_closeness_oracle
+
+# path 0-1-2-3 with a triangle 3-4-5 and a pendant 6 off node 1
+EDGES = [(0, 1), (1, 2), (2, 3), (3, 4), (3, 5), (4, 5), (1, 6)]
+N = 7
+
+
+def _scores(df):
+    return {r["id"]: r["score"] for r in df.collect()}
+
+
+def test_betweenness_matches_brandes(spark):
+    g = from_edge_rows(spark, EDGES)
+    got = _scores(betweenness(g))
+    want = betweenness_oracle(N, [(u, v, 1.0) for u, v in EDGES] + [(v, u, 1.0) for u, v in EDGES])
+    for i in range(N):
+        assert got[i] == pytest.approx(want[i], abs=1e-9), i
+    # path center 1 carries the most shortest paths
+    assert got[1] > got[0] and got[1] > got[6]
+
+
+def test_betweenness_star_closed_form(spark):
+    # star: center bc = (n-1)(n-2) over ordered pairs (no halving,
+    # Betweenness.cpp maximum() semantics via all-sources accumulation)
+    n = 6
+    g = from_edge_rows(spark, [(0, i) for i in range(1, n)])
+    got = _scores(betweenness(g))
+    assert got[0] == pytest.approx((n - 1) * (n - 2))
+    assert all(got[i] == pytest.approx(0.0) for i in range(1, n))
+
+
+def test_betweenness_sampled_and_normalized(spark):
+    g = from_edge_rows(spark, EDGES)
+    exact = _scores(betweenness(g))
+    # full source set passed explicitly == exact
+    sampled = _scores(betweenness(g, sources=list(range(N))))
+    for i in range(N):
+        assert sampled[i] == pytest.approx(exact[i])
+    norm = _scores(betweenness(g, normalized=True))
+    for i in range(N):
+        assert norm[i] == pytest.approx(exact[i] / ((N - 1) * (N - 2)))
+
+
+def test_betweenness_directed(spark):
+    # directed path 0->1->2: only vertex 1 lies on a shortest path
+    g = from_edge_rows(spark, [(0, 1), (1, 2)], directed=True)
+    got = _scores(betweenness(g))
+    assert got[0] == 0.0 and got[2] == 0.0
+    assert got[1] == pytest.approx(1.0)
+
+
+def test_harmonic_closeness(spark):
+    g = from_edge_rows(spark, EDGES)
+    got = _scores(harmonic_closeness(g))
+    want = harmonic_closeness_oracle(
+        N, [(u, v, 1.0) for u, v in EDGES] + [(v, u, 1.0) for u, v in EDGES]
+    )
+    for i in range(N):
+        assert got[i] == pytest.approx(want[i], abs=1e-9)
+    normed = _scores(harmonic_closeness(g, normalized=True))
+    assert normed[1] == pytest.approx(got[1] / (N - 1))
+
+
+def test_closeness_variants(spark):
+    g = from_edge_rows(spark, EDGES)
+    hops = multi_source_hops(g)
+    dist = {(r["s"], r["id"]): r["dist"] for r in hops.collect()}
+    sums = {s: sum(d for (a, _), d in dist.items() if a == s) for s in range(N)}
+    std = _scores(closeness(g, hops=hops))
+    for i in range(N):
+        assert std[i] == pytest.approx(1.0 / sums[i])
+    gen = _scores(closeness(g, variant="generalized", hops=hops))
+    for i in range(N):
+        assert gen[i] == pytest.approx((N - 1) / sums[i] / (N - 1))
+    # disconnected: standard on a 2-component graph scores per component
+    g2 = from_edge_rows(spark, [(0, 1), (2, 3)])
+    gen2 = _scores(closeness(g2, variant="generalized"))
+    assert gen2[0] == pytest.approx(1.0 / 1.0 / 3.0)
+
+
+def test_diameter_family(spark):
+    g = from_edge_rows(spark, EDGES)
+    assert diameter_exact(g) == 4  # 0 .. 4/5 via 1,2,3
+    ds = diameter_double_sweep(g)
+    assert ds <= 4 and ds >= 3  # double sweep is a lower bound
+    assert effective_diameter(g, ratio=1.0) == 4
+    assert effective_diameter(g, ratio=0.1) >= 1

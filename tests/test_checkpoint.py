@@ -44,10 +44,13 @@ def test_metrics_written(spark, tmp_path):
     pagerank(g, tol=0.0, max_iterations=4, checkpoint=cp)
     metrics = spark.read.json(f"{tmp_path}/m1/metrics")
     rows = metrics.collect()
-    assert len(rows) == 4
+    # fixed-iteration mode records one row per truncation BLOCK (supersteps
+    # chain lazily inside a block); steps must sum to the iteration count
+    assert len(rows) == 2
+    assert sum(r["steps"] for r in rows) == 4
     assert {r["algo"] for r in rows} == {"pagerank"}
     assert all(r["wall_ms"] > 0 for r in rows)
-    assert rows[0]["delta"] is not None
+    assert {r["iteration"] for r in rows} == {2, 4}
 
 
 def test_prune_keeps_latest(spark, tmp_path):

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import statistics
 import tempfile
 import time
 
@@ -19,6 +18,7 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=50000)
     ap.add_argument("--tools", type=int, default=64)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--interval", type=int, default=4)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -41,22 +41,32 @@ def main() -> None:
     g = Graph(vertices.select("id"), edges).with_cached_degrees()
     directed_edges = g.edges.count()
 
-    cp = CheckpointManager(tempfile.mkdtemp(prefix="bench-cp-"), durable=False)
+    # interval = truncation-block size: supersteps chain lazily inside a
+    # block (one action per block), so blocks are the timing unit; the
+    # first block is the warmup sample
+    cp = CheckpointManager(
+        tempfile.mkdtemp(prefix="bench-cp-"), durable=False, interval=args.interval
+    )
     t0 = time.time()
-    pagerank(g, tol=0.0, max_iterations=args.iters, checkpoint=cp)
+    pagerank(g, tol=0.0, max_iterations=args.iters, checkpoint=cp, broadcast_scores=False)
     total = time.time() - t0
 
-    walls = [m["wall_ms"] / 1000.0 for m in cp.history if m["algo"] == "pagerank"]
-    steady = walls[1:] if len(walls) > 1 else walls
-    med = statistics.median(steady)
+    from networkit_spark.plans.checkpoint import per_superstep_seconds
+
+    per_step, supersteps = per_superstep_seconds(cp.history, "pagerank")
+    blocks = [
+        (round(m["wall_ms"] / 1000.0, 4), int(m.get("steps", 1)))
+        for m in cp.history
+        if m["algo"] == "pagerank"
+    ]
     out = {
         "cores": args.cores,
         "convs": args.convs,
         "directed_edges": directed_edges,
-        "supersteps": len(walls),
-        "superstep_secs": [round(w, 4) for w in walls],
-        "median_superstep_sec": round(med, 4),
-        "edges_per_sec_per_superstep": round(directed_edges / med, 1),
+        "supersteps": supersteps,
+        "block_secs": blocks,
+        "median_superstep_sec": round(per_step, 4),
+        "edges_per_sec_per_superstep": round(directed_edges / per_step, 1),
         "total_sec": round(total, 3),
     }
     with open(args.out, "w") as f:
