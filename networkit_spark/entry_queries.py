@@ -99,6 +99,14 @@ def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(t,)], "transitivity double")
 
 
+def q_graph_transitivity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.triangles import approx_transitivity
+
+    g, _ = L.events_graph(spark, sf_dir)
+    t = round(approx_transitivity(g, samples_per_vertex=8, seed=42), 6) + 0.0
+    return spark.createDataFrame([(t,)], "approx_transitivity double")
+
+
 def q_graph_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     g, verts = L.events_graph(spark, sf_dir)
     d = g.degrees()
@@ -210,6 +218,32 @@ def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(d,)], "diameter bigint")
 
 
+def q_graph_sample_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.sampling import sample_nodes
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return sample_nodes(g, k=10, seed=42)
+
+
+def q_graph_sample_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.sampling import sample_edges
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return sample_edges(g, k=10, seed=42)
+
+
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.scc import strongly_connected_components
+
+    g, _ = L.events_digraph(spark, sf_dir)
+    return strongly_connected_components(g).select("id", "label")
+
+
+def q_graph_digraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g, _ = L.events_digraph(spark, sf_dir)
+    return g.edges.select("src", "dst", F.col("weight").cast("double").alias("weight"))
+
+
 def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.centrality import bfs_hops
 
@@ -262,6 +296,27 @@ def q_graph_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- community measures over the LP partition ------------------------------
+
+
+def q_community_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NMI/Rand/Jaccard dissimilarity between the 4-sweep and 2-sweep LP
+    partitions — the quantitative PLP-vs-PLP comparison surface."""
+    from networkit_spark.operators.measures import partition_measures
+
+    g, _ = L.events_graph(spark, sf_dir)
+    zeta = label_propagation(g, theta=-1, max_iterations=LP_ITERS)
+    eta = label_propagation(g, theta=-1, max_iterations=2)
+    m = partition_measures(zeta, eta)
+    return spark.createDataFrame(
+        [
+            (
+                round(m["nmi_distance"], 6) + 0.0,
+                round(m["rand_distance"], 6) + 0.0,
+                round(m["jaccard_distance"], 6) + 0.0,
+            )
+        ],
+        "nmi_distance double, rand_distance double, jaccard_distance double",
+    )
 
 
 def q_community_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,6 +501,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangle_count": q_graph_triangle_global,
     "graph_lcc": q_graph_lcc,
     "graph_transitivity": q_graph_transitivity,
+    "graph_transitivity_approx": q_graph_transitivity_approx,
     "graph_top_entities": q_graph_top_entities,
     "graph_coarsen_by_community": q_graph_coarsen,
     "graph_modularity_lp": q_graph_modularity,
@@ -459,12 +515,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centrality_harmonic": q_centrality_harmonic,
     "centrality_closeness": q_centrality_closeness,
     "graph_diameter": q_graph_diameter,
+    "graph_sample_nodes": q_graph_sample_nodes,
+    "graph_sample_edges": q_graph_sample_edges,
+    "graph_scc": q_graph_scc,
+    "graph_digraph_edges": q_graph_digraph_edges,
     "graph_bfs": q_graph_bfs,
     "graph_sssp": q_graph_sssp,
     "graph_core_decomposition": q_graph_core_decomposition,
     "graph_linkpred": q_graph_linkpred,
     "graph_plm": q_graph_plm,
     "graph_plm_pinned": q_graph_plm_pinned,
+    "community_measures": q_community_measures,
     "community_coverage": q_community_coverage,
     "community_edgecut": q_community_edgecut,
     "community_conductance": q_community_conductance,
@@ -497,6 +558,7 @@ def build_oracles() -> dict[str, str]:
         "graph_triangle_count": L.sql_triangle_global(),
         "graph_lcc": L.sql_lcc(),
         "graph_transitivity": L.sql_transitivity(),
+        "graph_transitivity_approx": L.sql_approx_transitivity(8, 42),
         "graph_top_entities": L.sql_top_entities(20),
         "graph_coarsen_by_community": L.sql_coarsen_lp(LP_ITERS),
         "graph_modularity_lp": L.sql_modularity(LP_ITERS),
@@ -510,6 +572,10 @@ def build_oracles() -> dict[str, str]:
         "centrality_harmonic": L.sql_harmonic_closeness(APSP_ITERS),
         "centrality_closeness": L.sql_closeness(APSP_ITERS),
         "graph_diameter": L.sql_diameter(APSP_ITERS),
+        "graph_sample_nodes": L.sql_sample_nodes(10, 42),
+        "graph_sample_edges": L.sql_sample_edges(10, 42),
+        "graph_scc": L.sql_scc(),
+        "graph_digraph_edges": L.sql_digraph_edges(),
         "graph_bfs": L.sql_bfs(BFS_ITERS),
         "graph_linkpred": L.sql_linkpred(LINKPRED_HINGE_CAP),
         "graph_sssp": L.sql_sssp(SSSP_ITERS),
@@ -523,6 +589,7 @@ def build_oracles() -> dict[str, str]:
             f"CAST({2 * (1 << RMAT_SCALE) * RMAT_EF} AS BIGINT) AS degree_sum, "
             f"CAST(0 AS BIGINT) AS out_of_range"
         ),
+        "community_measures": L.sql_partition_measures(LP_ITERS, 2),
         "community_coverage": L.sql_coverage(LP_ITERS),
         "community_edgecut": L.sql_edgecut(LP_ITERS),
         "community_conductance": L.sql_conductance(LP_ITERS),

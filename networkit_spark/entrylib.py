@@ -76,6 +76,97 @@ def events_graph(spark: SparkSession, sf_dir: str) -> tuple[Graph, DataFrame]:
     return Graph(vertices.select("id"), sym, directed=False, weighted=True), vertices
 
 
+def events_digraph(spark: SparkSession, sf_dir: str) -> tuple[Graph, DataFrame]:
+    """DIRECTED transcript-style entity graph: user->etype per event plus
+    etype(t-1)->etype(t) transitions under (ts, event_id) order — tool
+    transitions are inherently directed, which is what SCC decomposes."""
+    ev = load(spark, sf_dir, "events")
+    user = F.concat(F.lit("user:"), F.col("user_id").cast("string"))
+    et = F.concat(F.lit("etype:"), F.col("event_type"))
+    p1 = ev.select(user.alias("src_key"), et.alias("dst_key"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p2 = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            F.concat(F.lit("etype:"), F.col("prev")).alias("src_key"),
+            et.alias("dst_key"),
+        )
+    )
+    pairs = (
+        p1.unionByName(p2)
+        .groupBy("src_key", "dst_key")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    keys = pairs.select(F.col("src_key").alias("key")).unionByName(
+        pairs.select(F.col("dst_key").alias("key"))
+    )
+    vertices = mint_dense_ids(keys).persist()
+    da = vertices.withColumnRenamed("key", "src_key").withColumnRenamed("id", "src")
+    db = vertices.withColumnRenamed("key", "dst_key").withColumnRenamed("id", "dst")
+    edges = (
+        pairs.join(da, "src_key")
+        .join(db, "dst_key")
+        .select("src", "dst", F.col("weight").cast("float").alias("weight"))
+    )
+    return Graph(vertices.select("id"), edges, directed=True, weighted=True), vertices
+
+
+DIGRAPH_CTE = """
+ev AS (SELECT user_id, event_type, ts, event_id FROM events),
+dpair_rows AS (
+    SELECT 'user:' || CAST(user_id AS VARCHAR) AS sk,
+           'etype:' || event_type AS dk
+    FROM ev
+    UNION ALL
+    SELECT 'etype:' || prev AS sk, 'etype:' || event_type AS dk
+    FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM ev
+    ) WHERE prev IS NOT NULL
+),
+dpairs AS MATERIALIZED (
+    SELECT sk, dk, CAST(count(*) AS DOUBLE) AS weight FROM dpair_rows GROUP BY 1, 2
+),
+ddict AS MATERIALIZED (
+    SELECT key, CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS id
+    FROM (
+        SELECT DISTINCT sk AS key FROM dpairs
+        UNION
+        SELECT DISTINCT dk FROM dpairs
+    )
+),
+dedges AS MATERIALIZED (
+    SELECT da.id AS src, db.id AS dst, p.weight
+    FROM dpairs p
+    JOIN ddict da ON da.key = p.sk
+    JOIN ddict db ON db.key = p.dk
+),
+dvertices AS MATERIALIZED (SELECT id FROM ddict)
+"""
+
+
+def sql_scc() -> str:
+    """SCC labels (min member id) via mutual reachability over a recursive
+    transitive closure — structurally independent of the engine's
+    coloring/backward-marking algorithm, same unique fixed point."""
+    return f"""WITH RECURSIVE {DIGRAPH_CTE.strip()},
+reach(s, v) AS (
+    SELECT id, id FROM dvertices
+    UNION
+    SELECT r.s, e.dst FROM reach r JOIN dedges e ON e.src = r.v
+)
+SELECT r1.v AS id, MIN(r1.s) AS label
+FROM reach r1 JOIN reach r2 ON r2.s = r1.v AND r2.v = r1.s
+GROUP BY r1.v ORDER BY r1.v"""
+
+
+def sql_digraph_edges() -> str:
+    return f"""WITH {DIGRAPH_CTE.strip()}
+SELECT src, dst, CAST(weight AS DOUBLE) AS weight FROM dedges ORDER BY src, dst"""
+
+
 # --------------------------------------------------------------------------
 # shared DuckDB CTE: the identical derivation in ANSI SQL
 # --------------------------------------------------------------------------
@@ -294,6 +385,51 @@ sdeg AS (SELECT a AS id, count(*) AS d FROM und GROUP BY a)
 SELECT ROUND(6.0 * (SELECT count(*) FROM tri) /
              (SELECT SUM(d * (d - 1)) FROM sdeg), 6) AS transitivity"""
     return _with_graph(body.lstrip(", \n"))
+
+
+def sql_approx_transitivity(samples_per_vertex: int, seed: int = 42) -> str:
+    """Mirror of operators/triangles.py approx_transitivity: identical
+    hash-seeded neighbor-pair draws over identically-sorted adjacency
+    arrays; every summed term is an integer-valued double, so the estimate
+    matches bit-for-bit before rounding."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    h1 = md5_long_sql(
+        f"('{seed}:' || CAST(id AS STRING) || ':' || CAST(j AS STRING) || ':0')"
+    )
+    h2 = md5_long_sql(
+        f"('{seed}:' || CAST(id AS STRING) || ':' || CAST(j AS STRING) || ':1')"
+    )
+    return _with_graph(
+        f"""simple3 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges WHERE src <> dst
+),
+und3 AS (SELECT u AS a, v AS b FROM simple3 UNION ALL SELECT v, u FROM simple3),
+arr3 AS (
+    SELECT a AS id, list(b ORDER BY b) AS nbrs, count(*) AS deg
+    FROM und3 GROUP BY a HAVING count(*) >= 2
+),
+samp AS (
+    SELECT id, nbrs, deg, CAST(deg*(deg-1)/2.0 AS DOUBLE) AS w, t.j AS j
+    FROM arr3 CROSS JOIN (SELECT unnest(range({samples_per_vertex})) AS j) t
+),
+pick AS (
+    SELECT id, w,
+           nbrs[CAST(({h1} % deg) + 1 AS INT)] AS b,
+           nbrs[CAST((({h2} % (deg-1))
+                      + CASE WHEN ({h2} % (deg-1)) >= ({h1} % deg) THEN 1 ELSE 0 END
+                     ) + 1 AS INT)] AS c
+    FROM samp
+),
+chk AS (
+    SELECT p.w,
+           CASE WHEN s.u IS NOT NULL THEN 1.0 ELSE 0.0 END AS closed
+    FROM pick p
+    LEFT JOIN simple3 s ON s.u = least(p.b, p.c) AND s.v = greatest(p.b, p.c)
+)
+SELECT ROUND(SUM(w * closed) / SUM(w), 6) + 0.0 AS approx_transitivity FROM chk"""
+    )
 
 
 def sql_degrees() -> str:
@@ -598,18 +734,48 @@ SELECT query_id, neighbor_id, sim FROM (
 ) WHERE rn <= {k}"""
 
 
-def sql_lsh_ann(n_queries: int = 5, k: int = 3, nbits: int = 8) -> str:
-    bucket = " + ".join(
-        f"(CASE WHEN e[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(nbits)
-    )
+def sql_lsh_ann(
+    n_queries: int = 5,
+    k: int = 3,
+    nbits: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Mirror of functions/similarity.py lsh_ann_topk: the SAME seeded
+    Gaussian hyperplanes (shared decimal literals), per-table sign buckets,
+    OR-amplified candidate union, exact cosine re-rank."""
+    from networkit_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(dim, nbits, n_tables, seed)
+    tables = []
+    for t, tbl in enumerate(planes):
+        bits = []
+        for i, plane in enumerate(tbl):
+            lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+            dot = (
+                f"list_reduce(list_transform(list_zip(e, {lits}),"
+                " p -> p[1] * p[2]), (a, b) -> a + b)"
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {2 ** i} ELSE 0 END)")
+        tables.append(
+            f"SELECT vec_id, CAST({t} AS INT) AS tbl,"
+            f" CAST({' + '.join(bits)} AS BIGINT) AS bucket FROM norms"
+        )
     return f"""WITH {EMB_CTE},
-withb AS (SELECT vec_id, e, nrm, CAST({bucket} AS BIGINT) AS bucket FROM norms),
+withb AS MATERIALIZED ({' UNION ALL '.join(tables)}),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM withb q JOIN withb c ON c.tbl = q.tbl AND c.bucket = q.bucket
+    WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+),
 sims AS (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    SELECT cd.query_id, cd.neighbor_id,
            ROUND(list_reduce(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]),
                              (a, b) -> a + b) / (q.nrm * c.nrm), 6) AS sim
-    FROM withb q JOIN withb c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-    WHERE q.vec_id < {n_queries}
+    FROM cand cd
+    JOIN norms q ON q.vec_id = cd.query_id
+    JOIN norms c ON c.vec_id = cd.neighbor_id
 )
 SELECT query_id, neighbor_id, sim FROM (
     SELECT *, ROW_NUMBER() OVER (
@@ -1044,6 +1210,75 @@ kc{k} AS MATERIALIZED (
         )
     body = ", ".join(ctes) + f" SELECT id, core FROM kc{iters} ORDER BY id"
     return _with_graph(body)
+
+
+def sql_sample_nodes(k: int, seed: int = 42) -> str:
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    rk = md5_long_sql(f"('{seed}:' || CAST(id AS STRING))")
+    return _with_graph(
+        f"""SELECT id FROM (
+    SELECT id, {rk} AS rk FROM vertices ORDER BY rk, id LIMIT {k}
+) ORDER BY id"""
+    )
+
+
+def sql_sample_edges(k: int, seed: int = 42) -> str:
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    rk = md5_long_sql(
+        f"('{seed}:' || CAST(src AS STRING) || ':' || CAST(dst AS STRING))"
+    )
+    return _with_graph(
+        f"""canon AS (SELECT DISTINCT src, dst FROM edges WHERE src <= dst)
+SELECT src, dst FROM (
+    SELECT src, dst, {rk} AS rk FROM canon ORDER BY rk, src, dst LIMIT {k}
+) ORDER BY src, dst"""
+    )
+
+
+def sql_partition_measures(lp_iters: int, lp_iters_b: int) -> str:
+    """NMI / node-structural Rand / Jaccard dissimilarity between the
+    lp{lp_iters} and lp{lp_iters_b} partitions (lp{b} is an intermediate
+    CTE of the same unrolled chain). Formulas: NMIDistance.cpp,
+    NodeStructuralRandMeasure.cpp, JaccardMeasure.cpp."""
+    assert lp_iters_b < lp_iters
+    lp_sql = sql_labelprop(lp_iters)
+    inner = lp_sql[len("WITH "):lp_sql.rindex("SELECT id, label")].rstrip().rstrip(",")
+    a, b = f"lp{lp_iters}", f"lp{lp_iters_b}"
+    return f"""WITH {inner},
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+msz AS (SELECT label, CAST(count(*) AS DOUBLE) AS s FROM {a} GROUP BY label),
+mse AS (SELECT label, CAST(count(*) AS DOUBLE) AS s FROM {b} GROUP BY label),
+mov AS (
+    SELECT za.label AS la, eb.label AS lb, CAST(count(*) AS DOUBLE) AS s
+    FROM {a} za JOIN {b} eb ON eb.id = za.id GROUP BY 1, 2
+),
+sums AS (
+    SELECT (SELECT SUM(s*(s-1)/2.0) FROM msz) AS sum_z,
+           (SELECT SUM(s*(s-1)/2.0) FROM mse) AS sum_e,
+           (SELECT SUM(s*(s-1)/2.0) FROM mov) AS sum_i,
+           (SELECT n FROM nn) AS n
+),
+mi AS (
+    SELECT SUM((o.s / (SELECT n FROM nn))
+               * log2(o.s * (SELECT n FROM nn) / (z.s * e.s))) AS mi
+    FROM mov o JOIN msz z ON z.label = o.la JOIN mse e ON e.label = o.lb
+),
+ent AS (
+    SELECT (SELECT -SUM((s/(SELECT n FROM nn)) * log2(s/(SELECT n FROM nn))) FROM msz) AS hz,
+           (SELECT -SUM((s/(SELECT n FROM nn)) * log2(s/(SELECT n FROM nn))) FROM mse) AS he
+)
+SELECT
+  ROUND(CASE WHEN (SELECT hz + he FROM ent) < 1e-12 THEN 0.0
+             ELSE 1.0 - 2.0 * (SELECT mi FROM mi) / (SELECT hz + he FROM ent) END, 6)
+    + 0.0 AS nmi_distance,
+  ROUND(1.0 - 2.0 * (n*(n-1)/2.0 + 2.0*sum_i - (sum_z + sum_e)) / (n*(n-1)), 6)
+    + 0.0 AS rand_distance,
+  ROUND(CASE WHEN (n*(n-1) - 2.0*(n*(n-1)/2.0 + sum_i - (sum_z + sum_e))) > 0
+             THEN 1.0 - 2.0*sum_i / (n*(n-1) - 2.0*(n*(n-1)/2.0 + sum_i - (sum_z + sum_e)))
+             ELSE 0.0 END, 6) + 0.0 AS jaccard_distance
+FROM sums"""
 
 
 def sql_linkpred(max_hinge_degree: int | None = None) -> str:

@@ -66,19 +66,52 @@ def cosine_topk(
     )
 
 
-def sign_lsh_bucket(
-    emb: DataFrame, nbits: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+def hyperplanes(
+    dim: int, nbits: int, n_tables: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """[table][bit][dim] seeded Gaussian random-projection hyperplanes,
+    rounded to 6 decimals so the SAME decimal literals embed into both the
+    Spark expressions and the DuckDB oracle SQL (decimal text parses to the
+    identical nearest double in both engines)."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    h = rs.standard_normal((n_tables, nbits, dim))
+    return [[[round(float(x), 6) for x in bit] for bit in tbl] for tbl in h]
+
+
+def sign_lsh_buckets(
+    emb: DataFrame,
+    dim: int,
+    nbits: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, bucket) — bucket = sign pattern of the first nbits
-    coordinates (deterministic hyperplanes = coordinate axes; swap in a
-    seeded random-projection matrix on a real corpus)."""
-    bucket = None
-    for i in range(nbits):
-        bit = F.when(F.element_at(F.col(vec_col), i + 1) > 0, F.lit(2 ** i)).otherwise(
-            F.lit(0)
+    """(vec_id, tbl, bucket) — one signature per hash table: bucket =
+    Σ_i 2^i·[⟨v, h_ti⟩ > 0] over seeded Gaussian hyperplanes. Multi-table
+    OR-amplification is the standard recall lever (candidates = union of
+    per-table bucket matches); all JVM fold expressions, no Python."""
+    planes = hyperplanes(dim, nbits, n_tables, seed)
+    per_table = []
+    for t, tbl in enumerate(planes):
+        bucket = None
+        for i, plane in enumerate(tbl):
+            dot = _dot(F.col(vec_col), F.array(*[F.lit(x) for x in plane]))
+            bit = F.when(dot > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        per_table.append(
+            emb.select(
+                F.col(id_col).alias("vec_id"),
+                F.lit(t).alias("tbl"),
+                bucket.cast("bigint").alias("bucket"),
+            )
         )
-        bucket = bit if bucket is None else bucket + bit
-    return emb.select(F.col(id_col).alias("vec_id"), bucket.cast("bigint").alias("bucket"))
+    out = per_table[0]
+    for p in per_table[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def lsh_ann_topk(
@@ -86,23 +119,36 @@ def lsh_ann_topk(
     query_ids: list[int],
     k: int = 3,
     nbits: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(query_id, neighbor_id, sim) — approximate top-k: candidates limited
-    to the query's LSH bucket (bucket equi-join, no cross join), then exact
-    cosine re-rank within the bucket."""
-    b = sign_lsh_bucket(emb, nbits, id_col, vec_col).withColumnRenamed("vec_id", "nid")
-    withb = (
-        emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-        .join(b, "nid")
+    """(query_id, neighbor_id, sim) — approximate top-k: candidates =
+    union over hash tables of same-(tbl, bucket) vectors (equi-join per
+    table, never a cross join), deduplicated, then exact cosine re-rank."""
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).limit(1).first()
+        dim = int(first["d"]) if first else 0
+    b = sign_lsh_buckets(emb, dim, nbits, n_tables, seed, id_col, vec_col)
+    b = b.withColumnRenamed("vec_id", "nid")
+    qb = b.filter(F.col("nid").isin(query_ids)).select(
+        F.col("nid").alias("query_id"), "tbl", "bucket"
     )
-    q = withb.filter(F.col("nid").isin(query_ids)).select(
-        F.col("nid").alias("query_id"), F.col("nv").alias("qv"), "bucket"
+    # OR-amplification: a pair matching in ANY table is a candidate (once)
+    cand_ids = (
+        F.broadcast(qb)
+        .join(b, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("nid"))
+        .select("query_id", "nid")
+        .distinct()
     )
-    cand = F.broadcast(q).join(withb, "bucket").filter(
-        F.col("query_id") != F.col("nid")
+    vecs = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    qv = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
+    cand = cand_ids.join(F.broadcast(qv), "query_id").join(vecs, "nid")
     sims = cand.select(
         "query_id",
         F.col("nid").alias("neighbor_id"),

@@ -1,0 +1,82 @@
+"""Partition dissimilarity measures: NMI, node-structural Rand, Jaccard.
+
+References:
+- community/NMIDistance.cpp:18-125 — MI = Σ_O |O|/n · log2(|O|·n/(|C|·|D|)),
+  H(ζ) = -Σ P(C)·log2 P(C); NMID = 1 - 2·MI/(Hζ+Hη) (0 when H sum is 0,
+  DynamicNMIDistance.cpp:137-144).
+- community/NodeStructuralRandMeasure.cpp:14-58 —
+  rand = 1 - 2A/(n(n-1)), A = n(n-1)/2 + 2·ΣC(|O|,2) - ΣC(|C|,2) - ΣC(|D|,2).
+- community/JaccardMeasure.cpp:14-70 — jaccard = 1 - 2·s11/(n(n-1) - 2·s00)
+  with s11 = ΣC(|O|,2), s00 = n(n-1)/2 + s11 - ΣC(|C|,2) - ΣC(|D|,2).
+
+All three reduce to label-count-sized aggregations (cluster sizes + the
+pairwise-overlap contingency table) — pure groupBy/join/agg, no Python in
+the distributed part; the final scalar combine is a driver-side constant
+number of floats. At 10^9 vertices the contingency table is bounded by
+|ζ|·|η| REALIZED pairs (each vertex contributes one), so it shuffles at
+most n rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pairs(col):
+    return F.sum(F.col(col) * (F.col(col) - 1) / 2.0)
+
+
+def partition_measures(zeta: DataFrame, eta: DataFrame) -> dict[str, float]:
+    """{'nmi_distance', 'rand_distance', 'jaccard_distance'} between two
+    (id, label) partitions over the same vertex set."""
+    joined = (
+        zeta.select("id", F.col("label").alias("la"))
+        .join(eta.select("id", F.col("label").alias("lb")), "id")
+        .persist()
+    )
+    n = joined.count()
+    if n == 0:
+        return {"nmi_distance": 0.0, "rand_distance": 0.0, "jaccard_distance": 0.0}
+
+    sz = joined.groupBy("la").agg(F.count(F.lit(1)).alias("s"))
+    se = joined.groupBy("lb").agg(F.count(F.lit(1)).alias("s"))
+    ov = joined.groupBy("la", "lb").agg(F.count(F.lit(1)).alias("s"))
+
+    sum_z = sz.agg(_pairs("s")).first()[0] or 0.0
+    sum_e = se.agg(_pairs("s")).first()[0] or 0.0
+    sum_i = ov.agg(_pairs("s")).first()[0] or 0.0
+
+    mi = (
+        ov.join(sz.withColumnRenamed("s", "sc"), "la")
+        .join(se.withColumnRenamed("s", "sd"), "lb")
+        .agg(
+            F.sum(
+                (F.col("s") / n)
+                * F.log2(F.col("s") * F.lit(float(n)) / (F.col("sc") * F.col("sd")))
+            )
+        )
+        .first()[0]
+        or 0.0
+    )
+    h_z = sz.agg(F.sum(-(F.col("s") / n) * F.log2(F.col("s") / n))).first()[0] or 0.0
+    h_e = se.agg(F.sum(-(F.col("s") / n) * F.log2(F.col("s") / n))).first()[0] or 0.0
+    joined.unpersist()
+
+    h_sum = h_z + h_e
+    nmid = 0.0 if math.isclose(h_sum, 0.0, abs_tol=1e-12) else 1.0 - (2.0 * mi) / h_sum
+
+    a = n * (n - 1) / 2.0 + 2.0 * sum_i - (sum_z + sum_e)
+    rand = 1.0 - (2.0 * a) / (n * (n - 1)) if n > 1 else 0.0
+
+    s00 = n * (n - 1) / 2.0 + sum_i - (sum_z + sum_e)
+    divisor = n * (n - 1) - 2.0 * s00
+    jaccard = 1.0 - (2.0 * sum_i) / divisor if divisor > 0 else 0.0
+
+    return {
+        "nmi_distance": float(nmid),
+        "rand_distance": float(rand),
+        "jaccard_distance": float(jaccard),
+    }

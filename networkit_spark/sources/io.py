@@ -157,6 +157,27 @@ def write_edge_list(
     e.select(*cols).write.mode("overwrite").option("sep", sep).csv(path)
 
 
+def write_metis(graph: Graph, path: str) -> None:
+    """METIS adjacency format (io/METISGraphWriter.cpp): header ``n m``,
+    then one 1-indexed neighbor line per vertex in id order. Line order ==
+    vertex id, an inherently SEQUENTIAL contract — fixture-scale writer
+    (single local file via driver-side collect), the same scope as
+    read_metis; parquet/edge lists are the at-scale formats."""
+    n = graph.num_nodes()
+    m = graph.num_edges()
+    adj_rows = (
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list(F.col("dst") + 1)).alias("nbrs"))
+        .collect()
+    )
+    adj = {r["src"]: r["nbrs"] for r in adj_rows}
+    with open(path, "w") as f:
+        f.write(f"{n} {m}\n")
+        for u in range(n):
+            f.write(" ".join(str(x) for x in adj.get(u, [])) + "\n")
+
+
 def read_partition(spark: SparkSession, path: str) -> DataFrame:
     """labels(id, label) from the engine's parquet partition layout
     (PartitionReader analogue; the text label-per-line format does not

@@ -1,0 +1,68 @@
+"""Deterministic samplers (GraphTools.cpp:76-180 analogues), edge sorting,
+and the METIS writer roundtrip."""
+
+from networkit_spark.graph import from_edge_rows
+from networkit_spark.operators.sampling import (
+    random_neighbor,
+    sample_edges,
+    sample_nodes,
+    sort_edges_by_weight,
+)
+from networkit_spark.sources.io import read_metis, write_metis
+
+EDGES = [(0, 1, 2.0), (1, 2, 1.0), (2, 3, 3.0), (3, 0, 1.0), (1, 3, 5.0)]
+
+
+def test_sample_nodes_deterministic_and_uniformish(spark):
+    g = from_edge_rows(spark, EDGES)
+    a = [r["id"] for r in sample_nodes(g, 2, seed=7).collect()]
+    b = [r["id"] for r in sample_nodes(g, 2, seed=7).collect()]
+    assert a == b and len(a) == 2
+    c = [r["id"] for r in sample_nodes(g, 2, seed=8).collect()]
+    assert set(a) != set(c) or a != c or True  # different seed may differ
+    full = [r["id"] for r in sample_nodes(g, 10, seed=7).collect()]
+    assert sorted(full) == [0, 1, 2, 3]  # k > n returns all
+
+
+def test_sample_edges_canonical(spark):
+    g = from_edge_rows(spark, EDGES)
+    got = {(r["src"], r["dst"]) for r in sample_edges(g, 3, seed=1).collect()}
+    assert len(got) == 3
+    assert all(s <= d for s, d in got)
+    all_e = {(min(u, v), max(u, v)) for u, v, _ in EDGES}
+    assert got <= all_e
+
+
+def test_random_neighbor(spark):
+    g = from_edge_rows(spark, EDGES)
+    nb = random_neighbor(g, 1, seed=3)
+    assert nb in {0, 2, 3}
+    assert random_neighbor(g, 1, seed=3) == nb
+    # isolated vertex -> None
+    g2 = from_edge_rows(spark, [(0, 1)], num_nodes=3)
+    assert random_neighbor(g2, 2) is None
+
+
+def test_sort_edges_by_weight(spark):
+    g = from_edge_rows(spark, EDGES)
+    rows = sort_edges_by_weight(g, decreasing=True).collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r["src"], []).append((r["pos"], r["weight"], r["dst"]))
+    for src, lst in per_src.items():
+        lst.sort()
+        weights = [w for _, w, _ in lst]
+        assert weights == sorted(weights, reverse=True), src
+
+
+def test_metis_roundtrip(spark, tmp_path):
+    g = from_edge_rows(spark, [(u, v) for u, v, _ in EDGES])
+    path = str(tmp_path / "g.metis")
+    write_metis(g, path)
+    header = open(path).readline().split()
+    assert header == ["4", "5"]
+    g2 = read_metis(spark, path)
+    assert g2.num_nodes() == 4 and g2.num_edges() == 5
+    e1 = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    e2 = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert e1 == e2

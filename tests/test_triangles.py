@@ -80,3 +80,18 @@ def test_multi_edges_and_loops_ignored(spark):
     rows = [(0, 1), (0, 1), (1, 2), (0, 2), (1, 1)]
     g = from_edge_rows(spark, rows, num_nodes=3)
     assert global_triangle_count(g) == 1
+
+
+def test_approx_transitivity_close_to_exact(spark):
+    from networkit_spark.operators.triangles import (
+        approx_transitivity,
+        global_transitivity,
+    )
+    from networkit_spark.sources.generators import erdos_renyi
+
+    g = erdos_renyi(spark, n=120, p=0.15, seed=5)
+    exact = global_transitivity(g)
+    approx = approx_transitivity(g, samples_per_vertex=16, seed=7)
+    assert abs(approx - exact) < 0.08
+    # deterministic in seed
+    assert approx == approx_transitivity(g, samples_per_vertex=16, seed=7)
