@@ -59,23 +59,24 @@ def eigenvector_centrality(
             .agg(F.sum(F.col("score") * F.col("w")).alias("mass"))
             .withColumnRenamed("dst", "id")
         )
-        raw = (
-            graph.vertices.select("id")
+        # scores is vertex-complete: one left join carries raw AND old, so
+        # the norm and the convergence delta are SCANS of the materialized
+        # step — no per-superstep delta join (pagerank's old-carry shape)
+        step = state.advance(
+            iteration,
+            scores.withColumnRenamed("score", "old")
             .join(msgs, "id", "left")
-            .select("id", F.coalesce("mass", F.lit(0.0)).alias("raw"))
+            .select("id", F.coalesce("mass", F.lit(0.0)).alias("raw"), "old"),
         )
-        norm = raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).first()[0] or 1.0
-        new = state.advance(
-            iteration, raw.select("id", (F.col("raw") / norm).alias("score"))
-        )
-        delta = (
-            new.alias("a")
-            .join(scores.alias("b"), "id")
-            .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))))
-            .first()[0]
-            or 0.0
-        )
-        scores = new
+        norm = step.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw")))).first()[0] or 1.0
+        if tol > 0.0:
+            delta = (
+                step.agg(F.sum(F.abs(F.col("raw") / norm - F.col("old")))).first()[0]
+                or 0.0
+            )
+        else:
+            delta = float("inf")
+        scores = step.select("id", (F.col("raw") / norm).alias("score"))
         if delta <= tol or (max_iterations is not None and iteration >= max_iterations):
             break
 
@@ -113,25 +114,27 @@ def katz_centrality(
             .agg(F.sum(F.col("score") * F.col("w")).alias("mass"))
             .withColumnRenamed("dst", "id")
         )
-        new = state.advance(
+        # old score carried through the step projection — the convergence
+        # delta is a scan of the materialized step, not an extra join
+        step = state.advance(
             iteration,
-            graph.vertices.select("id")
+            scores.withColumnRenamed("score", "old")
             .join(msgs, "id", "left")
             .select(
                 "id",
                 (F.lit(beta) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias(
                     "score"
                 ),
+                "old",
             ),
         )
-        delta = (
-            new.alias("a")
-            .join(scores.alias("b"), "id")
-            .agg(F.sum(F.abs(F.col("a.score") - F.col("b.score"))))
-            .first()[0]
-            or 0.0
-        )
-        scores = new
+        if tol > 0.0:
+            delta = (
+                step.agg(F.sum(F.abs(F.col("score") - F.col("old")))).first()[0] or 0.0
+            )
+        else:
+            delta = float("inf")
+        scores = step.select("id", "score")
         if delta <= tol or (max_iterations is not None and iteration >= max_iterations):
             break
 
@@ -229,10 +232,11 @@ def core_decomposition(
 def bfs_hops(graph: Graph, source: int, max_iterations: int | None = None) -> DataFrame:
     """dist(id, dist) — unweighted hop distance from ``source``; unreachable
     vertices are ABSENT (ref: networkit/cpp/distance/BFS.cpp, 80 LoC; the
-    frontier superstep is the same shape as CC's active-set loop)."""
-    g = graph if graph.directed else graph
-    spark = g.vertices.sparkSession
-    edges = materialize(g.edges.select("src", "dst"))
+    frontier superstep is the same shape as CC's active-set loop).
+    Directed graphs follow OUT-edges only, matching BFS.cpp; undirected
+    graphs store both directions, so no symmetrization is needed here."""
+    spark = graph.vertices.sparkSession
+    edges = materialize(graph.edges.select("src", "dst"))
 
     dist = spark.createDataFrame([(int(source), 0)], "id long, dist long")
     dist = dist.localCheckpoint(eager=True)

@@ -58,7 +58,7 @@ def _move_phase(
     labels = state.advance(0, labels)
 
     sweep = 0
-    move_history: list[int] = []
+    seen_sigs: set[int] = set()
     while sweep < max_sweeps:
         sweep += 1
         comm_vol = (
@@ -134,16 +134,24 @@ def _move_phase(
         labels = new.select("id", "label")
         if exact_sweeps:
             continue
-        n_moved = new.filter("moved").count()
+        # one scan of the materialized sweep: move count + an exact state
+        # signature (order-insensitive hash of the (id, label) multiset)
+        row = new.agg(
+            F.sum(F.col("moved").cast("long")).alias("m"),
+            # xor-fold: order-insensitive, overflow-free under ANSI mode
+            F.expr("bit_xor(xxhash64(id, label))").alias("sig"),
+        ).first()
+        n_moved = row["m"] or 0
         if n_moved <= min_moves:
             break
         # synchronous sweeps can 2-cycle (a pair of nodes swapping
-        # communities forever — the async reference never faces this);
-        # a plateaued move count over 3 sweeps means oscillation, not
-        # progress, so stop at the current (already-improving) partition
-        move_history.append(n_moved)
-        if len(move_history) >= 3 and len(set(move_history[-3:])) == 1:
+        # communities forever — the async reference never faces this); a
+        # REVISITED partition state is a deterministic cycle, so stop.
+        # (The round-1 guard keyed on a plateaued move COUNT, which can
+        # also fire on legitimate constant-rate progress.)
+        if row["sig"] in seen_sigs:
             break
+        seen_sigs.add(row["sig"])
 
     result = labels.localCheckpoint(eager=True)
     state.close()

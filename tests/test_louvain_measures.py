@@ -84,3 +84,34 @@ def test_clustering_generators(spark):
     assert set(rnd.values()) <= {0, 1, 2}
     cont = _labels(make_continuous_balanced_partition(g, k=4))
     assert cont[0] == 0 and cont[7] == 3
+
+
+def test_cover_structure(spark):
+    from pyspark.sql import functions as F
+
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.cover import (
+        add_to_subset,
+        cover_coverage,
+        cover_from_partition,
+        in_same_subset,
+        number_of_subsets,
+        subset_sizes,
+        subsets_of,
+    )
+
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (2, 3)])
+    part = spark.createDataFrame([(0, 0), (1, 0), (2, 1)], "id long, label long")
+    c = cover_from_partition(part)
+    # node 2 joins subset 0 too -> overlapping membership
+    c = add_to_subset(c, spark.createDataFrame([(2,)], "id long"), 0)
+    sizes = {r["label"]: r["size"] for r in subset_sizes(c).collect()}
+    assert sizes == {0: 3, 1: 1}
+    assert number_of_subsets(c) == 2
+    labs = {
+        r["id"]: list(r["labels"])
+        for r in subsets_of(c, spark.range(4).select(F.col("id"))).collect()
+    }
+    assert labs[2] == [0, 1]
+    assert in_same_subset(c, 0, 2) and not in_same_subset(c, 0, 3)
+    assert cover_coverage(g, c) == 0.75  # node 3 uncovered
