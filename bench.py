@@ -53,7 +53,11 @@ def main() -> None:
     # transcript graph (seed=42, deterministic at any parallelism) ----------
     t = synth_transcripts(spark, n_convs=n_convs, n_tools=64, seed=42)
     vertices, edges = derive_edges(t)
-    g = Graph(vertices.select("id"), edges).with_cached_degrees()
+    from networkit_spark.plans.checkpoint import materialize
+
+    vertices = materialize(vertices.select("id"))
+    edges = materialize(edges)
+    g = Graph(vertices, edges).with_cached_degrees()
     directed_edges = g.edges.count()
 
     # fixed superstep count: the metric is steady-state per-superstep

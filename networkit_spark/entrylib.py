@@ -56,11 +56,15 @@ def events_edge_keys(ev: DataFrame) -> DataFrame:
 def events_graph(spark: SparkSession, sf_dir: str) -> tuple[Graph, DataFrame]:
     """(Graph, vertices-with-keys). weight kept DOUBLE end-to-end here so the
     DuckDB comparison is exact (counts are integral in double)."""
+    from networkit_spark.plans.checkpoint import materialize
+
     pairs = events_edge_keys(load(spark, sf_dir, "events"))
     keys = pairs.select(F.col("src_key").alias("key")).unionByName(
         pairs.select(F.col("dst_key").alias("key"))
     )
-    vertices = mint_dense_ids(keys).persist()
+    # materialize (not persist): every downstream action re-scans these;
+    # a checkpointed-RDD scan is ~10x an InMemoryRelation-over-AQE scan
+    vertices = materialize(mint_dense_ids(keys))
     da = vertices.withColumnRenamed("key", "src_key").withColumnRenamed("id", "src")
     db = vertices.withColumnRenamed("key", "dst_key").withColumnRenamed("id", "dst")
     half = (
@@ -68,9 +72,11 @@ def events_graph(spark: SparkSession, sf_dir: str) -> tuple[Graph, DataFrame]:
         .join(db, "dst_key")
         .select("src", "dst", F.col("weight").cast("float").alias("weight"))
     )
-    sym = half.unionByName(
-        half.filter(F.col("src") != F.col("dst")).select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+    sym = materialize(
+        half.unionByName(
+            half.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+            )
         )
     )
     return Graph(vertices.select("id"), sym, directed=False, weighted=True), vertices
@@ -98,13 +104,15 @@ def events_digraph(spark: SparkSession, sf_dir: str) -> tuple[Graph, DataFrame]:
         .groupBy("src_key", "dst_key")
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
     )
+    from networkit_spark.plans.checkpoint import materialize
+
     keys = pairs.select(F.col("src_key").alias("key")).unionByName(
         pairs.select(F.col("dst_key").alias("key"))
     )
-    vertices = mint_dense_ids(keys).persist()
+    vertices = materialize(mint_dense_ids(keys))
     da = vertices.withColumnRenamed("key", "src_key").withColumnRenamed("id", "src")
     db = vertices.withColumnRenamed("key", "dst_key").withColumnRenamed("id", "dst")
-    edges = (
+    edges = materialize(
         pairs.join(da, "src_key")
         .join(db, "dst_key")
         .select("src", "dst", F.col("weight").cast("float").alias("weight"))

@@ -38,7 +38,15 @@ def main() -> None:
 
     t = synth_transcripts(spark, n_convs=args.convs, n_tools=args.tools, seed=42)
     vertices, edges = derive_edges(t)
-    g = Graph(vertices.select("id"), edges).with_cached_degrees()
+    # materialize the derived tables ONCE: every downstream action (degree
+    # cache, edge count, out-table build) would otherwise re-run the whole
+    # synth->window->mint pipeline — build cost, not superstep cost, but
+    # it multiplies wall-clock at low core counts
+    from networkit_spark.plans.checkpoint import materialize
+
+    vertices = materialize(vertices.select("id"))
+    edges = materialize(edges)
+    g = Graph(vertices, edges).with_cached_degrees()
     directed_edges = g.edges.count()
 
     # interval = truncation-block size: supersteps chain lazily inside a
