@@ -120,17 +120,24 @@ def pagerank(
                 F.lit(0.0).alias("frac"),
             )
         )
-        # pre-shuffle the static side ONCE: the cached table's
-        # hash(src, P) output partitioning satisfies the superstep join's
-        # distribution requirement, so each superstep only exchanges the
-        # (vertex-sized) score vector — the edge-sized shuffle happens once
-        # per RUN instead of once per superstep. This is the single-machine
-        # analogue of bucketing the adjacency on a cluster.
+        # pre-shuffle the static side ONCE: cut the deep derivation plan
+        # (localCheckpoint), then repartition+persist the SHALLOW scan —
+        # the InMemoryRelation keeps hashpartitioning(src, P), so the
+        # superstep join re-exchanges only the (vertex-sized) score vector
+        # and the edge-sized shuffle happens once per RUN. (A checkpointed
+        # RDD alone loses outputPartitioning — Scan ExistingRDD gets an
+        # ENSURE_REQUIREMENTS exchange per superstep, measured as the
+        # scaling-efficiency killer at 43M edges; and persisting the deep
+        # AQE pipeline directly makes every cache scan ~10x slower.) This
+        # is the single-machine analogue of bucketing the adjacency.
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        out = out.repartition(n_part, "src")
-    from networkit_spark.plans.checkpoint import materialize
+        out = out.localCheckpoint(eager=True)
+        out = out.repartition(n_part, "src").persist()
+        out.count()
+    else:
+        from networkit_spark.plans.checkpoint import materialize
 
-    out = materialize(out)  # compute once; scanned every superstep
+        out = materialize(out)  # compute once; scanned every superstep
 
     csr = None
     if impl == "csr":
