@@ -99,6 +99,15 @@ def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(t,)], "transitivity double")
 
 
+def q_graph_triangle_edge_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.triangles import triangle_edge_scores
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return triangle_edge_scores(g).select(
+        "src", "dst", F.col("score").cast("bigint").alias("score")
+    )
+
+
 def q_graph_transitivity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.triangles import approx_transitivity
 
@@ -502,6 +511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_lcc": q_graph_lcc,
     "graph_transitivity": q_graph_transitivity,
     "graph_transitivity_approx": q_graph_transitivity_approx,
+    "graph_triangle_edge_scores": q_graph_triangle_edge_scores,
     "graph_top_entities": q_graph_top_entities,
     "graph_coarsen_by_community": q_graph_coarsen,
     "graph_modularity_lp": q_graph_modularity,
@@ -559,6 +569,7 @@ def build_oracles() -> dict[str, str]:
         "graph_lcc": L.sql_lcc(),
         "graph_transitivity": L.sql_transitivity(),
         "graph_transitivity_approx": L.sql_approx_transitivity(8, 42),
+        "graph_triangle_edge_scores": L.sql_triangle_edge_scores(),
         "graph_top_entities": L.sql_top_entities(20),
         "graph_coarsen_by_community": L.sql_coarsen_lp(LP_ITERS),
         "graph_modularity_lp": L.sql_modularity(LP_ITERS),

@@ -440,6 +440,24 @@ SELECT ROUND(SUM(w * closed) / SUM(w), 6) + 0.0 AS approx_transitivity FROM chk"
     )
 
 
+def sql_triangle_edge_scores() -> str:
+    """Per-canonical-edge triangle membership counts
+    (TriangleEdgeScore.cpp:63-105)."""
+    body = f""", {TRI_CTE.strip()},
+tri_edges AS (
+    SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+),
+canon_e AS (SELECT u, v FROM simple)
+SELECT c.u AS src, c.v AS dst, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS score
+FROM canon_e c
+LEFT JOIN (SELECT u, v, count(*) AS cnt FROM tri_edges GROUP BY u, v) t
+       ON t.u = c.u AND t.v = c.v
+ORDER BY c.u, c.v"""
+    return _with_graph(body.lstrip(", \n"))
+
+
 def sql_degrees() -> str:
     return _with_graph(
         f"{DEG_CTE.strip()} SELECT id, degree, wdeg FROM degrees ORDER BY id"

@@ -160,6 +160,105 @@ def erdos_renyi(
     return Graph(vertices, edges, directed=directed, weighted=False)
 
 
+def watts_strogatz(
+    spark: SparkSession, n: int, k: int, p: float, seed: int = 42
+) -> Graph:
+    """Small-world ring rewiring (generators/WattsStrogatzGenerator.cpp):
+    ring lattice n nodes x k nearest neighbors per side, then each lattice
+    edge is rewired with probability p to a uniform random target. One pass
+    of column expressions; the rewire draw and the new target are pure
+    functions of (seed, i, j), duplicate/self edges dropped (the reference
+    redraws sequentially; dropping preserves the degree statistics the
+    generator exists for)."""
+    base = spark.range(n).select(F.col("id").alias("i"))
+    offsets = F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j")
+    lattice = base.select("i", offsets)
+    rewire = _u01(seed * 7 + 1, "i", "j") < p
+    new_dst = (F.abs(F.xxhash64(F.lit(seed * 7 + 2), "i", "j")) % n).cast("long")
+    ring_dst = F.pmod(F.col("i") + F.col("j"), F.lit(n)).cast("long")
+    drawn = lattice.select(
+        F.col("i").alias("u"), F.when(rewire, new_dst).otherwise(ring_dst).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    half = (
+        drawn.select(F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"))
+        .distinct()
+        .select("src", "dst", F.lit(1.0).cast("float").alias("weight"))
+    )
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(vertices, sym, directed=False, weighted=False)
+
+
+def barabasi_albert(
+    spark: SparkSession, k: int, n_max: int, seed: int = 42, max_rounds: int = 64
+) -> Graph:
+    """Preferential attachment via the Batagelj-Brandes construction
+    (the same linear-time scheme behind generators/
+    BarabasiAlbertGenerator.cpp's batagelj mode): write the edge list as a
+    position array M of length 2m where M[2i] = source of edge i (node
+    i // k) and M[2i+1] = M[r_i] with r_i uniform in [0, 2i) — copying an
+    already-placed endpoint samples targets proportionally to degree.
+
+    The r_i are hash-drawn up front, so the only sequential dependency is
+    the pointer chain M[r_i], resolved DISTRIBUTEDLY by pointer-halving:
+    odd positions hold a ref to an earlier position; each round follows
+    refs one hop (odd -> its target's value, or its target's ref) until all
+    positions are grounded — geometric chain lengths make this converge in
+    a handful of join rounds."""
+    m = k * n_max
+    pos = spark.range(m).select(F.col("id").alias("i"))
+    # ref for odd position 2i+1: uniform in [0, 2i); position 1 grounds to 0
+    ref = F.when(
+        F.col("i") == 0, F.lit(0)
+    ).otherwise(F.abs(F.xxhash64(F.lit(seed * 13 + 5), "i")) % (2 * F.col("i")))
+    table = pos.select(
+        (F.col("i") * 2).alias("p"),
+        (F.col("i") / k).cast("long").alias("val"),
+        F.lit(None).cast("long").alias("ref"),
+    ).unionByName(
+        pos.select(
+            (F.col("i") * 2 + 1).alias("p"),
+            F.lit(None).cast("long").alias("val"),
+            ref.cast("long").alias("ref"),
+        )
+    )
+    table = table.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        unresolved = table.filter(F.col("val").isNull())
+        if unresolved.limit(1).count() == 0:
+            break
+        lookup = table.select(
+            F.col("p").alias("ref"), F.col("val").alias("tval"), F.col("ref").alias("tref")
+        )
+        table = (
+            table.join(lookup, "ref", "left")
+            .select(
+                "p",
+                F.coalesce("val", "tval").alias("val"),
+                F.when(F.col("val").isNotNull(), F.lit(None).cast("long"))
+                .otherwise(F.coalesce("tref", "ref"))
+                .alias("ref"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    half = (
+        table.select((F.col("p") / 2).cast("long").alias("i"), "p", "val")
+        .groupBy("i")
+        .agg(F.min_by("val", "p").alias("u"), F.max_by("val", "p").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"))
+        .distinct()
+        .select("src", "dst", F.lit(1.0).cast("float").alias("weight"))
+    )
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    vertices = spark.range(n_max).select(F.col("id").cast("long"))
+    return Graph(vertices, sym, directed=False, weighted=False)
+
+
 def clustered_random_graph(
     spark: SparkSession,
     n: int,

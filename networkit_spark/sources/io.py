@@ -178,6 +178,62 @@ def write_metis(graph: Graph, path: str) -> None:
             f.write(" ".join(str(x) for x in adj.get(u, [])) + "\n")
 
 
+def read_gml(spark: SparkSession, path: str) -> Graph:
+    """GML (io/GMLGraphReader.cpp): `graph [ directed d  node [ id i ]...
+    edge [ source u target v (weight w) ]... ]`. Fixture-scale driver-side
+    token parser (the reference's is single-threaded too); ids remapped to
+    dense longs in first-seen order, matching the reference's node map."""
+    toks = open(path).read().replace("[", " [ ").replace("]", " ] ").split()
+    directed = False
+    ids: dict[str, int] = {}
+    edges: list[tuple[int, int, float]] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t == "directed":
+            directed = toks[i + 1] == "1"
+            i += 2
+        elif t == "node":
+            j = toks.index("]", i)
+            block = toks[i:j]
+            nid = block[block.index("id") + 1]
+            ids.setdefault(nid, len(ids))
+            i = j + 1
+        elif t == "edge":
+            j = toks.index("]", i)
+            block = toks[i:j]
+            u = ids[block[block.index("source") + 1]]
+            v = ids[block[block.index("target") + 1]]
+            w = float(block[block.index("weight") + 1]) if "weight" in block else 1.0
+            edges.append((u, v, w))
+            i = j + 1
+        else:
+            i += 1
+    from networkit_spark.graph import from_edge_rows
+
+    return from_edge_rows(spark, edges, directed=directed, num_nodes=len(ids))
+
+
+def write_gml(graph: Graph, path: str) -> None:
+    """GML writer (io/GMLGraphWriter.cpp layout): canonical undirected
+    representatives once. Fixture-scale (driver collect)."""
+    n = graph.num_nodes()
+    e = graph.edges if graph.directed else graph.edges.filter(
+        F.col("src") <= F.col("dst")
+    )
+    rows = e.select("src", "dst", "weight").collect()
+    with open(path, "w") as f:
+        f.write("graph [\n")
+        f.write(f"  directed {1 if graph.directed else 0}\n")
+        for i in range(n):
+            f.write(f"  node [ id {i} ]\n")
+        for r in rows:
+            f.write(
+                f"  edge [ source {r['src']} target {r['dst']} weight {r['weight']} ]\n"
+            )
+        f.write("]\n")
+
+
 def read_partition(spark: SparkSession, path: str) -> DataFrame:
     """labels(id, label) from the engine's parquet partition layout
     (PartitionReader analogue; the text label-per-line format does not

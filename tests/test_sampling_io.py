@@ -66,3 +66,22 @@ def test_metis_roundtrip(spark, tmp_path):
     e1 = {(r["src"], r["dst"]) for r in g.edges.collect()}
     e2 = {(r["src"], r["dst"]) for r in g2.edges.collect()}
     assert e1 == e2
+
+
+def test_gml_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io import read_gml, write_gml
+
+    g = from_edge_rows(spark, [(0, 1, 2.0), (1, 2, 1.5), (0, 2, 1.0)])
+    path = str(tmp_path / "g.gml")
+    write_gml(g, path)
+    g2 = read_gml(spark, path)
+    assert g2.num_nodes() == 3 and not g2.directed
+    e1 = {(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()}
+    e2 = {(r["src"], r["dst"], r["weight"]) for r in g2.edges.collect()}
+    assert e1 == e2
+
+    gd = from_edge_rows(spark, [(0, 1), (1, 2)], directed=True)
+    pd = str(tmp_path / "d.gml")
+    write_gml(gd, pd)
+    gd2 = read_gml(spark, pd)
+    assert gd2.directed and gd2.num_edges() == 2

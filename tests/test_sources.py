@@ -116,3 +116,42 @@ def test_partition_roundtrip(spark, tmp_path):
     write_partition(labels, path)
     back = read_partition(spark, path)
     assert sorted(map(tuple, back.collect())) == [(0, 0), (1, 10)]
+
+
+def test_watts_strogatz(spark):
+    from networkit_spark.sources.generators import watts_strogatz
+
+    g = watts_strogatz(spark, n=60, k=3, p=0.1, seed=11)
+    assert g.num_nodes() == 60
+    m = g.num_edges()
+    assert 150 <= m <= 180  # n*k minus rewire collisions/dups
+    # determinism
+    g2 = watts_strogatz(spark, n=60, k=3, p=0.1, seed=11)
+    e1 = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    e2 = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert e1 == e2
+    # p=0 is exactly the ring lattice
+    ring = watts_strogatz(spark, n=20, k=2, p=0.0)
+    assert ring.num_edges() == 40
+    degs = {r["id"]: r["degree"] for r in ring.degrees().collect()}
+    assert set(degs.values()) == {4}
+
+
+def test_barabasi_albert(spark):
+    from networkit_spark.sources.generators import barabasi_albert
+
+    g = barabasi_albert(spark, k=2, n_max=200, seed=3)
+    assert g.num_nodes() == 200
+    m = g.num_edges()
+    assert 300 <= m <= 400  # ~k*n minus self/dup drops
+    degs = sorted(
+        (r["degree"] for r in g.degrees().collect()), reverse=True
+    )
+    # preferential attachment: heavy tail — max degree well above the mean
+    mean = sum(degs) / len(degs)
+    assert degs[0] > 4 * mean
+    # determinism
+    g2 = barabasi_albert(spark, k=2, n_max=200, seed=3)
+    e1 = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    e2 = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert e1 == e2
