@@ -65,7 +65,12 @@ def test_no_forced_vertex_sized_broadcasts():
         # file -> substrings that must appear on the broadcast line
         "operators/pagerank.py": ["F.broadcast(sc)"],  # gated by broadcast_scores
         "operators/components.py": ["F.broadcast(top)"],  # limit(1)
-        "functions/similarity.py": ["F.broadcast(q)"],  # query set, O(len(query_ids))
+        # query-set-sized tables, O(len(query_ids) [x n_tables])
+        "functions/similarity.py": [
+            "F.broadcast(q)",
+            "F.broadcast(qb)",
+            "F.broadcast(qv)",
+        ],
     }
     violations = []
     for py in pkg.rglob("*.py"):

@@ -89,8 +89,8 @@ def main() -> None:
 Same deterministic synthetic transcript graph (seed=42, n_convs={convs:,},
 n_tools=64, {results[sizes[0]]['directed_edges']:,} directed edge visits per
 superstep), same code path (`spark-submit --py-files networkit_spark.zip
-tools/bench_run.py`), PageRank {iters} fixed supersteps, shuffle partitions
-= 2x cores. Per-superstep wall = steady-state median (first superstep
+tools/bench_run.py`), PageRank {iters} fixed supersteps (chained fast path: one action per
+4-superstep block), shuffle partitions = max(2x cores, 32). Per-superstep wall = steady-state median (first superstep
 excluded as warmup).
 
 | parallelism | median superstep sec | edges/sec per superstep | total wall s |
