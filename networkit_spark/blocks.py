@@ -27,9 +27,10 @@ per-vertex aggregate — no second aggregation shuffle. AVX-512 gather /
 conflict-detect / reduce-scatter (ONLP.cpp:123-196) becomes np.searchsorted
 gather + np.add.reduceat segment reduction.
 
-At cluster scale the static side of the cogroup is kept co-partitioned by
-writing the block table bucketed by ``block``; on local mode the reshuffle
-of the (compact, array-packed) block rows is the cost of one narrow stage.
+The static side of the cogroup is cached pre-partitioned by ``block``
+(hashpartitioning survives the shallow persisted scan), so per superstep
+only the routed value rows shuffle — the cluster-scale bucketed layout,
+realized on local mode too.
 """
 
 from __future__ import annotations
@@ -83,15 +84,24 @@ class CsrBlocks:
         e = edges.select(
             "src", "dst", F.col(val_col).cast("double").alias("val")
         ).withColumn("block", F.pmod(F.xxhash64("dst"), F.lit(num_blocks)).cast("int"))
-        blocks = e.groupBy("block").applyInPandas(_pack_block, BLOCK_SCHEMA).persist()
-        route = e.select("block", "src").distinct().persist()
+        # cut the packing plan, then cache the SHALLOW scan pre-partitioned
+        # by block: the cogroup's required clustering is satisfied by the
+        # cache's hashpartitioning(block, P), so the packed block rows stop
+        # reshuffling into the cogroup every superstep (the bucketed-table
+        # layout the module docstring promises, realized on local mode too)
+        blocks = (
+            e.groupBy("block")
+            .applyInPandas(_pack_block, BLOCK_SCHEMA)
+            .localCheckpoint(eager=True)
+            .repartition(num_blocks, "block")
+            .persist()
+        )
         blocks.count()
-        route.count()
+        route = e.select("block", "src").distinct().localCheckpoint(eager=True)
         return CsrBlocks(blocks, route, num_blocks)
 
     def unpersist(self) -> None:
-        self.blocks.unpersist()
-        self.route.unpersist()
+        self.blocks.unpersist()  # route is checkpoint-backed; freed by GC
 
     # ---- kernels ---------------------------------------------------------
     def _cogroup(self, values: DataFrame, kernel, out_schema: str) -> DataFrame:
