@@ -161,3 +161,28 @@ def betweenness(
     state.close()
     bstate.close()
     return bc
+
+
+def estimate_betweenness(
+    graph: Graph,
+    n_samples: int,
+    seed: int = 42,
+    normalized: bool = False,
+    max_depth: int | None = None,
+) -> DataFrame:
+    """Sampled-source betweenness estimate
+    (centrality/EstimateBetweenness.cpp: uniform random sources, per-source
+    dependencies scaled by n/|S|). Sources are drawn by the deterministic
+    hash ranking (operators/sampling.py), so the estimate is a pure
+    function of (seed, graph) — replayable at any parallelism. This is the
+    100 TB path: state O(n_samples x n) instead of O(n^2)."""
+    from networkit_spark.operators.sampling import sample_nodes
+
+    srcs = [r["id"] for r in sample_nodes(graph, n_samples, seed).collect()]
+    return betweenness(
+        graph,
+        sources=srcs,
+        normalized=normalized,
+        scale_to_n=True,
+        max_depth=max_depth,
+    )

@@ -101,3 +101,21 @@ def test_diameter_family(spark):
     assert ds <= 4 and ds >= 3  # double sweep is a lower bound
     assert effective_diameter(g, ratio=1.0) == 4
     assert effective_diameter(g, ratio=0.1) >= 1
+
+
+def test_estimate_betweenness_sampled(spark):
+    from networkit_spark.operators.betweenness import estimate_betweenness
+
+    g = from_edge_rows(spark, EDGES)
+    exact = _scores(betweenness(g))
+    # full-size sample == exact (scale factor n/n = 1)
+    est_full = _scores(estimate_betweenness(g, n_samples=N, seed=1))
+    for i in range(N):
+        assert est_full[i] == pytest.approx(exact[i])
+    # deterministic in seed; partial sample preserves the dominant vertex
+    a = _scores(estimate_betweenness(g, n_samples=4, seed=5))
+    b = _scores(estimate_betweenness(g, n_samples=4, seed=5))
+    assert a == b
+    # exact has a 1/2 tie at 18.0 — the sampled argmax must land in that set
+    top2 = sorted(exact, key=exact.get, reverse=True)[:2]
+    assert max(a, key=a.get) in top2
