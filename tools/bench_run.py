@@ -19,6 +19,7 @@ def main() -> None:
     ap.add_argument("--tools", type=int, default=64)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--interval", type=int, default=4)
+    ap.add_argument("--impl", default="expr", choices=["expr", "csr"])
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -56,7 +57,8 @@ def main() -> None:
         tempfile.mkdtemp(prefix="bench-cp-"), durable=False, interval=args.interval
     )
     t0 = time.time()
-    pagerank(g, tol=0.0, max_iterations=args.iters, checkpoint=cp, broadcast_scores=False)
+    pagerank(g, tol=0.0, max_iterations=args.iters, checkpoint=cp,
+             broadcast_scores=False, impl=args.impl)
     total = time.time() - t0
 
     from networkit_spark.plans.checkpoint import per_superstep_seconds
@@ -68,6 +70,7 @@ def main() -> None:
         if m["algo"] == "pagerank"
     ]
     out = {
+        "impl": args.impl,
         "cores": args.cores,
         "convs": args.convs,
         "directed_edges": directed_edges,
