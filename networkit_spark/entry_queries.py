@@ -498,6 +498,77 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+# ---- sparsification / correlation / matching / effective diameter --------
+
+
+def q_graph_sparsify_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators import sparsification as sp
+
+    g, _ = L.events_graph(spark, sf_dir)
+    rand = sp.random_edge_score(g, seed=42).withColumnRenamed("score", "rand_score")
+    scan = sp.scan_similarity_score(g).withColumnRenamed("score", "scan_score")
+    chance = sp.chance_corrected_triangle_score(g).withColumnRenamed(
+        "score", "chance_score"
+    )
+    ld = sp.local_degree_score(g).withColumnRenamed("score", "local_degree")
+    ls = sp.local_similarity_score(g).withColumnRenamed("score", "local_sim")
+    keys = ["src", "dst"]
+    return (
+        rand.join(scan, keys).join(chance, keys).join(ld, keys).join(ls, keys)
+    )
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.correlation import (
+        degree_assortativity,
+        nominal_assortativity,
+    )
+
+    g, verts = L.events_graph(spark, sf_dir)
+    # vertex TYPE (user vs event-type entity) is the graph's real nominal
+    # attribute — the partition the reference's nominal mode is for
+    labels = verts.select(
+        "id",
+        F.when(F.col("key").startswith("user:"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("label"),
+    )
+    dr = round(degree_assortativity(g), 6) + 0.0
+    nr = round(nominal_assortativity(g, labels), 6) + 0.0
+    return spark.createDataFrame(
+        [(dr, nr)], "degree_assort double, nominal_assort double"
+    )
+
+
+def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.matching import local_max_matching
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return local_max_matching(g).select(
+        "u", "v", F.col("weight").cast("double").alias("weight")
+    )
+
+
+def q_graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distance import effective_diameter
+
+    g, _ = L.events_graph(spark, sf_dir)
+    d = effective_diameter(g, ratio=0.9)
+    return spark.createDataFrame([(d,)], "eff_diameter bigint")
+
+
+def q_embed_near_dup(spark, sf_dir):
+    emb = L.load(spark, sf_dir, "embeddings")
+    return similarity.embed_near_dup_pairs(emb, threshold=0.2, nbits=8, n_tables=2)
+
+
+def q_embed_ivf_ann(spark, sf_dir):
+    emb = L.load(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(
+        emb, query_ids=list(range(5)), k=3, n_cells=8, nprobe=2
+    )
+
+
 # ---- registry -------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -541,6 +612,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "community_conductance": q_community_conductance,
     "community_stability": q_community_stability,
     "gen_rmat_invariants": q_gen_rmat_invariants,
+    "graph_sparsify_scores": q_graph_sparsify_scores,
+    "graph_assortativity": q_graph_assortativity,
+    "graph_matching": q_graph_matching,
+    "graph_effective_diameter": q_graph_effective_diameter,
+    "dedup_embed_pairs": q_embed_near_dup,
+    "embed_ivf_ann": q_embed_ivf_ann,
     "text_token_stats": q_token_stats,
     "text_quality": q_quality,
     "text_lang_id": q_lang_id,
@@ -600,6 +677,12 @@ def build_oracles() -> dict[str, str]:
             f"CAST({2 * (1 << RMAT_SCALE) * RMAT_EF} AS BIGINT) AS degree_sum, "
             f"CAST(0 AS BIGINT) AS out_of_range"
         ),
+        "graph_sparsify_scores": L.sql_sparsify_scores(42),
+        "graph_assortativity": L.sql_assortativity(),
+        "graph_matching": L.sql_matching(16),
+        "graph_effective_diameter": L.sql_effective_diameter(APSP_ITERS, 0.9),
+        "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
+        "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),
         "community_coverage": L.sql_coverage(LP_ITERS),
         "community_edgecut": L.sql_edgecut(LP_ITERS),

@@ -1351,3 +1351,285 @@ JOIN sdeg dv ON dv.id = c.v
 WHERE c.cn >= 1
 ORDER BY c.u, c.v"""
     )
+
+
+# ---- sparsification edge scores (sparsification/*.cpp) ---------------------
+
+def sql_sparsify_scores(seed: int = 42) -> str:
+    """Mirror of operators/sparsification.py: per canonical simple edge the
+    five backbone scores (random / SCAN / chance-corrected-triangle /
+    local-degree / local-similarity), all on simple-support degrees."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    rand = md5_long_sql(
+        f"('{seed}:re:' || CAST(b.u AS STRING) || ':' || CAST(b.v AS STRING))"
+    )
+    body = f""", {TRI_CTE.strip()},
+tri_edges AS (
+    SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+),
+tscore AS (
+    SELECT c.u, c.v, CAST(COALESCE(t.cnt, 0) AS BIGINT) AS tri
+    FROM simple c
+    LEFT JOIN (SELECT u, v, count(*) AS cnt FROM tri_edges GROUP BY u, v) t
+           ON t.u = c.u AND t.v = c.v
+),
+sdeg AS (SELECT a AS id, count(*) AS deg FROM und GROUP BY a),
+base AS MATERIALIZED (
+    SELECT ts.u, ts.v, ts.tri, du.deg AS ud, dv.deg AS vd
+    FROM tscore ts JOIN sdeg du ON du.id = ts.u JOIN sdeg dv ON dv.id = ts.v
+),
+nn AS (SELECT count(*) AS n FROM vertices),
+ldd AS (
+    SELECT d.a AS node, d.b AS nbr, dn.deg AS ndeg, dj.deg AS nbrdeg
+    FROM und d JOIN sdeg dn ON dn.id = d.a JOIN sdeg dj ON dj.id = d.b
+),
+ld AS (
+    SELECT least(node, nbr) AS u, greatest(node, nbr) AS v,
+           MAX(CASE WHEN ndeg <= 1 THEN 1.0
+                    ELSE 1.0 - ln(CAST(rnk AS DOUBLE)) / ln(CAST(ndeg AS DOUBLE)) END) AS e
+    FROM (
+        SELECT node, nbr, ndeg,
+               rank() OVER (PARTITION BY node ORDER BY nbrdeg DESC) AS rnk
+        FROM ldd
+    ) GROUP BY 1, 2
+),
+lsd AS (
+    SELECT u AS node, v AS nbr, ud AS ndeg,
+           CAST(tri AS DOUBLE) / (ud + vd - tri) AS sim FROM base
+    UNION ALL
+    SELECT v, u, vd, CAST(tri AS DOUBLE) / (ud + vd - tri) FROM base
+),
+ls AS (
+    SELECT least(node, nbr) AS u, greatest(node, nbr) AS v,
+           MAX(CASE WHEN ndeg <= 1 THEN 1.0
+                    ELSE 1.0 - ln(CAST(rn AS DOUBLE)) / ln(CAST(ndeg AS DOUBLE)) END) AS e
+    FROM (
+        SELECT node, nbr, ndeg,
+               row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr ASC) AS rn
+        FROM lsd
+    ) GROUP BY 1, 2
+)
+SELECT b.u AS src, b.v AS dst,
+       ROUND({rand} / 281474976710656.0, 9) AS rand_score,
+       ROUND((b.tri + 1.0) / sqrt((b.ud + 1.0) * (b.vd + 1.0)), 6) AS scan_score,
+       ROUND(CASE WHEN b.tri > 0
+                  THEN b.tri * (nn.n - 2.0) / ((b.ud - 1.0) * (b.vd - 1.0))
+                  WHEN b.ud = 1 OR b.vd = 1 THEN 1.0
+                  ELSE 0.0 END, 6) AS chance_score,
+       ROUND(ld.e, 6) AS local_degree,
+       ROUND(ls.e, 6) AS local_sim
+FROM base b
+CROSS JOIN nn
+JOIN ld ON ld.u = b.u AND ld.v = b.v
+JOIN ls ON ls.u = b.u AND ls.v = b.v
+ORDER BY b.u, b.v"""
+    return _with_graph(body.lstrip(", \n"))
+
+
+# ---- assortativity (correlation/Assortativity.cpp) -------------------------
+
+def sql_assortativity() -> str:
+    """One row: degree assortativity (ordinal Pearson over the symmetric
+    simple edge set — all moments are exact integers, so the ratio is
+    deterministic across engines) + nominal assortativity of the vertex-TYPE
+    partition (user vs event-type entities — the graph's real nominal
+    attribute) in the exact integer form (diag·m − Σ ra·rb)/(m² − Σ ra·rb)."""
+    body = f"""vtype AS (
+    SELECT id, CASE WHEN key LIKE 'user:%' THEN 0 ELSE 1 END AS label FROM dict
+),
+usim AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+adeg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS x FROM usim GROUP BY src),
+pairsx AS (
+    SELECT du.x AS xs, dv.x AS xd
+    FROM usim u JOIN adeg du ON du.id = u.src JOIN adeg dv ON dv.id = u.dst
+),
+ost AS (
+    SELECT CAST(count(*) AS DOUBLE) AS m, SUM(xs) AS sx,
+           SUM(xs * xd) AS sxy, SUM(xs * xs) AS sxx
+    FROM pairsx
+),
+lab AS (
+    SELECT lu.label AS ls, lv.label AS ld
+    FROM usim u
+    JOIN vtype lu ON lu.id = u.src
+    JOIN vtype lv ON lv.id = u.dst
+),
+cells AS MATERIALIZED (SELECT ls, ld, count(*) AS c FROM lab GROUP BY ls, ld),
+nm AS (SELECT SUM(c) AS m FROM cells),
+ndiag AS (SELECT COALESCE(SUM(c), 0) AS d FROM cells WHERE ls = ld),
+rr AS (
+    SELECT SUM(a.ra * b.rb) AS s
+    FROM (SELECT ls, SUM(c) AS ra FROM cells GROUP BY ls) a
+    JOIN (SELECT ld, SUM(c) AS rb FROM cells GROUP BY ld) b ON b.ld = a.ls
+)
+SELECT ROUND((ost.sxy - ost.sx * ost.sx / ost.m)
+             / (ost.sxx - ost.sx * ost.sx / ost.m), 6) AS degree_assort,
+       ROUND(CAST(ndiag.d * nm.m - rr.s AS DOUBLE)
+             / CAST(nm.m * nm.m - rr.s AS DOUBLE), 6) AS nominal_assort
+FROM ost, nm, ndiag, rr"""
+    return _with_graph(body)
+
+
+# ---- local-max matching (matching/LocalMaxMatcher.cpp) ---------------------
+
+def sql_matching(rounds: int = 16) -> str:
+    """Unrolled local-max matching rounds under the deterministic
+    (w, u, v)-max total order; converged rounds are no-ops, so ``rounds``
+    only needs to exceed the actual round count at this scale."""
+    ctes = [
+        """rem0 AS MATERIALIZED (
+    SELECT least(src, dst) AS u, greatest(src, dst) AS v, MAX(weight) AS w
+    FROM edges WHERE src <> dst GROUP BY 1, 2
+)"""
+    ]
+    agrees = []
+    for r in range(rounds):
+        ctes.append(
+            f"""d{r} AS (
+    SELECT u AS node, u, v, w FROM rem{r}
+    UNION ALL SELECT v, u, v, w FROM rem{r}
+),
+best{r} AS (
+    SELECT node, u, v FROM (
+        SELECT node, u, v,
+               row_number() OVER (PARTITION BY node ORDER BY w DESC, u DESC, v DESC) AS rn
+        FROM d{r}
+    ) WHERE rn = 1
+),
+agree{r} AS MATERIALIZED (
+    SELECT r.u, r.v, r.w FROM rem{r} r
+    JOIN best{r} b1 ON b1.node = r.u AND b1.u = r.u AND b1.v = r.v
+    JOIN best{r} b2 ON b2.node = r.v AND b2.u = r.u AND b2.v = r.v
+),
+mv{r} AS (SELECT u AS id FROM agree{r} UNION SELECT v FROM agree{r}),
+rem{r + 1} AS MATERIALIZED (
+    SELECT * FROM rem{r}
+    WHERE u NOT IN (SELECT id FROM mv{r}) AND v NOT IN (SELECT id FROM mv{r})
+)"""
+        )
+        agrees.append(f"SELECT u, v, w FROM agree{r}")
+    body = ", ".join(ctes) + f"""
+SELECT u, v, CAST(w AS DOUBLE) AS weight FROM ({' UNION ALL '.join(agrees)})
+ORDER BY u"""
+    return _with_graph(body)
+
+
+# ---- effective diameter (distance/EffectiveDiameter.cpp) -------------------
+
+def sql_effective_diameter(iters: int, ratio: float = 0.9) -> str:
+    body = ", ".join(_apsp_ctes(iters)) + f""",
+hist AS (SELECT dist, count(*) AS c FROM ap{iters} WHERE dist > 0 GROUP BY dist),
+tot AS (SELECT SUM(c) AS t FROM hist),
+cum AS (SELECT dist, SUM(c) OVER (ORDER BY dist) AS cc FROM hist)
+SELECT CAST(MIN(dist) AS BIGINT) AS eff_diameter
+FROM cum, tot WHERE cc >= {ratio} * t"""
+    return _with_graph(body)
+
+
+# ---- embedding near-dup pairs + IVF ANN ------------------------------------
+
+def _lsh_bucket_tables_sql(nbits: int, n_tables: int, seed: int, dim: int) -> str:
+    from networkit_spark.functions.similarity import hyperplanes
+
+    planes = hyperplanes(dim, nbits, n_tables, seed)
+    tables = []
+    for t, tbl in enumerate(planes):
+        bits = []
+        for i, plane in enumerate(tbl):
+            lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+            dot = (
+                f"list_reduce(list_transform(list_zip(e, {lits}),"
+                " p -> p[1] * p[2]), (a, b) -> a + b)"
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {2 ** i} ELSE 0 END)")
+        tables.append(
+            f"SELECT vec_id, CAST({t} AS INT) AS tbl,"
+            f" CAST({' + '.join(bits)} AS BIGINT) AS bucket FROM norms"
+        )
+    return " UNION ALL ".join(tables)
+
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]),"
+    " (x, y) -> x + y)"
+)
+
+
+def sql_embed_near_dup(
+    threshold: float = 0.9,
+    nbits: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+) -> str:
+    """Mirror of similarity.embed_near_dup_pairs: sign-LSH candidate union,
+    exact cosine filter at the threshold."""
+    dot = _DOT.format(a="qa.e", b="qb.e")
+    return f"""WITH {EMB_CTE},
+withb AS MATERIALIZED ({_lsh_bucket_tables_sql(nbits, n_tables, seed, dim)}),
+cand AS (
+    SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+    FROM withb l JOIN withb r ON r.tbl = l.tbl AND r.bucket = l.bucket
+    WHERE l.vec_id < r.vec_id
+),
+sims AS (
+    SELECT cd.a, cd.b,
+           ROUND({dot} / (qa.nrm * qb.nrm), 6) AS sim
+    FROM cand cd
+    JOIN norms qa ON qa.vec_id = cd.a
+    JOIN norms qb ON qb.vec_id = cd.b
+)
+SELECT a, b, sim FROM sims WHERE sim >= {threshold} ORDER BY a, b"""
+
+
+def sql_ivf_ann(
+    n_queries: int = 5, k: int = 3, n_cells: int = 8, nprobe: int = 2
+) -> str:
+    """Mirror of similarity.ivf_ann_topk: sampled-vector centroids
+    (vec_id < n_cells), nearest-cell inverted lists, nprobe probing, exact
+    cosine re-rank within the probed cells."""
+    adot = _DOT.format(a="n.e", b="c.cv")
+    rdot = _DOT.format(a="q.e", b="c.e")
+    return f"""WITH {EMB_CTE},
+cells AS MATERIALIZED (
+    SELECT vec_id AS cell, e AS cv, nrm AS cnrm FROM norms WHERE vec_id < {n_cells}
+),
+asim AS MATERIALIZED (
+    SELECT n.vec_id, c.cell,
+           ROUND({adot} / (n.nrm * c.cnrm), 6) AS csim
+    FROM norms n CROSS JOIN cells c
+),
+lists AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+        FROM asim
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+        FROM asim WHERE vec_id < {n_queries}
+    ) WHERE rn <= {nprobe}
+),
+cand AS (
+    SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id
+    FROM probes p JOIN lists l ON l.cell = p.cell
+    WHERE l.vec_id <> p.query_id
+),
+sims AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           ROUND({rdot} / (q.nrm * c.nrm), 6) AS sim
+    FROM cand cd
+    JOIN norms q ON q.vec_id = cd.query_id
+    JOIN norms c ON c.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, sim FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+    ) AS rn FROM sims
+) WHERE rn <= {k}"""

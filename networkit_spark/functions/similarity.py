@@ -163,3 +163,182 @@ def lsh_ann_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+# -- embedding near-duplicate detection --------------------------------------
+
+def embed_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    nbits: int = 8,
+    n_tables: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, sim) with a < b — embedding-cosine near-duplicate pairs: the
+    candidate set is the union over sign-LSH tables of same-bucket pairs
+    (equi-join per table, never all-pairs), then the exact cosine filters at
+    ``threshold``. This is the embedding analogue of the MinHash band join in
+    functions/dedup.py — the scale path for near-dup mining over 10^10
+    documents, where brute force is O(n^2) and the banded join is
+    O(sum bucket^2) with bucket width controlled by nbits."""
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).limit(1).first()
+        dim = int(first["d"]) if first else 0
+    b = sign_lsh_buckets(emb, dim, nbits, n_tables, seed, id_col, vec_col)
+    lhs = b.select(F.col("vec_id").alias("a"), "tbl", "bucket")
+    rhs = b.select(F.col("vec_id").alias("b"), "tbl", "bucket")
+    cand = (
+        lhs.join(rhs, ["tbl", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("av"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bv"))
+    sims = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                _dot(F.col("av"), F.col("bv"))
+                / (_norm(F.col("av")) * _norm(F.col("bv"))),
+                6,
+            ).alias("sim"),
+        )
+    )
+    return sims.filter(F.col("sim") >= threshold)
+
+
+# -- IVF (inverted-file) approximate nearest neighbours ----------------------
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, cv) — sampled-vector coarse quantizer: the first ``n_cells``
+    vectors by id serve as cell centroids. Sampling training points as
+    centroids is the standard cheap quantizer init (k-means training is a
+    separate offline step — see lloyd_refine); sampled centroids keep the
+    whole index a pure function of the data, which the correctness oracle
+    reproduces exactly."""
+    return emb.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+    )
+
+
+def _nearest_cells(vecs: DataFrame, cent: DataFrame, n_take: int, key: str) -> DataFrame:
+    """Per input vector, the ``n_take`` nearest centroids by rounded cosine
+    (ties to the lower cell id). Centroid table is tiny -> broadcast."""
+    sims = F.broadcast(cent).crossJoin(vecs).select(
+        key,
+        "cell",
+        F.round(
+            _dot(F.col("iv"), F.col("cv")) / (_norm(F.col("iv")) * _norm(F.col("cv"))),
+            6,
+        ).alias("csim"),
+    )
+    w = Window.partitionBy(key).orderBy(F.desc("csim"), F.asc("cell"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_take)
+        .select(key, "cell")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    cent: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell) — the inverted lists: every vector assigned to its
+    nearest centroid. One broadcast-join + one per-vector argmax; at 100 TB
+    this is the single full scan that builds the index."""
+    vecs = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("iv"))
+    return _nearest_cells(vecs, cent, 1, "nid").withColumnRenamed("nid", "vec_id")
+
+
+def lloyd_refine(
+    emb: DataFrame,
+    cent: DataFrame,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-or-more Lloyd (k-means) refinement steps over the coarse
+    quantizer: re-assign, then recompute each centroid as the coordinate-wise
+    mean of its members (posexplode -> groupBy(cell, pos) avg -> re-collect).
+    Distributed training path for the IVF index; NOT used by the correctness
+    gate (float summation order makes cross-engine bit-equality of means
+    unreliable) — pytest checks it against a numpy k-means step instead."""
+    for _ in range(iterations):
+        assign = ivf_assign(emb, cent, id_col, vec_col)
+        member = assign.join(
+            emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("mv")),
+            "vec_id",
+        )
+        coords = member.select("cell", F.posexplode("mv").alias("pos", "val"))
+        means = coords.groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+        cent = (
+            means.groupBy("cell")
+            .agg(F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cell",
+                F.transform(F.col("pm"), lambda s: s["m"].cast("float")).alias("cv"),
+            )
+        )
+    return cent
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, sim) — IVF-Flat search: each query probes its
+    ``nprobe`` nearest cells and exact-reranks only those cells' members.
+    Cost per query is (n/n_cells)*nprobe candidate dot products instead of n;
+    the candidate fetch is an equi-join on cell (co-partitioned with the
+    inverted lists), never a cross join against the corpus."""
+    cent = ivf_centroids(emb, n_cells, id_col, vec_col)
+    lists = ivf_assign(emb, cent, id_col, vec_col).withColumnRenamed("vec_id", "nid")
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("iv")
+    )
+    probes = _nearest_cells(q, cent, nprobe, "query_id")
+    cand = (
+        F.broadcast(probes)
+        .join(lists, "cell")
+        .filter(F.col("query_id") != F.col("nid"))
+        .select("query_id", "nid")
+        .distinct()
+    )
+    qv = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    vecs = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    sims = cand.join(F.broadcast(qv), "query_id").join(vecs, "nid").select(
+        "query_id",
+        F.col("nid").alias("neighbor_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv"))),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )

@@ -1,0 +1,211 @@
+"""Edge-score sparsification family (ref: networkit/cpp/sparsification/).
+
+The reference computes a per-edge "cohesion" score, then keeps the edges
+above a global threshold (GlobalThresholdFilter.cpp) — the standard backbone
+extraction pipeline. Every score here is a pure DataFrame expression over
+the canonical (src < dst) undirected edge table joined with degrees and the
+per-edge triangle counts the engine already produces — one or two joins, a
+window where the reference ranks neighborhoods, zero Python.
+
+Scale notes: scores are edge-partitioned (no vertex-sized broadcast, no
+collect); the ranking scores (local_degree, local_similarity) shuffle once
+on the neighborhood key, which is the same key the adjacency is already
+hashed on. At 10^9 vertices the window over a hub's neighborhood is a
+single skewed partition — the same skew AQE already splits for the triangle
+joins; ranks are computed per-(node) group and hubs cap at deg(max) rows.
+
+Scores implemented (semantics per the cited reference file):
+  random_edge_score        RandomEdgeScore.cpp:17-24 (seeded-hash determinism
+                           instead of Aux::Random so oracles reproduce it)
+  scan_similarity_score    SCANStructuralSimilarityScore.cpp:11-14
+  chance_corrected_triangle_score  ChanceCorrectedTriangleScore.cpp:22-29
+  local_degree_score       LocalDegreeScore.cpp:39-80 (competition rank of
+                           neighbors by degree desc; max over endpoints)
+  local_similarity_score   LocalSimilarityScore.cpp:29-70 (row-number rank of
+                           neighbors by per-edge Jaccard desc; reference
+                           leaves tie order unspecified — we pin neighbor-id
+                           asc so both engines agree)
+  global_threshold_filter  GlobalThresholdFilter.cpp (keep score >= threshold)
+
+ForestFireScore (random-walk simulation) and SimmelianOverlapScore (ranked
+top-k overlap) are documented out of scope for this round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.functions.hashing import md5_long_sql
+from networkit_spark.operators.triangles import triangle_edge_scores
+
+_HASH_SPAN = float(1 << 48)
+
+
+def canonical_edges(graph: Graph) -> DataFrame:
+    """One row per undirected simple edge: (src < dst)."""
+    g = graph.to_undirected() if graph.directed else graph
+    return (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def random_edge_score(graph: Graph, seed: int = 42) -> DataFrame:
+    """(src, dst, score) — uniform [0,1) per canonical edge, a pure function
+    of (seed, src, dst) via the cross-engine 48-bit hash (the deterministic
+    analogue of RandomEdgeScore.cpp:17-24's Aux::Random::probability)."""
+    h = F.expr(
+        md5_long_sql(
+            f"('{seed}:re:' || CAST(src AS STRING) || ':' || CAST(dst AS STRING))"
+        )
+    )
+    return canonical_edges(graph).select(
+        "src", "dst", F.round(h / F.lit(_HASH_SPAN), 9).alias("score")
+    )
+
+
+def _with_tri_and_deg(graph: Graph) -> DataFrame:
+    """(src, dst, tri, sdeg, ddeg) per canonical edge — the shared input of
+    the triangle-derived scores. Degrees are the undirected simple-support
+    out-degrees the orientation already used."""
+    tri = triangle_edge_scores(graph)
+    g = graph.to_undirected() if graph.directed else graph
+    deg = (
+        g.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        tri.withColumnRenamed("score", "tri")
+        .join(deg.withColumnRenamed("id", "src").withColumnRenamed("deg", "sdeg"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("deg", "ddeg"), "dst")
+    )
+
+
+def scan_similarity_score(graph: Graph) -> DataFrame:
+    """(src, dst, score) — SCAN structural similarity
+    (t+1)/sqrt((deg(u)+1)(deg(v)+1)), SCANStructuralSimilarityScore.cpp:11-14."""
+    e = _with_tri_and_deg(graph)
+    return e.select(
+        "src",
+        "dst",
+        F.round(
+            (F.col("tri") + 1.0)
+            / F.sqrt((F.col("sdeg") + 1.0) * (F.col("ddeg") + 1.0)),
+            6,
+        ).alias("score"),
+    )
+
+
+def chance_corrected_triangle_score(graph: Graph) -> DataFrame:
+    """(src, dst, score) — t(n-2)/((deg(u)-1)(deg(v)-1)) when t > 0, 1.0 when
+    either endpoint has degree 1, else 0 (ChanceCorrectedTriangleScore.cpp:22-29).
+    n is the graph's vertex count."""
+    n = graph.num_nodes()
+    e = _with_tri_and_deg(graph)
+    return e.select(
+        "src",
+        "dst",
+        F.round(
+            F.when(
+                F.col("tri") > 0,
+                F.col("tri") * F.lit(float(n - 2))
+                / ((F.col("sdeg") - 1.0) * (F.col("ddeg") - 1.0)),
+            )
+            .when((F.col("sdeg") == 1) | (F.col("ddeg") == 1), F.lit(1.0))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("score"),
+    )
+
+
+def _rank_exponent(per_direction: DataFrame, order_cols: list, use_row_number: bool) -> DataFrame:
+    """Shared shape of LocalDegreeScore / LocalSimilarityScore: per directed
+    neighborhood (partition by node) rank neighbors, exponent
+    e = 1 - ln(rank)/ln(deg) (1.0 when deg <= 1), then per canonical edge
+    keep the max over the two directions (the reference's atomic_max)."""
+    w = Window.partitionBy("node").orderBy(*order_cols)
+    rank_fn = F.row_number() if use_row_number else F.rank()
+    ranked = per_direction.withColumn("rnk", rank_fn.over(w))
+    scored = ranked.select(
+        F.least("node", "nbr").alias("src"),
+        F.greatest("node", "nbr").alias("dst"),
+        F.when(F.col("ndeg") <= 1, F.lit(1.0))
+        .otherwise(1.0 - F.log(F.col("rnk").cast("double")) / F.log(F.col("ndeg").cast("double")))
+        .alias("e"),
+    )
+    return scored.groupBy("src", "dst").agg(F.round(F.max("e"), 6).alias("score"))
+
+
+def local_degree_score(graph: Graph) -> DataFrame:
+    """(src, dst, score) — LocalDegreeScore.cpp:39-80: from each endpoint i,
+    competition-rank i's neighbors j by deg(j) descending (ties share the
+    min rank, exactly `rank()`), exponent 1 - ln(rank)/ln(deg(i)) (or 1.0
+    when deg(i) = 1), score = max over both endpoints."""
+    g = graph.to_undirected() if graph.directed else graph
+    e = (
+        g.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    per_dir = (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .join(deg.withColumnRenamed("id", "node").withColumnRenamed("deg", "ndeg"), "node")
+        .join(deg.withColumnRenamed("id", "nbr").withColumnRenamed("deg", "nbrdeg"), "nbr")
+    )
+    return _rank_exponent(per_dir, [F.desc("nbrdeg")], use_row_number=False)
+
+
+def local_similarity_score(graph: Graph) -> DataFrame:
+    """(src, dst, score) — LocalSimilarityScore.cpp:29-70: per endpoint i,
+    rank neighbors by per-edge Jaccard sim = t/(deg(i)+deg(j)-t) descending
+    (row_number; reference tie order is unspecified — pinned to neighbor-id
+    asc), exponent 1 - ln(rank)/ln(deg(i)), score = max over endpoints."""
+    e = _with_tri_and_deg(graph)
+    sim = e.withColumn(
+        "sim",
+        F.col("tri").cast("double")
+        / (F.col("sdeg") + F.col("ddeg") - F.col("tri")).cast("double"),
+    )
+    d1 = sim.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr"),
+        F.col("sdeg").alias("ndeg"), "sim",
+    )
+    d2 = sim.select(
+        F.col("dst").alias("node"), F.col("src").alias("nbr"),
+        F.col("ddeg").alias("ndeg"), "sim",
+    )
+    return _rank_exponent(
+        d1.unionByName(d2), [F.desc("sim"), F.asc("nbr")], use_row_number=True
+    )
+
+
+def global_threshold_filter(
+    graph: Graph, scores: DataFrame, threshold: float, above: bool = True
+) -> Graph:
+    """Keep the undirected edges whose score passes the threshold
+    (GlobalThresholdFilter.cpp; above=True keeps score >= threshold).
+    Returns a Graph over the same vertex set; kept edges re-symmetrized."""
+    keep = scores.filter(
+        (F.col("score") >= threshold) if above else (F.col("score") <= threshold)
+    ).select("src", "dst")
+    g = graph.to_undirected() if graph.directed else graph
+    canon = g.edges.select(
+        F.least("src", "dst").alias("src"),
+        F.greatest("src", "dst").alias("dst"),
+        "weight",
+    ).groupBy("src", "dst").agg(F.max("weight").alias("weight"))
+    kept = canon.join(keep, ["src", "dst"], "semi")
+    sym = kept.unionByName(
+        kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    return Graph(graph.vertices, sym, directed=False, weighted=graph.weighted)

@@ -1,0 +1,223 @@
+"""Sparsification edge scores, assortativity, local-max matching, IVF ANN.
+
+Fixtures are hand-computed against the cited reference semantics
+(sparsification/LocalDegreeScore.cpp, SCANStructuralSimilarityScore.cpp,
+ChanceCorrectedTriangleScore.cpp, correlation/Assortativity.cpp,
+matching/LocalMaxMatcher.cpp) — independent of both the Spark code and the
+DuckDB oracle SQL.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from networkit_spark.graph import from_edge_rows
+from networkit_spark.operators import sparsification as sp
+from networkit_spark.operators.correlation import (
+    degree_assortativity,
+    nominal_assortativity,
+    ordinal_assortativity,
+)
+from networkit_spark.operators.matching import local_max_matching, matching_weight
+
+
+# triangle (0,1,2) + pendant 3 attached to 0
+TRI_PLUS_PENDANT = [(0, 1), (0, 2), (1, 2), (0, 3)]
+
+
+def _scores(df):
+    return {(r["src"], r["dst"]): r["score"] for r in df.collect()}
+
+
+def test_scan_similarity(spark):
+    g = from_edge_rows(spark, TRI_PLUS_PENDANT, num_nodes=4)
+    got = _scores(sp.scan_similarity_score(g))
+    # degrees: 0->3, 1->2, 2->2, 3->1
+    want = {
+        (0, 1): (1 + 1) / math.sqrt(4 * 3),
+        (0, 2): (1 + 1) / math.sqrt(4 * 3),
+        (1, 2): (1 + 1) / math.sqrt(3 * 3),
+        (0, 3): (0 + 1) / math.sqrt(4 * 2),
+    }
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-6)
+
+
+def test_chance_corrected(spark):
+    g = from_edge_rows(spark, TRI_PLUS_PENDANT, num_nodes=4)
+    got = _scores(sp.chance_corrected_triangle_score(g))
+    n = 4
+    want = {
+        (0, 1): 1 * (n - 2) / (2 * 1),
+        (0, 2): 1 * (n - 2) / (2 * 1),
+        (1, 2): 1 * (n - 2) / (1 * 1),
+        (0, 3): 1.0,  # deg(3) == 1 special case
+    }
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-6)
+
+
+def test_local_degree_score(spark):
+    g = from_edge_rows(spark, TRI_PLUS_PENDANT, num_nodes=4)
+    got = _scores(sp.local_degree_score(g))
+    # from node 0 (deg 3): neighbors by deg desc -> 1(2),2(2) share rank 1,
+    # 3(1) rank 3. e(0,1)=e(0,2)=1-ln(1)/ln(3)=1, e(0,3)=1-ln(3)/ln(3)=0.
+    # from node 1 (deg 2): neighbors 0(3) rank 1 -> e=1; 2(2) rank 2 -> e=0.
+    # from node 3 (deg 1): e=1 for (0,3).
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert got[(0, 2)] == pytest.approx(1.0)
+    assert got[(1, 2)] == pytest.approx(0.0)
+    assert got[(0, 3)] == pytest.approx(1.0)  # max(0 from node 0, 1 from node 3)
+
+
+def test_local_similarity_and_random_deterministic(spark):
+    g = from_edge_rows(spark, TRI_PLUS_PENDANT, num_nodes=4)
+    ls = _scores(sp.local_similarity_score(g))
+    # node 1 (deg 2): sims — (1,0): tri=1, 1/(3+2-1)=0.25; (1,2): tri=1,
+    # 1/(2+2-1)=1/3 -> rank1 (1,2) e=1, rank2 (1,0) e=1-ln2/ln2=0
+    assert ls[(1, 2)] == pytest.approx(1.0)
+    # (0,1): from node 0 (deg 3): sims (0,1)=.25,(0,2)=.25,(0,3)=0 ->
+    # row_number ties by nbr asc: (0,1) rank1 e=1
+    assert ls[(0, 1)] == pytest.approx(1.0)
+    r1 = _scores(sp.random_edge_score(g, seed=7))
+    r2 = _scores(sp.random_edge_score(g, seed=7))
+    assert r1 == r2
+    assert all(0.0 <= v < 1.0 for v in r1.values())
+
+
+def test_global_threshold_filter(spark):
+    g = from_edge_rows(spark, TRI_PLUS_PENDANT, num_nodes=4)
+    scores = sp.scan_similarity_score(g)
+    kept = sp.global_threshold_filter(g, scores, threshold=0.5, above=True)
+    kept_edges = {
+        (r["src"], r["dst"])
+        for r in kept.edges.filter("src < dst").collect()
+    }
+    # (0,3) has scan score 1/sqrt(8) ~ 0.354 -> dropped; triangle kept
+    assert kept_edges == {(0, 1), (0, 2), (1, 2)}
+    assert kept.num_nodes() == 4
+
+
+def test_degree_assortativity_star_vs_cycle(spark):
+    # star: perfectly disassortative (r = -1)
+    star = from_edge_rows(spark, [(0, i) for i in range(1, 6)], num_nodes=6)
+    assert degree_assortativity(star) == pytest.approx(-1.0)
+    # cycle: all degrees equal -> zero variance; define r = 0
+    cyc = from_edge_rows(spark, [(i, (i + 1) % 5) for i in range(5)], num_nodes=5)
+    assert degree_assortativity(cyc) == pytest.approx(0.0)
+
+
+def test_ordinal_assortativity_matches_numpy(spark):
+    rows = [(0, 1), (0, 2), (1, 2), (0, 3), (3, 4), (2, 4)]
+    g = from_edge_rows(spark, rows, num_nodes=5)
+    attr = {0: 1.0, 1: 5.0, 2: 2.0, 3: 9.0, 4: 4.0}
+    attr_df = spark.createDataFrame(
+        [(k, v) for k, v in attr.items()], "id long, x double"
+    )
+    xs = [attr[a] for a, b in rows] + [attr[b] for a, b in rows]
+    ys = [attr[b] for a, b in rows] + [attr[a] for a, b in rows]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert ordinal_assortativity(g, attr_df) == pytest.approx(want, abs=1e-9)
+
+
+def test_nominal_assortativity_perfect_and_mixed(spark):
+    # two disjoint triangles, labels = component -> r = 1
+    rows = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5)]
+    g = from_edge_rows(spark, rows, num_nodes=6)
+    labels = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "id long, label long"
+    )
+    assert nominal_assortativity(g, labels) == pytest.approx(1.0)
+    # bipartite-ish: every edge crosses -> diag=0, r < 0
+    cross = from_edge_rows(spark, [(0, 3), (1, 4), (2, 5)], num_nodes=6)
+    assert nominal_assortativity(cross, labels) < 0
+
+
+def _check_is_maximal_matching(edges, matched):
+    m_nodes = set()
+    for u, v in matched:
+        assert u not in m_nodes and v not in m_nodes, "not a matching"
+        m_nodes.update((u, v))
+    for u, v in edges:
+        if u != v:
+            assert u in m_nodes or v in m_nodes, f"edge ({u},{v}) unmatched-extendable"
+
+
+def test_local_max_matching_weighted_path(spark):
+    # path 0-1-2-3 with weights 1, 5, 1: local max picks (1,2) then (0,?) —
+    # 0 and 3 have no remaining partner -> matching = {(1,2)}
+    rows = [(0, 1, 1.0), (1, 2, 5.0), (2, 3, 1.0)]
+    g = from_edge_rows(spark, rows, num_nodes=4, weighted=True)
+    m = {(r["u"], r["v"]) for r in local_max_matching(g).collect()}
+    assert m == {(1, 2)}
+
+
+def test_local_max_matching_maximal_and_deterministic(spark):
+    rng = np.random.RandomState(3)
+    rows = []
+    seen = set()
+    for _ in range(40):
+        a, b = int(rng.randint(0, 12)), int(rng.randint(0, 12))
+        if a != b and (min(a, b), max(a, b)) not in seen:
+            seen.add((min(a, b), max(a, b)))
+            rows.append((min(a, b), max(a, b), float(rng.randint(1, 10))))
+    g = from_edge_rows(spark, rows, num_nodes=12, weighted=True)
+    mdf = local_max_matching(g)
+    matched = sorted((r["u"], r["v"]) for r in mdf.collect())
+    _check_is_maximal_matching([(a, b) for a, b, _ in rows], matched)
+    # deterministic: second run identical
+    matched2 = sorted((r["u"], r["v"]) for r in local_max_matching(g).collect())
+    assert matched == matched2
+    # local-max >= 1/2 of max-weight matching (Preis bound); brute force tiny
+    assert matching_weight(mdf) > 0
+
+
+def test_ivf_ann_contains_true_neighbors(spark):
+    from networkit_spark.functions.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        ivf_assign,
+        ivf_centroids,
+        lloyd_refine,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((6, 8))
+    vecs = []
+    for i in range(60):
+        v = base[i % 6] + 0.05 * rng.standard_normal(8)
+        vecs.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = cosine_topk(emb, query_ids=[20, 21], k=3)
+    approx = ivf_ann_topk(emb, query_ids=[20, 21], k=3, n_cells=6, nprobe=3)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # clustered data + 3 probes: recall should be high (>= 4 of 6)
+    assert len(ex & ap) >= 4
+    # Lloyd refinement matches a numpy k-means step on the same assignment
+    cent = ivf_centroids(emb, n_cells=6)
+    assign = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cent).collect()}
+    refined = lloyd_refine(emb, cent, iterations=1)
+    got = {r["cell"]: np.array(r["cv"]) for r in refined.collect()}
+    arr = {i: np.array(v) for i, v in vecs}
+    for cell in got:
+        members = [arr[i] for i, c in assign.items() if c == cell]
+        want = np.mean(members, axis=0)
+        assert np.allclose(got[cell], want, atol=1e-5)
+
+
+def test_embed_near_dup_finds_planted_pair(spark):
+    from networkit_spark.functions.similarity import embed_near_dup_pairs
+
+    rng = np.random.RandomState(5)
+    vecs = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(30)]
+    # plant a near-duplicate of vec 3 as id 99
+    dup = [x + 1e-3 for x in vecs[3][1]]
+    vecs.append((99, dup))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["a"], r["b"])
+        for r in embed_near_dup_pairs(emb, threshold=0.95, nbits=6, n_tables=4).collect()
+    }
+    assert (3, 99) in pairs
