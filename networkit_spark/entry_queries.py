@@ -504,17 +504,27 @@ def q_sessionize(spark, sf_dir):
 def q_graph_sparsify_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators import sparsification as sp
 
+    from networkit_spark.plans.checkpoint import materialize
+
     g, _ = L.events_graph(spark, sf_dir)
+    base = materialize(sp.tri_deg_base(g))  # triangle listing computed once
     rand = sp.random_edge_score(g, seed=42).withColumnRenamed("score", "rand_score")
-    scan = sp.scan_similarity_score(g).withColumnRenamed("score", "scan_score")
-    chance = sp.chance_corrected_triangle_score(g).withColumnRenamed(
+    scan = sp.scan_similarity_score(g, base).withColumnRenamed("score", "scan_score")
+    chance = sp.chance_corrected_triangle_score(g, base).withColumnRenamed(
         "score", "chance_score"
     )
     ld = sp.local_degree_score(g).withColumnRenamed("score", "local_degree")
-    ls = sp.local_similarity_score(g).withColumnRenamed("score", "local_sim")
+    ls = sp.local_similarity_score(g, base).withColumnRenamed("score", "local_sim")
+    so = sp.simmelian_overlap_score(g, max_rank=10, base=base).withColumnRenamed(
+        "score", "simmelian"
+    )
     keys = ["src", "dst"]
     return (
-        rand.join(scan, keys).join(chance, keys).join(ld, keys).join(ls, keys)
+        rand.join(scan, keys)
+        .join(chance, keys)
+        .join(ld, keys)
+        .join(ls, keys)
+        .join(so, keys)
     )
 
 
@@ -547,6 +557,13 @@ def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_max_matching(g).select(
         "u", "v", F.col("weight").cast("double").alias("weight")
     )
+
+
+def q_centrality_top_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distance import top_closeness
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return top_closeness(g, k=10)
 
 
 def q_graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,6 +633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_assortativity": q_graph_assortativity,
     "graph_matching": q_graph_matching,
     "graph_effective_diameter": q_graph_effective_diameter,
+    "centrality_top_closeness": q_centrality_top_closeness,
     "dedup_embed_pairs": q_embed_near_dup,
     "embed_ivf_ann": q_embed_ivf_ann,
     "text_token_stats": q_token_stats,
@@ -681,6 +699,7 @@ def build_oracles() -> dict[str, str]:
         "graph_assortativity": L.sql_assortativity(),
         "graph_matching": L.sql_matching(16),
         "graph_effective_diameter": L.sql_effective_diameter(APSP_ITERS, 0.9),
+        "centrality_top_closeness": L.sql_top_closeness(APSP_ITERS, 10),
         "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

@@ -1355,10 +1355,11 @@ ORDER BY c.u, c.v"""
 
 # ---- sparsification edge scores (sparsification/*.cpp) ---------------------
 
-def sql_sparsify_scores(seed: int = 42) -> str:
+def sql_sparsify_scores(seed: int = 42, max_rank: int = 10) -> str:
     """Mirror of operators/sparsification.py: per canonical simple edge the
-    five backbone scores (random / SCAN / chance-corrected-triangle /
-    local-degree / local-similarity), all on simple-support degrees."""
+    six backbone scores (random / SCAN / chance-corrected-triangle /
+    local-degree / local-similarity / Simmelian overlap), all on
+    simple-support degrees."""
     from networkit_spark.functions.hashing import md5_long_sql
 
     rand = md5_long_sql(
@@ -1411,6 +1412,23 @@ ls AS (
                row_number() OVER (PARTITION BY node ORDER BY sim DESC, nbr ASC) AS rn
         FROM lsd
     ) GROUP BY 1, 2
+),
+std AS (
+    SELECT u AS node, v AS nbr, tri FROM base
+    UNION ALL SELECT v, u, tri FROM base
+),
+stop AS MATERIALIZED (
+    SELECT node, nbr FROM (
+        SELECT node, nbr, rank() OVER (PARTITION BY node ORDER BY tri DESC) - 1 AS rnk
+        FROM std
+    ) WHERE rnk <= {max_rank}
+),
+sov AS (
+    SELECT b.u, b.v, count(*) AS ov
+    FROM base b
+    JOIN stop t1 ON t1.node = b.u
+    JOIN stop t2 ON t2.node = b.v AND t2.nbr = t1.nbr
+    GROUP BY b.u, b.v
 )
 SELECT b.u AS src, b.v AS dst,
        ROUND({rand} / 281474976710656.0, 9) AS rand_score,
@@ -1420,11 +1438,13 @@ SELECT b.u AS src, b.v AS dst,
                   WHEN b.ud = 1 OR b.vd = 1 THEN 1.0
                   ELSE 0.0 END, 6) AS chance_score,
        ROUND(ld.e, 6) AS local_degree,
-       ROUND(ls.e, 6) AS local_sim
+       ROUND(ls.e, 6) AS local_sim,
+       CAST(COALESCE(so.ov, 0) AS DOUBLE) AS simmelian
 FROM base b
 CROSS JOIN nn
 JOIN ld ON ld.u = b.u AND ld.v = b.v
 JOIN ls ON ls.u = b.u AND ls.v = b.v
+LEFT JOIN sov so ON so.u = b.u AND so.v = b.v
 ORDER BY b.u, b.v"""
     return _with_graph(body.lstrip(", \n"))
 
@@ -1633,3 +1653,19 @@ SELECT query_id, neighbor_id, sim FROM (
         PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
     ) AS rn FROM sims
 ) WHERE rn <= {k}"""
+
+
+def sql_top_closeness(iters: int, k: int = 10) -> str:
+    """Top-k standard-closeness vertices, ties by id asc
+    (centrality/TopCloseness.cpp ranking contract). sum_d is an exact
+    integer so 1/sum_d is the identical IEEE double in both engines."""
+    body = ", ".join(_apsp_ctes(iters)) + f""",
+csc AS (SELECT s AS id, SUM(dist) AS sum_d FROM ap{iters} GROUP BY s),
+sc AS (
+    SELECT ver.id,
+           CASE WHEN c.sum_d > 0 THEN 1.0 / c.sum_d ELSE 0.0 END AS score
+    FROM vertices ver LEFT JOIN csc c ON c.id = ver.id
+)
+SELECT id, ROUND(score, 6) AS score FROM sc
+ORDER BY score DESC, id ASC LIMIT {k}"""
+    return _with_graph(body)

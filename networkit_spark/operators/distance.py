@@ -188,3 +188,21 @@ def effective_diameter(
         if acc >= ratio * total:
             return int(r["dist"])
     return int(cum[-1]["dist"])
+
+
+def top_closeness(graph: Graph, k: int = 10, harmonic: bool = False) -> DataFrame:
+    """(id, score) — the k most-central vertices by (harmonic) closeness,
+    ties broken by id asc (centrality/TopCloseness.cpp / TopHarmonicCloseness.cpp).
+
+    The reference prunes per-source BFS with NBcut/NBbound level bounds — a
+    sequential-frontier optimization that does not map onto the
+    scan-everything distributed model; here the exact path reuses the
+    all-sources hop table (one multi-source BFS pass), and at 10^9-vertex
+    scale the intended path is sampled harmonic closeness over a seeded
+    source subset (same estimator as the sampled betweenness)."""
+    scores = harmonic_closeness(graph) if harmonic else closeness(graph)
+    return (
+        scores.orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+        .select("id", F.round("score", 6).alias("score"))
+    )

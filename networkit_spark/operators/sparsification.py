@@ -26,9 +26,10 @@ Scores implemented (semantics per the cited reference file):
                            leaves tie order unspecified — we pin neighbor-id
                            asc so both engines agree)
   global_threshold_filter  GlobalThresholdFilter.cpp (keep score >= threshold)
+  simmelian_overlap_score  SimmelianScore.cpp:17-46 + SimmelianOverlapScore.cpp:17-31
 
-ForestFireScore (random-walk simulation) and SimmelianOverlapScore (ranked
-top-k overlap) are documented out of scope for this round.
+ForestFireScore (random-walk simulation) is documented out of scope —
+its sequential burning process has no deterministic distributed analogue.
 """
 
 from __future__ import annotations
@@ -70,10 +71,11 @@ def random_edge_score(graph: Graph, seed: int = 42) -> DataFrame:
     )
 
 
-def _with_tri_and_deg(graph: Graph) -> DataFrame:
+def tri_deg_base(graph: Graph) -> DataFrame:
     """(src, dst, tri, sdeg, ddeg) per canonical edge — the shared input of
-    the triangle-derived scores. Degrees are the undirected simple-support
-    out-degrees the orientation already used."""
+    the triangle-derived scores (degrees are simple-support). Compute ONCE
+    and pass as ``base=`` when deriving several scores of the same graph —
+    the triangle listing is the expensive part and need not be repeated."""
     tri = triangle_edge_scores(graph)
     g = graph.to_undirected() if graph.directed else graph
     deg = (
@@ -90,10 +92,10 @@ def _with_tri_and_deg(graph: Graph) -> DataFrame:
     )
 
 
-def scan_similarity_score(graph: Graph) -> DataFrame:
+def scan_similarity_score(graph: Graph, base: DataFrame | None = None) -> DataFrame:
     """(src, dst, score) — SCAN structural similarity
     (t+1)/sqrt((deg(u)+1)(deg(v)+1)), SCANStructuralSimilarityScore.cpp:11-14."""
-    e = _with_tri_and_deg(graph)
+    e = tri_deg_base(graph) if base is None else base
     return e.select(
         "src",
         "dst",
@@ -105,12 +107,14 @@ def scan_similarity_score(graph: Graph) -> DataFrame:
     )
 
 
-def chance_corrected_triangle_score(graph: Graph) -> DataFrame:
+def chance_corrected_triangle_score(
+    graph: Graph, base: DataFrame | None = None
+) -> DataFrame:
     """(src, dst, score) — t(n-2)/((deg(u)-1)(deg(v)-1)) when t > 0, 1.0 when
     either endpoint has degree 1, else 0 (ChanceCorrectedTriangleScore.cpp:22-29).
     n is the graph's vertex count."""
     n = graph.num_nodes()
-    e = _with_tri_and_deg(graph)
+    e = tri_deg_base(graph) if base is None else base
     return e.select(
         "src",
         "dst",
@@ -165,12 +169,12 @@ def local_degree_score(graph: Graph) -> DataFrame:
     return _rank_exponent(per_dir, [F.desc("nbrdeg")], use_row_number=False)
 
 
-def local_similarity_score(graph: Graph) -> DataFrame:
+def local_similarity_score(graph: Graph, base: DataFrame | None = None) -> DataFrame:
     """(src, dst, score) — LocalSimilarityScore.cpp:29-70: per endpoint i,
     rank neighbors by per-edge Jaccard sim = t/(deg(i)+deg(j)-t) descending
     (row_number; reference tie order is unspecified — pinned to neighbor-id
     asc), exponent 1 - ln(rank)/ln(deg(i)), score = max over endpoints."""
-    e = _with_tri_and_deg(graph)
+    e = tri_deg_base(graph) if base is None else base
     sim = e.withColumn(
         "sim",
         F.col("tri").cast("double")
@@ -209,3 +213,44 @@ def global_threshold_filter(
         kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
     return Graph(graph.vertices, sym, directed=False, weighted=graph.weighted)
+
+
+def simmelian_overlap_score(
+    graph: Graph, max_rank: int = 10, base: DataFrame | None = None
+) -> DataFrame:
+    """(src, dst, score) — Simmelian overlap (non-parametric backbone
+    input): per node, rank neighbors by per-edge triangle count descending
+    (competition rank, best = 0, ties share the min rank —
+    SimmelianScore.cpp:17-46); the score of edge (u,v) is the number of
+    common neighbors ranked <= max_rank by BOTH endpoints
+    (SimmelianOverlapScore.cpp:17-31, getOverlap match count).
+
+    Scale shape: the ranked-prefix table keeps <= max_rank(+ties) rows per
+    vertex, so the overlap wedge join has bounded fan-out per vertex —
+    unlike a raw common-neighbor join, hubs contribute O(max_rank²) pairs,
+    not O(deg²)."""
+    e = tri_deg_base(graph) if base is None else base
+    d1 = e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "tri")
+    d2 = e.select(F.col("dst").alias("node"), F.col("src").alias("nbr"), "tri")
+    w = Window.partitionBy("node").orderBy(F.desc("tri"))
+    top = (
+        d1.unionByName(d2)
+        .withColumn("rnk", F.rank().over(w) - 1)
+        .filter(F.col("rnk") <= max_rank)
+        .select("node", "nbr")
+    )
+    canon = canonical_edges(graph)
+    t1 = top.select(F.col("node").alias("src"), F.col("nbr").alias("w1"))
+    t2 = top.select(F.col("node").alias("dst"), F.col("nbr").alias("w2"))
+    ov = (
+        canon.join(t1, "src")
+        .join(t2, "dst")
+        .filter(F.col("w1") == F.col("w2"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    return (
+        canon.join(ov, ["src", "dst"], "left")
+        .fillna({"ov": 0})
+        .select("src", "dst", F.col("ov").cast("double").alias("score"))
+    )

@@ -221,3 +221,31 @@ def test_embed_near_dup_finds_planted_pair(spark):
         for r in embed_near_dup_pairs(emb, threshold=0.95, nbits=6, n_tables=4).collect()
     }
     assert (3, 99) in pairs
+
+
+def test_simmelian_overlap(spark):
+    g = from_edge_rows(spark, TRI_PLUS_PENDANT, num_nodes=4)
+    got = _scores(sp.simmelian_overlap_score(g, max_rank=10))
+    # top-ranked neighbor sets: 0 -> {1,2,3}, 1 -> {0,2}, 2 -> {0,1}, 3 -> {0}
+    # overlap(u,v) = |top(u) ∩ top(v)|
+    assert got[(0, 1)] == 1.0  # common: {2}
+    assert got[(0, 2)] == 1.0  # common: {1}
+    assert got[(1, 2)] == 1.0  # common: {0}
+    assert got[(0, 3)] == 0.0  # top(3)={0} shares nothing with top(0)={1,2,3}
+
+
+def test_simmelian_base_sharing_consistent(spark):
+    g = from_edge_rows(spark, TRI_PLUS_PENDANT, num_nodes=4)
+    base = sp.tri_deg_base(g)
+    assert _scores(sp.scan_similarity_score(g, base)) == _scores(
+        sp.scan_similarity_score(g)
+    )
+
+
+def test_top_closeness_path_center(spark):
+    from networkit_spark.operators.distance import top_closeness
+
+    g = from_edge_rows(spark, [(i, i + 1) for i in range(4)], num_nodes=5)
+    top = [r["id"] for r in top_closeness(g, k=3).collect()]
+    # path 0-1-2-3-4: center 2 first, then 1 (tie with 3 broken by id asc), 3
+    assert top == [2, 1, 3]
