@@ -2,23 +2,35 @@
 
 Image/audio/video land as binary columns with a metadata struct; the
 decode / feature-extract / resize / frame-sample kernels run as Arrow-batched
-pandas functions over mapInPandas. The actual codecs are NOT in this
-container, so the decode step is a clearly-marked deterministic stub
-(`_fake_decode`) — the Spark-side plumbing (schema, batching, partitioning,
-UDF signature) is real and tested, and swapping the stub for PIL/ffmpeg is a
-one-function change.
+pandas functions over mapInPandas. The actual CODECS are not in this
+container, so the byte->pixels step is a clearly-marked deterministic stub
+(`_fake_decode_pixels`) — everything downstream of it (resize resampling,
+frame timestamp selection, feature extraction, the Arrow batch shapes and
+schemas) is real numpy/Spark code that works unchanged once the stub is
+swapped for PIL/ffmpeg.
+
+Scale notes: every kernel is mapInPandas over the payload partitioning —
+no shuffle at all; batches stream through Arrow, and per-row payloads never
+aggregate to the driver. Resized pixel output is (doc_id, target², ...)
+rows, so output size is bounded per row regardless of input image size.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = "doc_id bigint, n_bytes bigint, width int, height int"
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, pixels array<float>, mean_gray float"
+)
+FRAMES_SCHEMA = "doc_id bigint, frame_idx int, ts_sec double, frame_hash bigint"
 
 
 def attach_binary(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -33,10 +45,24 @@ def attach_binary(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for an image decoder: derives fake dimensions
+    """Deterministic stand-in for an image header parse: derives dimensions
     from the byte length. Replace with PIL.Image.open when available."""
     n = len(payload)
     return n, 64 + n % 128, 64 + (n * 7) % 128
+
+
+def _fake_decode_pixels(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for the codec byte->pixel step: tiles the raw
+    payload bytes into the (height, width) uint8 plane the fake header
+    declares. THIS is the only function a real deployment replaces
+    (PIL.Image.open(...).convert("L") -> np.asarray); the resize and
+    feature math downstream is production code."""
+    _, w, h = _fake_decode(payload)
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    if raw.size == 0:
+        raw = np.zeros(1, dtype=np.uint8)
+    reps = -(-(w * h) // raw.size)  # ceil
+    return np.tile(raw, reps)[: w * h].reshape(h, w)
 
 
 def decode_images(df: DataFrame) -> DataFrame:
@@ -58,17 +84,65 @@ def decode_images(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, DECODED_SCHEMA)
 
 
-def resize_images(df: DataFrame, target: int = 224) -> DataFrame:
-    """Resize stub: real implementation needs an image library."""
-    raise NotImplementedError(
-        "image resize requires PIL/opencv (not in this container); "
-        "the mapInPandas plumbing is identical to decode_images"
-    )
+def _nn_resize(img: np.ndarray, target: int) -> np.ndarray:
+    """Nearest-neighbour resample to (target, target) — pure-numpy index
+    gather, the same sampling PIL's Image.NEAREST performs."""
+    h, w = img.shape
+    rows = np.minimum((np.arange(target) * h) // target, h - 1)
+    cols = np.minimum((np.arange(target) * w) // target, w - 1)
+    return img[rows][:, cols]
 
 
-def sample_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:
-    """Video frame-sampling stub: real implementation needs ffmpeg."""
-    raise NotImplementedError(
-        "frame sampling requires ffmpeg (not in this container); "
-        "the mapInPandas plumbing is identical to decode_images"
-    )
+def resize_images(df: DataFrame, target: int = 16) -> DataFrame:
+    """(doc_id, width, height, pixels[target²], mean_gray) — decode each
+    payload and nearest-neighbour-resample to a fixed target grid, emitting
+    the flattened normalized pixel vector plus a cheap brightness feature.
+    Resampling, normalization and the Arrow batch shape are real; only the
+    byte->pixel codec is the documented stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = _fake_decode_pixels(payload)
+                small = _nn_resize(img, target).astype(np.float32) / 255.0
+                out_rows.append(
+                    (
+                        int(doc_id),
+                        img.shape[1],
+                        img.shape[0],
+                        small.ravel().tolist(),
+                        float(small.mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["doc_id", "width", "height", "pixels", "mean_gray"],
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, fps: float = 1.0, duration_s: float = 10.0) -> DataFrame:
+    """(doc_id, frame_idx, ts_sec, frame_hash) — video frame sampling at
+    ``fps`` over a declared clip duration: the timestamp grid, per-frame
+    byte-slicing and stable content hash are real; only the ffmpeg demux
+    (absent from this container) is stubbed by slicing the payload into
+    equal 'frames'."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, int(duration_s * fps))
+                b = bytes(payload)
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    chunk = b[i * step : (i + 1) * step] or b"\x00"
+                    h = int.from_bytes(hashlib.md5(chunk).digest()[:6], "big")
+                    rows.append((int(doc_id), i, i / fps, h))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "ts_sec", "frame_hash"]
+            )
+
+    return df.mapInPandas(run, FRAMES_SCHEMA)

@@ -1,0 +1,73 @@
+"""Multimodal plumbing: decode metadata, resize resampling, frame sampling.
+
+The codec byte->pixel step is the documented deterministic stub; these tests
+pin the REAL parts — Arrow batch schemas, the nearest-neighbour resample
+math (vs a numpy reference), normalization, frame timestamp grids, and
+determinism across runs.
+"""
+
+import numpy as np
+
+from networkit_spark.functions.multimodal import (
+    _fake_decode_pixels,
+    _nn_resize,
+    attach_binary,
+    decode_images,
+    resize_images,
+    sample_frames,
+)
+
+
+def _docs(spark):
+    rows = [(i, "text payload number %d " % i * (i + 1)) for i in range(8)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decode_schema_and_determinism(spark):
+    out = decode_images(attach_binary(_docs(spark))).orderBy("doc_id")
+    a = out.collect()
+    b = decode_images(attach_binary(_docs(spark))).orderBy("doc_id").collect()
+    assert a == b
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_bytes", "width", "height"]
+    for r in a:
+        assert 64 <= r["width"] < 192 and 64 <= r["height"] < 192
+
+
+def test_nn_resize_matches_numpy_reference():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, size=(37, 91), dtype=np.uint8)
+    got = _nn_resize(img, 16)
+    rows = np.minimum((np.arange(16) * 37) // 16, 36)
+    cols = np.minimum((np.arange(16) * 91) // 16, 90)
+    want = img[np.ix_(rows, cols)]
+    assert (got == want).all()
+
+
+def test_resize_images_end_to_end(spark):
+    out = resize_images(attach_binary(_docs(spark)), target=8).orderBy("doc_id")
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert len(r["pixels"]) == 64
+        assert 0.0 <= r["mean_gray"] <= 1.0
+        # mean_gray consistent with the emitted pixel vector
+        assert abs(float(np.mean(r["pixels"])) - r["mean_gray"]) < 1e-5
+        # pixels reproduce the driver-side decode+resize on the same payload
+        payload = ("text payload number %d " % r["doc_id"]) * (r["doc_id"] + 1)
+        img = _fake_decode_pixels(payload.encode("utf-8"))
+        want = (_nn_resize(img, 8).astype(np.float32) / 255.0).ravel()
+        assert np.allclose(np.array(r["pixels"], dtype=np.float32), want, atol=1e-6)
+
+
+def test_sample_frames_grid_and_hash_determinism(spark):
+    out = sample_frames(attach_binary(_docs(spark)), fps=2.0, duration_s=3.0)
+    rows = out.orderBy("doc_id", "frame_idx").collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, fr in per_doc.items():
+        assert len(fr) == 6  # 3s at 2 fps
+        assert [f["frame_idx"] for f in fr] == list(range(6))
+        assert [f["ts_sec"] for f in fr] == [i / 2.0 for i in range(6)]
+    again = sample_frames(attach_binary(_docs(spark)), fps=2.0, duration_s=3.0)
+    assert rows == again.orderBy("doc_id", "frame_idx").collect()
