@@ -559,6 +559,13 @@ def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.mis import maximal_independent_set
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return maximal_independent_set(g, seed=42)
+
+
 def q_centrality_top_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import top_closeness
 
@@ -634,6 +641,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_matching": q_graph_matching,
     "graph_effective_diameter": q_graph_effective_diameter,
     "centrality_top_closeness": q_centrality_top_closeness,
+    "graph_mis": q_graph_mis,
     "dedup_embed_pairs": q_embed_near_dup,
     "embed_ivf_ann": q_embed_ivf_ann,
     "text_token_stats": q_token_stats,
@@ -700,6 +708,7 @@ def build_oracles() -> dict[str, str]:
         "graph_matching": L.sql_matching(16),
         "graph_effective_diameter": L.sql_effective_diameter(APSP_ITERS, 0.9),
         "centrality_top_closeness": L.sql_top_closeness(APSP_ITERS, 10),
+        "graph_mis": L.sql_mis(12, 42),
         "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

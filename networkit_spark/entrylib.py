@@ -1669,3 +1669,53 @@ sc AS (
 SELECT id, ROUND(score, 6) AS score FROM sc
 ORDER BY score DESC, id ASC LIMIT {k}"""
     return _with_graph(body)
+
+
+# ---- maximal independent set (independentset/Luby.cpp) ---------------------
+
+def sql_mis(rounds: int = 24, seed: int = 42) -> str:
+    """Unrolled hash-priority Luby rounds, mirroring operators/mis.py:
+    per round a vertex enters on a strict priority minimum over its active
+    closed neighborhood; it and its neighbors deactivate."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    ctes = [
+        "ae0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "av0 AS (SELECT id FROM vertices)",
+    ]
+    winners = []
+    for r in range(1, rounds + 1):
+        h = md5_long_sql(f"('{seed}:mis:{r}:' || CAST(id AS STRING))")
+        ctes.append(
+            f"""pri{r} AS (SELECT id, {h} AS p FROM av{r - 1}),
+nm{r} AS (
+    SELECT e.dst AS id, MIN(p.p) AS m
+    FROM ae{r - 1} e JOIN pri{r} p ON p.id = e.src
+    GROUP BY e.dst
+),
+win{r} AS MATERIALIZED (
+    SELECT pr.id FROM pri{r} pr
+    LEFT JOIN nm{r} n ON n.id = pr.id
+    WHERE n.m IS NULL OR pr.p < n.m
+),
+gone{r} AS (
+    SELECT id FROM win{r}
+    UNION
+    SELECT e.dst FROM ae{r - 1} e JOIN win{r} w ON w.id = e.src
+),
+av{r} AS MATERIALIZED (
+    SELECT id FROM av{r - 1} WHERE id NOT IN (SELECT id FROM gone{r})
+),
+ae{r} AS MATERIALIZED (
+    SELECT src, dst FROM ae{r - 1}
+    WHERE src NOT IN (SELECT id FROM gone{r})
+      AND dst NOT IN (SELECT id FROM gone{r})
+)"""
+        )
+        winners.append(f"SELECT id FROM win{r}")
+    body = ", ".join(ctes) + f""",
+chosen AS ({' UNION ALL '.join(winners)})
+SELECT v.id, CAST(CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS INT) AS in_set
+FROM vertices v LEFT JOIN chosen c ON c.id = v.id
+ORDER BY v.id"""
+    return _with_graph(body)

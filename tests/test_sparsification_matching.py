@@ -249,3 +249,39 @@ def test_top_closeness_path_center(spark):
     top = [r["id"] for r in top_closeness(g, k=3).collect()]
     # path 0-1-2-3-4: center 2 first, then 1 (tie with 3 broken by id asc), 3
     assert top == [2, 1, 3]
+
+
+def test_maximal_independent_set_contract(spark):
+    from networkit_spark.operators.mis import maximal_independent_set
+
+    rng = np.random.RandomState(9)
+    rows = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (int(rng.randint(0, 20)), int(rng.randint(0, 20))) for _ in range(60)
+            )
+            if a != b
+        }
+    )
+    g = from_edge_rows(spark, rows, num_nodes=20)
+    out = {r["id"]: r["in_set"] for r in maximal_independent_set(g, seed=7).collect()}
+    assert set(out) == set(range(20))
+    in_set = {v for v, f in out.items() if f == 1}
+    # independence: no edge inside the set (Luby.cpp isIndependentSet contract)
+    for a, b in rows:
+        assert not (a in in_set and b in in_set), f"edge ({a},{b}) inside set"
+    # maximality: every vertex outside has a neighbor inside
+    nbrs = {v: set() for v in range(20)}
+    for a, b in rows:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    for v in range(20):
+        if v not in in_set:
+            assert nbrs[v] & in_set, f"vertex {v} could be added"
+    # seed-determinism
+    again = {
+        r["id"]: r["in_set"]
+        for r in maximal_independent_set(g, seed=7).collect()
+    }
+    assert out == again
