@@ -566,6 +566,20 @@ def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_independent_set(g, seed=42)
 
 
+def q_graph_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.anf import neighborhood_function_approx
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return neighborhood_function_approx(g, k=4, r=7, seed=42, max_h=8)
+
+
+def q_graph_effective_diameter_fm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.anf import effective_diameter_approx
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return effective_diameter_approx(g, ratio=0.9, k=4, r=7, seed=42, max_h=8)
+
+
 def q_centrality_top_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import top_closeness
 
@@ -642,6 +656,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_effective_diameter": q_graph_effective_diameter,
     "centrality_top_closeness": q_centrality_top_closeness,
     "graph_mis": q_graph_mis,
+    "graph_neighborhood_function": q_graph_neighborhood_function,
+    "graph_effective_diameter_fm": q_graph_effective_diameter_fm,
     "dedup_embed_pairs": q_embed_near_dup,
     "embed_ivf_ann": q_embed_ivf_ann,
     "text_token_stats": q_token_stats,
@@ -709,6 +725,8 @@ def build_oracles() -> dict[str, str]:
         "graph_effective_diameter": L.sql_effective_diameter(APSP_ITERS, 0.9),
         "centrality_top_closeness": L.sql_top_closeness(APSP_ITERS, 10),
         "graph_mis": L.sql_mis(12, 42),
+        "graph_neighborhood_function": L.sql_neighborhood_function(4, 7, 42, 8),
+        "graph_effective_diameter_fm": L.sql_effective_diameter_fm(0.9, 4, 7, 42, 8),
         "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

@@ -1719,3 +1719,98 @@ SELECT v.id, CAST(CASE WHEN c.id IS NULL THEN 0 ELSE 1 END AS INT) AS in_set
 FROM vertices v LEFT JOIN chosen c ON c.id = v.id
 ORDER BY v.id"""
     return _with_graph(body)
+
+
+# ---- ANF sketches (distance/NeighborhoodFunctionApproximation.cpp,
+#      EffectiveDiameterApproximation.cpp, HopPlotApproximation.cpp) --------
+
+def _anf_ctes(k: int, r: int, seed: int, max_h: int) -> tuple[list[str], str, str]:
+    """Shared CTE chain: init masks, global max, max_h OR-supersteps.
+    Returns (ctes, b_sum_expr, finished_expr) — mirrors operators/anf.py."""
+    from networkit_spark.functions.hashing import (
+        fm_init_mask_sql,
+        lowest_unset_bit_pos_sql,
+        md5_long_sql,
+    )
+
+    mcols = [f"m{j}" for j in range(k)]
+    width = f"(SELECT CAST(CEIL(LOG2(GREATEST(count(*), 2))) AS INT) + {r} FROM vertices)"
+    init_cols = ", ".join(
+        fm_init_mask_sql(
+            md5_long_sql(f"('{seed}:anf:{j}:' || CAST(id AS STRING))"), width
+        )
+        + f" AS {c}"
+        for j, c in enumerate(mcols)
+    )
+    ctes = [
+        "ae AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        f"mk0 AS MATERIALIZED (SELECT id, {init_cols} FROM vertices)",
+        "hc AS ("
+        + "SELECT "
+        + ", ".join(f"bit_or({c}) AS h_{c}" for c in mcols)
+        + " FROM mk0)",
+    ]
+    for h in range(1, max_h + 1):
+        upd = ", ".join(
+            f"p.{c} | COALESCE(nb.n_{c}, CAST(0 AS BIGINT)) AS {c}" for c in mcols
+        )
+        aggs = ", ".join(f"bit_or(p.{c}) AS n_{c}" for c in mcols)
+        ctes.append(
+            f"""mk{h} AS MATERIALIZED (
+    SELECT p.id, {upd}
+    FROM mk{h - 1} p LEFT JOIN (
+        SELECT e.dst AS id, {aggs}
+        FROM ae e JOIN mk{h - 1} p ON p.id = e.src GROUP BY e.dst
+    ) nb ON nb.id = p.id
+)"""
+        )
+    b_sum = "(" + " + ".join(lowest_unset_bit_pos_sql(c) for c in mcols) + ")"
+    fin = "(" + " AND ".join(f"({c} = hc.h_{c})" for c in mcols) + ")"
+    return ctes, b_sum, fin
+
+
+def sql_neighborhood_function(
+    k: int = 4, r: int = 7, seed: int = 42, max_h: int = 8
+) -> str:
+    from networkit_spark.operators.anf import FM_CORRECTION
+
+    ctes, b_sum, _ = _anf_ctes(k, r, seed, max_h)
+    est = f"POWER(2, CAST({b_sum} AS DOUBLE) / {k}) / {FM_CORRECTION}"
+    rounds = " UNION ALL ".join(
+        f"SELECT CAST({h} AS INT) AS h, {est} AS est FROM mk{h}"
+        for h in range(1, max_h + 1)
+    )
+    body = ", ".join(ctes) + f""",
+ests AS ({rounds}),
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices)
+SELECT h, ROUND(SUM(est), 4) AS nf,
+       ROUND(LEAST(1.0, SUM(est) / (SELECT n * n FROM nv)), 6) AS hop_plot
+FROM ests GROUP BY h ORDER BY h"""
+    return _with_graph(body)
+
+
+def sql_effective_diameter_fm(
+    ratio: float = 0.9, k: int = 4, r: int = 7, seed: int = 42, max_h: int = 8
+) -> str:
+    from networkit_spark.operators.anf import FM_CORRECTION
+
+    ctes, b_sum, fin = _anf_ctes(k, r, seed, max_h)
+    s_cut = (
+        f"(SELECT CAST(CEIL({k} * LOG2(CEIL({ratio} * count(*)) * {FM_CORRECTION})"
+        f" - 1e-12) AS INT) FROM vertices)"
+    )
+    rounds = " UNION ALL ".join(
+        f"SELECT id, CAST({h} AS INT) AS h, {b_sum} AS b_sum, {fin} AS finished"
+        f" FROM mk{h}, hc"
+        for h in range(1, max_h + 1)
+    )
+    body = ", ".join(ctes) + f""",
+ests AS ({rounds}),
+done AS (
+    SELECT id, MIN(h) AS done_h FROM ests
+    WHERE finished OR b_sum >= {s_cut}
+    GROUP BY id
+)
+SELECT ROUND(SUM(COALESCE(d.done_h, {max_h})) * 1.0 / count(*), 6) AS eff_diameter
+FROM vertices v LEFT JOIN done d ON d.id = v.id"""
+    return _with_graph(body)

@@ -45,3 +45,32 @@ def md5_long(col: Column | str, n: int = HEX_CHARS) -> Column:
     if name is None:
         raise ValueError("pass a column NAME so the SQL text is embeddable")
     return F.expr(md5_long_sql(name, n))
+
+
+# ---- engine-neutral bit-trick SQL text (valid in Spark SQL and DuckDB) ----
+
+def lowest_set_bit_pos_sql(x_sql: str) -> str:
+    """Index of the lowest SET bit of a nonzero integer expression.
+    ``x & -x`` isolates the bit (two's complement, sign-safe in both
+    engines); LOG2 of an exact power of two is exact in IEEE doubles."""
+    return f"CAST(ROUND(LOG2(({x_sql}) & -({x_sql}))) AS INT)"
+
+
+def lowest_unset_bit_pos_sql(m_sql: str) -> str:
+    """Index of the lowest ZERO bit of a (non-all-ones) mask expression —
+    the Flajolet-Martin estimator's b; lowest set bit of ~m."""
+    return lowest_set_bit_pos_sql(f"~({m_sql})")
+
+
+def fm_init_mask_sql(hash_sql: str, width: int) -> str:
+    """Flajolet-Martin initial bitmask from a 48-bit uniform hash: set bit
+    i with P = 0.5^(i+1) (i = #trailing zeros of the hash), zero when the
+    position falls outside ``width`` (EffectiveDiameterApproximation.cpp:54-60
+    init semantics, derandomized by hash). POWER(2, i) is exact in doubles
+    for i < 52, so the text stays engine-neutral (no shift-operator
+    dialect differences)."""
+    pos = lowest_set_bit_pos_sql(hash_sql)
+    return (
+        f"CAST(CASE WHEN ({hash_sql}) = 0 OR {pos} >= {width} THEN 0 "
+        f"ELSE POWER(2, {pos}) END AS BIGINT)"
+    )

@@ -119,3 +119,49 @@ def test_estimate_betweenness_sampled(spark):
     # exact has a 1/2 tie at 18.0 — the sampled argmax must land in that set
     top2 = sorted(exact, key=exact.get, reverse=True)[:2]
     assert max(a, key=a.get) in top2
+
+
+# ---- ANF sketches (distance/NeighborhoodFunctionApproximation.cpp) --------
+
+
+def test_anf_estimates_monotone_and_converge(spark):
+    from networkit_spark.operators.anf import anf_estimates
+
+    # path 0-1-2-3-4-5: diameter 5, connected
+    g = from_edge_rows(spark, [(i, i + 1) for i in range(5)])
+    est = anf_estimates(g, k=8, seed=3, max_h=6).collect()
+    by_node = {}
+    for r in est:
+        by_node.setdefault(r["id"], []).append((r["h"], r["est"], r["finished"]))
+    for v, rows in by_node.items():
+        rows.sort()
+        vals = [e for _, e, _ in rows]
+        # masks are monotone under OR => estimates never decrease
+        assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:])), (v, vals)
+        # by h >= diameter every node holds the global OR => finished
+        assert rows[-1][2] is True, (v, rows)
+        # frozen thereafter: h=5 and h=6 estimates identical
+        assert abs(rows[-1][1] - rows[-2][1]) < 1e-12
+
+
+def test_effective_diameter_approx_bounds(spark):
+    from networkit_spark.operators.anf import effective_diameter_approx
+
+    g = from_edge_rows(spark, [(i, i + 1) for i in range(5)])
+    got = effective_diameter_approx(g, ratio=1.0, k=8, seed=3, max_h=8).collect()
+    val = got[0]["eff_diameter"]
+    # with ratio=1.0 a node finishes no later than nodeFinished (== global
+    # OR), which on a connected diameter-5 path is at most h=5; and no
+    # earlier than h=1
+    assert 1.0 <= val <= 5.0
+
+
+def test_neighborhood_function_shape(spark):
+    from networkit_spark.operators.anf import neighborhood_function_approx
+
+    g = from_edge_rows(spark, [(i, i + 1) for i in range(5)])
+    rows = neighborhood_function_approx(g, k=8, seed=3, max_h=6).collect()
+    assert [r["h"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    nf = [r["nf"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(nf, nf[1:]))
+    assert all(0.0 < r["hop_plot"] <= 1.0 for r in rows)
