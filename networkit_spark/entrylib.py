@@ -1814,3 +1814,92 @@ done AS (
 SELECT ROUND(SUM(COALESCE(d.done_h, {max_h})) * 1.0 / count(*), 6) AS eff_diameter
 FROM vertices v LEFT JOIN done d ON d.id = v.id"""
     return _with_graph(body)
+
+
+# ---- PageRankNibble (scd/ApproximatePageRank.cpp, PageRankNibble.cpp) -----
+
+def sql_pagerank_nibble(
+    seed: int = 0, alpha: float = 0.15, rounds: int = 8
+) -> str:
+    """Batched-push APR (eps=0, pinned rounds) + conductance sweep,
+    mirroring operators/scd.py round for round."""
+    a, om = alpha, 1.0 - alpha
+    ctes = [
+        DEG_CTE.strip().rstrip(),
+        "w1 AS (SELECT src AS id, SUM(weight) AS wdeg1 FROM edges GROUP BY src)",
+        "tvv AS (SELECT SUM(weight) + COALESCE(SUM(CASE WHEN src = dst THEN weight END), 0) AS tv FROM edges)",
+        f"s0 AS (SELECT CAST({seed} AS BIGINT) AS id, 0.0 AS p, 1.0 AS res)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""g{r} AS (
+    SELECT e.dst AS id, SUM({om} * s.res * e.weight / (2 * d.wdeg)) AS gain
+    FROM s{r - 1} s
+    JOIN degrees d ON d.id = s.id AND d.wdeg > 0
+    JOIN edges e ON e.src = s.id
+    WHERE s.res > 0
+    GROUP BY e.dst
+),
+s{r} AS MATERIALIZED (
+    SELECT COALESCE(x.id, g.id) AS id,
+           COALESCE(x.p, 0)
+             + CASE WHEN x.res > 0 AND COALESCE(d.wdeg, 0) > 0
+                    THEN {a} * x.res ELSE 0 END AS p,
+           CASE WHEN x.res > 0 AND COALESCE(d.wdeg, 0) > 0
+                THEN {om} * x.res / 2 ELSE COALESCE(x.res, 0) END
+             + COALESCE(g.gain, 0) AS res
+    FROM g{r} g FULL JOIN s{r - 1} x ON x.id = g.id
+    LEFT JOIN degrees d ON d.id = COALESCE(x.id, g.id)
+)"""
+        )
+    body = ", ".join(ctes) + f""",
+sup AS (
+    SELECT s.id, ROUND(s.p / NULLIF(d.wdeg, 0), 9) AS score,
+           COALESCE(w1.wdeg1, 0) AS wdeg1
+    FROM s{rounds} s
+    LEFT JOIN degrees d ON d.id = s.id
+    LEFT JOIN w1 ON w1.id = s.id
+    WHERE s.p > 0 OR s.res > 0
+),
+rk AS MATERIALIZED (
+    SELECT id, wdeg1,
+           ROW_NUMBER() OVER (ORDER BY score DESC NULLS LAST, id ASC) AS rnk
+    FROM sup
+),
+swev AS (
+    SELECT * FROM (
+        SELECT CASE WHEN u.src = u.dst THEN ra.rnk
+                    ELSE LEAST(COALESCE(ra.rnk, 2147483647),
+                               COALESCE(rb.rnk, 2147483647)) END AS enter,
+               CASE WHEN u.src <> u.dst AND ra.rnk IS NOT NULL
+                         AND rb.rnk IS NOT NULL
+                    THEN GREATEST(ra.rnk, rb.rnk) END AS leave,
+               u.weight AS w
+        FROM (SELECT src, dst, weight FROM edges WHERE src <= dst) u
+        LEFT JOIN rk ra ON ra.id = u.src
+        LEFT JOIN rk rb ON rb.id = u.dst
+    ) WHERE enter IS NOT NULL AND enter <> 2147483647
+),
+dl AS (
+    SELECT rnk, SUM(d) AS delta FROM (
+        SELECT enter AS rnk, w AS d FROM swev
+        UNION ALL
+        SELECT leave AS rnk, -w AS d FROM swev WHERE leave IS NOT NULL
+    ) GROUP BY rnk
+),
+sw AS (
+    SELECT r.rnk, r.id,
+           SUM(COALESCE(dl.delta, 0)) OVER (ORDER BY r.rnk) AS cut,
+           SUM(r.wdeg1) OVER (ORDER BY r.rnk) AS vol
+    FROM rk r LEFT JOIN dl ON dl.rnk = r.rnk
+),
+cnd AS (
+    SELECT rnk,
+           CASE WHEN LEAST(vol, (SELECT tv FROM tvv) - vol) > 0
+                THEN ROUND(cut / LEAST(vol, (SELECT tv FROM tvv) - vol), 9)
+           END AS cond
+    FROM sw WHERE rnk < (SELECT count(*) FROM vertices)
+),
+bk AS (SELECT rnk AS k FROM cnd WHERE cond IS NOT NULL ORDER BY cond, rnk LIMIT 1)
+SELECT id FROM rk WHERE rnk <= (SELECT k FROM bk) ORDER BY id"""
+    return _with_graph(body)

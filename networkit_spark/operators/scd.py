@@ -1,0 +1,235 @@
+"""Selective community detection: ApproximatePageRank (push) and
+PageRankNibble seed-set expansion.
+
+References:
+- networkit/cpp/scd/ApproximatePageRank.cpp:17-61 — Andersen-Chung-Lang
+  push: seeds start with residual 1/|seeds|; pushing u moves alpha*r(u)
+  into p(u), sends (1-alpha)*r(u)*w/(2*vol(u)) to each neighbor, and keeps
+  (1-alpha)*r(u)/2; a node is pushable while r(u) >= eps*vol(u), with
+  vol = weightedDegree(u, includeSelfLoops=true).
+- networkit/cpp/scd/PageRankNibble.cpp:27-97 — order the support by
+  p(v)/vol(v) descending, sweep: cumulative volume adds the single-count
+  weighted degree, an edge joins the cut at the earlier endpoint's rank
+  and leaves at the later one's (self-loops enter and never leave),
+  conductance = cut / min(vol, totalVolume - vol) with
+  totalVolume = 2 * totalEdgeWeight; the community is the strictly-best
+  prefix (first minimum), constrained to fewer than n nodes.
+
+Determinism: the reference pushes one queue element at a time, so its
+intermediate states depend on pop order (any order satisfies the same
+eps-approximation guarantee). The distributed-standard batched variant
+pushes EVERY pushable node per superstep — a deterministic schedule both
+engines replay exactly; ``eps=0`` with a pinned round count is the
+oracle-checkable mode (every node with r > 0 pushes), ``eps > 0`` is the
+reference's locality-terminating mode.
+
+Spark-first plan: the push loop is a join + groupBy(dst).sum per
+superstep over the SUPPORT only (the frontier of touched nodes — at scale
+O(1/(eps*alpha)) nodes, not the graph); the sweep is window functions
+over the support ordered by score. The single-partition window is bounded
+by the support size, which is exactly why PageRankNibble is the 10^12-edge
+local-community tool: the graph-sized tables are touched once (a semi-join
+pulling the support's edges), everything after is support-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.checkpoint import IterationState, materialize
+
+
+def approximate_pagerank(
+    graph: Graph,
+    seeds: list[int],
+    alpha: float = 0.15,
+    eps: float = 0.0,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """(id, p, res) over the touched support after batched push rounds.
+    eps=0 pushes every node with positive residual for exactly
+    ``max_rounds`` supersteps (deterministic, oracle-checkable); eps>0
+    additionally stops early once no node has r >= eps*vol."""
+    spark = graph.vertices.sparkSession
+    g = graph.to_undirected() if graph.directed else graph
+    deg = g.degrees().select("id", F.col("wdeg").alias("vol"))
+    edges = g.edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+
+    state = IterationState(None, "apr")
+    init = 1.0 / len(seeds)
+    pr = spark.createDataFrame(
+        [(int(s), 0.0, init) for s in seeds], "id long, p double, res double"
+    )
+    pr = state.advance(0, pr.join(deg, "id", "left").fillna({"vol": 0.0}))
+
+    for rnd in range(1, max_rounds + 1):
+        active = pr.filter(
+            (F.col("res") > 0) & (F.col("res") >= F.lit(eps) * F.col("vol"))
+        )
+        if eps > 0 and active.limit(1).count() == 0:
+            break
+        # mass each active u sends per unit weight; vol=0 nodes hold mass
+        pushes = (
+            active.filter(F.col("vol") > 0)
+            .withColumnRenamed("id", "src")
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.sum(
+                    F.lit(1.0 - alpha) * F.col("res") * F.col("w") / (2.0 * F.col("vol"))
+                ).alias("gain")
+            )
+        )
+        settled = pr.select(
+            "id",
+            "vol",
+            (
+                F.col("p")
+                + F.when(
+                    (F.col("res") > 0)
+                    & (F.col("res") >= F.lit(eps) * F.col("vol"))
+                    & (F.col("vol") > 0),
+                    F.lit(alpha) * F.col("res"),
+                ).otherwise(0.0)
+            ).alias("p"),
+            F.when(
+                (F.col("res") > 0)
+                & (F.col("res") >= F.lit(eps) * F.col("vol"))
+                & (F.col("vol") > 0),
+                F.lit(1.0 - alpha) * F.col("res") / 2.0,
+            )
+            .otherwise(F.col("res"))
+            .alias("res"),
+        )
+        pr = (
+            settled.join(pushes, "id", "full")
+            .join(deg.withColumnRenamed("vol", "dvol"), "id", "left")
+            .select(
+                "id",
+                F.coalesce("p", F.lit(0.0)).alias("p"),
+                (F.coalesce("res", F.lit(0.0)) + F.coalesce("gain", F.lit(0.0))).alias(
+                    "res"
+                ),
+                F.coalesce("vol", "dvol", F.lit(0.0)).alias("vol"),
+            )
+        )
+        pr = state.advance(rnd, pr)
+    state.close()
+    return pr.select("id", "p", "res")
+
+
+def pagerank_nibble(
+    graph: Graph,
+    seeds: list[int],
+    alpha: float = 0.15,
+    eps: float = 0.0,
+    max_rounds: int = 8,
+    apr: DataFrame | None = None,
+) -> DataFrame:
+    """(id) — the best-conductance sweep prefix of the APR support,
+    ascending ids. Scores/conductances are rounded to 9 dp before ranking
+    and argmin so both engines agree on every discrete choice."""
+    g = graph.to_undirected() if graph.directed else graph
+    pr = (
+        apr
+        if apr is not None
+        else approximate_pagerank(g, seeds, alpha=alpha, eps=eps, max_rounds=max_rounds)
+    )
+    n = g.num_nodes()
+    deg = g.degrees()  # (id, degree, wdeg) — wdeg counts self-loops twice
+    edges = g.edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    # single-count weighted degree (forNeighborsOf semantics in the sweep)
+    wdeg1 = edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("wdeg1"))
+    # totalVolume = 2 * totalEdgeWeight = sym-sum + self-loop sum
+    tv = edges.agg(
+        (
+            F.sum("w")
+            + F.coalesce(
+                F.sum(F.when(F.col("src") == F.col("dst"), F.col("w"))), F.lit(0.0)
+            )
+        ).alias("tv")
+    )
+
+    support = materialize(
+        pr.filter((F.col("p") > 0) | (F.col("res") > 0))
+        .join(deg.select("id", "wdeg"), "id", "left")
+        .join(wdeg1, "id", "left")
+        .select(
+            "id",
+            F.round(
+                F.col("p") / F.when(F.col("wdeg") > 0, F.col("wdeg")), 9
+            ).alias("score"),
+            F.coalesce("wdeg1", F.lit(0.0)).alias("wdeg1"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("score").desc_nulls_last(), F.col("id").asc())
+    ranked = support.select("id", "wdeg1", F.row_number().over(w_rank).alias("rank"))
+
+    ra = ranked.select(F.col("id").alias("src"), F.col("rank").alias("ra"))
+    rb = ranked.select(F.col("id").alias("dst"), F.col("rank").alias("rb"))
+    und = edges.filter(F.col("src") <= F.col("dst"))
+    ev = (
+        und.join(ra, "src", "left")
+        .join(rb, "dst", "left")
+        .select(
+            F.when(
+                F.col("src") == F.col("dst"), F.coalesce("ra", F.lit(None))
+            )
+            .otherwise(F.least(F.coalesce("ra", F.lit(2147483647)), F.coalesce("rb", F.lit(2147483647))))
+            .alias("enter"),
+            F.when(
+                (F.col("src") != F.col("dst"))
+                & F.col("ra").isNotNull()
+                & F.col("rb").isNotNull(),
+                F.greatest("ra", "rb"),
+            ).alias("leave"),
+            "w",
+        )
+        .filter(F.col("enter").isNotNull() & (F.col("enter") != 2147483647))
+    )
+    deltas = (
+        ev.select(F.col("enter").alias("rank"), F.col("w").alias("d"))
+        .unionByName(
+            ev.filter(F.col("leave").isNotNull()).select(
+                F.col("leave").alias("rank"), (-F.col("w")).alias("d")
+            )
+        )
+        .groupBy("rank")
+        .agg(F.sum("d").alias("delta"))
+    )
+    w_cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = (
+        ranked.join(deltas, "rank", "left")
+        .fillna({"delta": 0.0})
+        .crossJoin(F.broadcast(tv))
+        .select(
+            "rank",
+            "id",
+            F.sum("delta").over(w_cum).alias("cut"),
+            F.sum("wdeg1").over(w_cum).alias("vol"),
+            "tv",
+        )
+        .select(
+            "rank",
+            "id",
+            F.round(
+                F.col("cut")
+                / F.when(
+                    F.least("vol", F.col("tv") - F.col("vol")) > 0,
+                    F.least("vol", F.col("tv") - F.col("vol")),
+                ),
+                9,
+            ).alias("cond"),
+        )
+        .filter(F.col("rank") < n)  # sweep set must stay below n nodes
+        .filter(F.col("cond").isNotNull())
+    )
+    best = sweep.agg(F.min_by("rank", F.struct(F.col("cond"), F.col("rank"))).alias("k"))
+    return (
+        ranked.crossJoin(F.broadcast(best))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("id")
+        .orderBy("id")
+    )
