@@ -587,6 +587,13 @@ def q_scd_pagerank_nibble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_nibble(g, seeds=[0], alpha=0.15, eps=0.0, max_rounds=8)
 
 
+def q_sim_seir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.epidemic import seir_simulation
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return seir_simulation(g, zero=0, t_max=8, trans_p=0.5, e_time=2, i_time=7, seed=42)
+
+
 def q_centrality_top_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import top_closeness
 
@@ -666,6 +673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_neighborhood_function": q_graph_neighborhood_function,
     "graph_effective_diameter_fm": q_graph_effective_diameter_fm,
     "scd_pagerank_nibble": q_scd_pagerank_nibble,
+    "sim_seir": q_sim_seir,
     "dedup_embed_pairs": q_embed_near_dup,
     "embed_ivf_ann": q_embed_ivf_ann,
     "text_token_stats": q_token_stats,
@@ -736,6 +744,7 @@ def build_oracles() -> dict[str, str]:
         "graph_neighborhood_function": L.sql_neighborhood_function(4, 7, 42, 8),
         "graph_effective_diameter_fm": L.sql_effective_diameter_fm(0.9, 4, 7, 42, 8),
         "scd_pagerank_nibble": L.sql_pagerank_nibble(0, 0.15, 8),
+        "sim_seir": L.sql_seir(0, 8, 0.5, 2, 7, 42),
         "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

@@ -1903,3 +1903,61 @@ cnd AS (
 bk AS (SELECT rnk AS k FROM cnd WHERE cond IS NOT NULL ORDER BY cond, rnk LIMIT 1)
 SELECT id FROM rk WHERE rnk <= (SELECT k FROM bk) ORDER BY id"""
     return _with_graph(body)
+
+
+# ---- SEIR epidemic (simulation/EpidemicSimulationSEIR.cpp) ----------------
+
+def sql_seir(
+    zero: int = 0,
+    t_max: int = 8,
+    trans_p: float = 0.5,
+    e_time: int = 2,
+    i_time: int = 7,
+    seed: int = 42,
+) -> str:
+    """Unrolled synchronous SEIR sweeps mirroring operators/epidemic.py."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    cut = int(trans_p * (2**48))
+    ctes = [
+        "ae AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        f"st0 AS (SELECT id, CASE WHEN id = {zero} THEN 2 ELSE 0 END AS st, 0 AS ts FROM vertices)",
+    ]
+    census = []
+    for t in range(t_max):
+        h = md5_long_sql(
+            f"('{seed}:sir:{t}:' || CAST(src AS STRING) || ':' || CAST(dst AS STRING))"
+        )
+        ctes.append(
+            f"""ex{t} AS (
+    SELECT DISTINCT e.dst AS id
+    FROM ae e JOIN st{t} s ON s.id = e.src AND s.st = 2
+    WHERE {h} <= {cut}
+),
+st{t + 1} AS MATERIALIZED (
+    SELECT s.id,
+           CASE WHEN s.st = 0 AND x.id IS NOT NULL THEN 1
+                WHEN s.st = 1 AND {t} - s.ts >= {e_time} THEN 2
+                WHEN s.st = 2 AND {t} - s.ts >= {i_time} THEN 3
+                ELSE s.st END AS st,
+           CASE WHEN (s.st = 0 AND x.id IS NOT NULL)
+                  OR (s.st = 1 AND {t} - s.ts >= {e_time})
+                  OR (s.st = 2 AND {t} - s.ts >= {i_time})
+                THEN {t} ELSE s.ts END AS ts
+    FROM st{t} s LEFT JOIN ex{t} x ON x.id = s.id
+)"""
+        )
+        census.append(
+            f"SELECT {t} AS t, st AS state, count(*) AS population FROM st{t + 1} GROUP BY st"
+        )
+    body = ", ".join(ctes) + f""",
+cs AS ({' UNION ALL '.join(census)}),
+grid AS (
+    SELECT g.t, q.state
+    FROM generate_series(0, {t_max - 1}) g(t), generate_series(0, 3) q(state)
+)
+SELECT CAST(grid.t AS INT) AS t, CAST(grid.state AS INT) AS state,
+       CAST(COALESCE(cs.population, 0) AS BIGINT) AS population
+FROM grid LEFT JOIN cs ON cs.t = grid.t AND cs.state = grid.state
+ORDER BY t, state"""
+    return _with_graph(body)

@@ -39,3 +39,40 @@ def test_pagerank_nibble_recovers_clique(spark):
                                             eps=0.0, max_rounds=8).collect()]
     # the best-conductance sweep from a clique-A seed is exactly clique A
     assert got == [0, 1, 2, 3, 4]
+
+
+# ---- SEIR (simulation/EpidemicSimulationSEIR.cpp) --------------------------
+
+
+def test_seir_deterministic_wave(spark):
+    from networkit_spark.operators.epidemic import seir_simulation
+
+    # clique of 4, certain transmission: 0 infects all at t=0, E->I at t=1
+    g = from_edge_rows(spark, list(itertools.combinations(range(4), 2)))
+    rows = seir_simulation(
+        g, zero=0, t_max=3, trans_p=1.0, e_time=0, i_time=100, seed=1
+    ).collect()
+    pop = {(r["t"], r["state"]): r["population"] for r in rows}
+    assert pop[(0, 0)] == 0 and pop[(0, 1)] == 3 and pop[(0, 2)] == 1
+    assert pop[(1, 1)] == 0 and pop[(1, 2)] == 4
+    assert pop[(2, 2)] == 4 and pop[(2, 3)] == 0
+
+
+def test_seir_population_invariants(spark):
+    from networkit_spark.operators.epidemic import seir_simulation
+
+    g = barbell(spark)
+    rows = seir_simulation(
+        g, zero=0, t_max=6, trans_p=0.4, e_time=1, i_time=2, seed=7
+    ).collect()
+    by_t = {}
+    for r in rows:
+        by_t.setdefault(r["t"], {})[r["state"]] = r["population"]
+    n = 10
+    s_prev, r_prev = n, 0
+    for t in sorted(by_t):
+        c = by_t[t]
+        assert sum(c.values()) == n  # census partitions the vertex set
+        assert c[0] <= s_prev  # S monotone nonincreasing (ref GTest contract)
+        assert c[3] >= r_prev  # R monotone nondecreasing
+        s_prev, r_prev = c[0], c[3]
