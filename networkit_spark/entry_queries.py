@@ -594,6 +594,24 @@ def q_sim_seir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seir_simulation(g, zero=0, t_max=8, trans_p=0.5, e_time=2, i_time=7, seed=42)
 
 
+def q_centrality_laplacian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import laplacian_centrality
+    import pyspark.sql.functions as F
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return laplacian_centrality(g, normalized=True).select(
+        "id", F.round("score", 6).alias("score")
+    )
+
+
+def q_centrality_sfigality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.centrality import sfigality
+    import pyspark.sql.functions as F
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return sfigality(g).select("id", F.round("score", 6).alias("score"))
+
+
 def q_centrality_top_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import top_closeness
 
@@ -674,6 +692,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_effective_diameter_fm": q_graph_effective_diameter_fm,
     "scd_pagerank_nibble": q_scd_pagerank_nibble,
     "sim_seir": q_sim_seir,
+    "centrality_laplacian": q_centrality_laplacian,
+    "centrality_sfigality": q_centrality_sfigality,
     "dedup_embed_pairs": q_embed_near_dup,
     "embed_ivf_ann": q_embed_ivf_ann,
     "text_token_stats": q_token_stats,
@@ -745,6 +765,8 @@ def build_oracles() -> dict[str, str]:
         "graph_effective_diameter_fm": L.sql_effective_diameter_fm(0.9, 4, 7, 42, 8),
         "scd_pagerank_nibble": L.sql_pagerank_nibble(0, 0.15, 8),
         "sim_seir": L.sql_seir(0, 8, 0.5, 2, 7, 42),
+        "centrality_laplacian": L.sql_laplacian_centrality(True),
+        "centrality_sfigality": L.sql_sfigality(),
         "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

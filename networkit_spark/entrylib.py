@@ -1961,3 +1961,50 @@ SELECT CAST(grid.t AS INT) AS t, CAST(grid.state AS INT) AS state,
 FROM grid LEFT JOIN cs ON cs.t = grid.t AND cs.state = grid.state
 ORDER BY t, state"""
     return _with_graph(body)
+
+
+# ---- Laplacian centrality + sfigality (centrality/LaplacianCentrality.cpp,
+#      Sfigality.cpp) --------------------------------------------------------
+
+def sql_laplacian_centrality(normalized: bool = True) -> str:
+    body = f"""wd AS (
+    SELECT v.id, COALESCE(s.wd, 0.0) AS wd
+    FROM vertices v LEFT JOIN (
+        SELECT src AS id, SUM(weight) AS wd FROM edges GROUP BY src
+    ) s ON s.id = v.id
+),
+nbr AS (
+    SELECT e.src AS id,
+           SUM(e.weight * (e.weight + 2.0 * w.wd)) AS loss_nbr
+    FROM edges e JOIN wd w ON w.id = e.dst GROUP BY e.src
+),
+tot AS (
+    SELECT (SELECT SUM(wd * wd) FROM wd)
+         + (SELECT SUM(weight * weight) FROM edges) AS te
+),
+sc AS (
+    SELECT w.id, w.wd * w.wd + COALESCE(n.loss_nbr, 0.0) AS score
+    FROM wd w LEFT JOIN nbr n ON n.id = w.id
+)
+SELECT id, ROUND({'score / (SELECT te FROM tot)' if normalized else 'score'}, 6) AS score
+FROM sc ORDER BY id"""
+    return _with_graph(body)
+
+
+def sql_sfigality() -> str:
+    body = """dg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+hi AS (
+    SELECT e.src AS id,
+           SUM(CASE WHEN a.deg < b.deg THEN 1 ELSE 0 END) AS sf
+    FROM edges e
+    JOIN dg a ON a.id = e.src
+    JOIN dg b ON b.id = e.dst
+    GROUP BY e.src
+)
+SELECT v.id,
+       ROUND(COALESCE(hi.sf, 0) * 1.0 / NULLIF(dg.deg, 0), 6) AS score
+FROM vertices v
+LEFT JOIN dg ON dg.id = v.id
+LEFT JOIN hi ON hi.id = v.id
+ORDER BY v.id"""
+    return _with_graph(body)

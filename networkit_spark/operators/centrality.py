@@ -309,3 +309,65 @@ def sssp_weighted(
         ):
             break
     return dist
+
+
+def laplacian_centrality(graph: Graph, normalized: bool = False) -> DataFrame:
+    """(id, score): Laplacian energy lost when dropping the node —
+    wdeg(u)^2 + Σ_{v~u} w(u,v)·(w(u,v) + 2·wdeg(v)); normalized divides by
+    the total Laplacian energy Σ_u wdeg(u)^2 + Σ_e∈directed w(e)^2.
+    Reference: centrality/LaplacianCentrality.cpp:16-45 (weightedDegree
+    counts self-loops ONCE there — plain out-edge weight sum).
+
+    Spark-first: one weighted-degree aggregation, one edges⋈degrees join,
+    one groupBy — no iteration, fully partial-aggregated."""
+    edges = graph.edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("w")
+    )
+    wdeg = edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("wd"))
+    wdeg = graph.vertices.join(wdeg, "id", "left").fillna({"wd": 0.0})
+    nbr = (
+        edges.join(
+            wdeg.select(F.col("id").alias("dst"), F.col("wd").alias("wd_v")), "dst"
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum(F.col("w") * (F.col("w") + 2.0 * F.col("wd_v"))).alias("loss_nbr"))
+    )
+    score = (
+        wdeg.join(nbr, "id", "left")
+        .fillna({"loss_nbr": 0.0})
+        .select("id", (F.col("wd") * F.col("wd") + F.col("loss_nbr")).alias("score"))
+    )
+    if not normalized:
+        return score
+    tot = wdeg.agg(F.sum(F.col("wd") * F.col("wd")).alias("a")).crossJoin(
+        edges.agg(F.sum(F.col("w") * F.col("w")).alias("b"))
+    )
+    return score.crossJoin(F.broadcast(tot)).select(
+        "id", (F.col("score") / (F.col("a") + F.col("b"))).alias("score")
+    )
+
+
+def sfigality(graph: Graph) -> DataFrame:
+    """(id, score): fraction of a node's incident edges whose other
+    endpoint has strictly higher (unweighted) degree; NULL for isolated
+    nodes (the reference divides 0/0). centrality/Sfigality.cpp:17-29."""
+    edges = graph.edges.select("src", "dst")
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    hi = (
+        edges.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("du")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("dv")), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum(F.when(F.col("du") < F.col("dv"), 1).otherwise(0)).alias("sf"))
+    )
+    return (
+        graph.vertices.join(deg, "id", "left")
+        .join(hi, "id", "left")
+        .select(
+            "id",
+            (F.coalesce("sf", F.lit(0)) / F.when(F.col("deg") > 0, F.col("deg"))).alias(
+                "score"
+            ),
+        )
+    )
