@@ -612,6 +612,18 @@ def q_centrality_sfigality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sfigality(g).select("id", F.round("score", 6).alias("score"))
 
 
+def q_embed_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.node2vec import biased_random_walks
+
+    g, _ = L.events_graph(spark, sf_dir)
+    w = biased_random_walks(g, p=4.0, q=0.25, walk_length=5, walks_per_node=1, seed=42)
+    return w.select(
+        F.col("walk_id").cast("bigint").alias("walk_id"),
+        F.col("step").cast("int").alias("step"),
+        F.col("node").cast("bigint").alias("node"),
+    )
+
+
 def q_centrality_top_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import top_closeness
 
@@ -694,6 +706,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_seir": q_sim_seir,
     "centrality_laplacian": q_centrality_laplacian,
     "centrality_sfigality": q_centrality_sfigality,
+    "embed_node2vec_walks": q_embed_node2vec_walks,
     "dedup_embed_pairs": q_embed_near_dup,
     "embed_ivf_ann": q_embed_ivf_ann,
     "text_token_stats": q_token_stats,
@@ -767,6 +780,7 @@ def build_oracles() -> dict[str, str]:
         "sim_seir": L.sql_seir(0, 8, 0.5, 2, 7, 42),
         "centrality_laplacian": L.sql_laplacian_centrality(True),
         "centrality_sfigality": L.sql_sfigality(),
+        "embed_node2vec_walks": L.sql_node2vec_walks(4.0, 0.25, 5, 1, 42),
         "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

@@ -2008,3 +2008,72 @@ LEFT JOIN dg ON dg.id = v.id
 LEFT JOIN hi ON hi.id = v.id
 ORDER BY v.id"""
     return _with_graph(body)
+
+
+# ---- Node2Vec biased walks (embedding/BiasedRandomWalk.cpp) ----------------
+
+def sql_node2vec_walks(
+    p: float = 4.0,
+    q: float = 0.25,
+    walk_length: int = 5,
+    walks_per_node: int = 1,
+    seed: int = 42,
+) -> str:
+    """Unrolled walk steps mirroring operators/node2vec.py. The gate pins
+    p and q to powers of two: weights are integral counts, so every wadj
+    and every cumulative sum is an exact dyadic rational — window-sum
+    association order can't perturb the inverse-CDF pick in either engine."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    def draw(step: int) -> str:
+        return md5_long_sql(f"('{seed}:walk:{step}:' || CAST(walk_id AS STRING))")
+
+    ctes = [
+        "ed AS MATERIALIZED (SELECT src, dst, MAX(weight) AS w FROM edges GROUP BY src, dst)",
+        f"""starts AS (
+    SELECT id * {walks_per_node} + c.c AS walk_id, id AS node
+    FROM vertices, generate_series(0, {walks_per_node - 1}) c(c)
+)""",
+        """rk AS (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+           COUNT(*) OVER (PARTITION BY src) AS cnt
+    FROM ed
+)""",
+        f"""st1 AS MATERIALIZED (
+    SELECT walk_id, t, v FROM (
+        SELECT s.walk_id, s.node AS t, r.dst AS v, r.rn, r.cnt
+        FROM starts s JOIN rk r ON r.src = s.node
+    ) WHERE rn = ({draw(1)} % cnt) + 1
+)""",
+    ]
+    for i in range(2, walk_length):
+        ctes.append(
+            f"""cand{i} AS (
+    SELECT st.walk_id, st.t, st.v, e.dst AS x,
+           CASE WHEN e.dst = st.t THEN e.w / {p}
+                WHEN a.src IS NOT NULL THEN e.w
+                ELSE e.w / {q} END AS wadj
+    FROM st{i - 1} st JOIN ed e ON e.src = st.v
+    LEFT JOIN ed a ON a.src = st.t AND a.dst = e.dst
+),
+st{i} AS MATERIALIZED (
+    SELECT walk_id, MIN(v) AS t, MIN(x) AS v FROM (
+        SELECT walk_id, v, x,
+               SUM(wadj) OVER (PARTITION BY walk_id ORDER BY x) AS cum,
+               SUM(wadj) OVER (PARTITION BY walk_id) AS tot,
+               {draw(i)} AS h
+        FROM cand{i}
+    ) WHERE cum > h * POWER(2.0, -48) * tot
+    GROUP BY walk_id
+)"""
+        )
+    rows = ["SELECT walk_id, 0 AS step, node FROM starts"]
+    for i in range(1, walk_length):
+        rows.append(f"SELECT walk_id, {i} AS step, v AS node FROM st{i}")
+    body = ", ".join(ctes) + f""",
+wk AS ({' UNION ALL '.join(rows)})
+SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS INT) AS step,
+       CAST(node AS BIGINT) AS node
+FROM wk ORDER BY walk_id, step"""
+    return _with_graph(body)
