@@ -624,6 +624,17 @@ def q_embed_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.spanning import max_spanning_forest
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return max_spanning_forest(g).select(
+        F.col("u").cast("bigint").alias("u"),
+        F.col("v").cast("bigint").alias("v"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+
+
 def q_centrality_top_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import top_closeness
 
@@ -707,6 +718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centrality_laplacian": q_centrality_laplacian,
     "centrality_sfigality": q_centrality_sfigality,
     "embed_node2vec_walks": q_embed_node2vec_walks,
+    "graph_msf": q_graph_msf,
     "dedup_embed_pairs": q_embed_near_dup,
     "embed_ivf_ann": q_embed_ivf_ann,
     "text_token_stats": q_token_stats,
@@ -781,6 +793,7 @@ def build_oracles() -> dict[str, str]:
         "centrality_laplacian": L.sql_laplacian_centrality(True),
         "centrality_sfigality": L.sql_sfigality(),
         "embed_node2vec_walks": L.sql_node2vec_walks(4.0, 0.25, 5, 1, 42),
+        "graph_msf": L.sql_msf(),
         "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

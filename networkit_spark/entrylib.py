@@ -2077,3 +2077,74 @@ SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS INT) AS step,
        CAST(node AS BIGINT) AS node
 FROM wk ORDER BY walk_id, step"""
     return _with_graph(body)
+
+
+# ---- Maximum spanning forest (graph/RandomMaximumSpanningForest.cpp) -------
+
+def sql_msf(rounds: int = 10, jumps: int = 8) -> str:
+    """Unrolled Boruvka mirroring operators/spanning.py: per round, each
+    component's lexicographic-max (w, u, v) incident cross edge joins the
+    forest, 2-cycles in the best-edge pointer graph break to the smaller
+    component, and `jumps` pointer-squaring steps contract to roots
+    (2^jumps >= any chain depth at gate scale). Under the strict total
+    order the forest is unique, so both engines converge to the same set;
+    rounds past convergence are no-ops on empty cross sets."""
+    ctes = [
+        """rem0 AS MATERIALIZED (
+    SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, MAX(weight) AS w
+    FROM edges WHERE src <> dst GROUP BY 1, 2
+)""",
+        "lab0 AS (SELECT id AS node, id AS comp FROM vertices)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"p0_{i}"
+        ctes.append(
+            f"""cross{i} AS MATERIALIZED (
+    SELECT r.u, r.v, r.w, lu.comp AS cu, lv.comp AS cv
+    FROM rem{i-1} r
+    JOIN lab{i-1} lu ON lu.node = r.u
+    JOIN lab{i-1} lv ON lv.node = r.v
+    WHERE lu.comp <> lv.comp
+),
+best{i} AS MATERIALIZED (
+    SELECT comp, u, v, w, other FROM (
+        SELECT comp, u, v, w, other,
+               ROW_NUMBER() OVER (PARTITION BY comp
+                                  ORDER BY w DESC, u DESC, v DESC) AS rn
+        FROM (
+            SELECT cu AS comp, u, v, w, cv AS other FROM cross{i}
+            UNION ALL
+            SELECT cv AS comp, u, v, w, cu AS other FROM cross{i}
+        )
+    ) WHERE rn = 1
+),
+{p} AS (
+    SELECT b.comp,
+           CASE WHEN gp.other = b.comp AND b.comp < b.other
+                THEN b.comp ELSE b.other END AS parent
+    FROM best{i} b LEFT JOIN best{i} gp ON gp.comp = b.other
+)"""
+        )
+        for k in range(1, jumps + 1):
+            ctes.append(
+                f"""p{k}_{i} AS (
+    SELECT a.comp, COALESCE(b.parent, a.parent) AS parent
+    FROM p{k-1}_{i} a LEFT JOIN p{k-1}_{i} b ON b.comp = a.parent
+)"""
+            )
+        ctes.append(
+            f"""lab{i} AS MATERIALIZED (
+    SELECT l.node, COALESCE(p.parent, l.comp) AS comp
+    FROM lab{i-1} l LEFT JOIN p{jumps}_{i} p ON p.comp = l.comp
+),
+rem{i} AS (SELECT u, v, w FROM cross{i})"""
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT DISTINCT u, v, w FROM best{i}" for i in range(1, rounds + 1)
+    )
+    body = ", ".join(ctes) + f""",
+forest AS ({picks})
+SELECT DISTINCT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       CAST(w AS DOUBLE) AS weight
+FROM forest ORDER BY u, v"""
+    return _with_graph(body)

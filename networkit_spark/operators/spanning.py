@@ -1,0 +1,139 @@
+"""Maximum-weight spanning forest via distributed Boruvka supersteps.
+
+Reference: networkit/cpp/graph/RandomMaximumSpanningForest.cpp:34-80 (a
+modified Kruskal over randomly-perturbed weights; attribute "is the edge in
+the forest") and graph/SpanningForest.cpp (unweighted case). Kruskal's
+sequential union-find does not distribute; Boruvka's algorithm computes the
+SAME forest when edge weights are totally ordered, in O(log n) synchronous
+rounds: every component selects its best incident cross edge, selected
+edges join the forest, touched components contract, repeat until no cross
+edges remain.
+
+Determinism: the reference breaks weight ties with Aux::Random perturbation
+(RandomMaximumSpanningForest.cpp:43); we use the strict total order
+(w, u, v) lexicographic-max instead — under any strict total order the
+maximum spanning forest is UNIQUE, so the result is schedule-independent
+and exactly reproducible by the DuckDB oracle. A classic consequence of
+distinct effective weights: the per-component best-edge pointer graph has
+no cycles longer than 2, so contraction is conjoined-tree pointer
+doubling, not general connected components.
+
+Spark-first plan per round (no Python, no collect of edge data):
+  comp labels  = vertex table (id, comp), joined onto the remaining-edge
+                 table src- and dst-side (two shuffle joins on id);
+  best(comp)   = one map-side-combined max(struct(w,u,v)) per component;
+  contraction  = break 2-cycles (keep the smaller component as root), then
+                 pointer-double labels to the root — successive squaring,
+                 O(log depth) inner joins on the component table, which
+                 shrinks geometrically across rounds.
+The remaining-edge table also shrinks geometrically (intra-component edges
+drop out), so late rounds are cheap; IterationState bounds plan growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.checkpoint import CheckpointManager, IterationState, materialize
+
+
+def max_spanning_forest(
+    graph: Graph,
+    max_rounds: int = 32,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """forest(u: long, v: long, weight: double), u < v — the unique
+    maximum-weight spanning forest of the undirected simple support under
+    the (weight, u, v) total order. Self-loops never enter a forest; for a
+    MINIMUM forest pass negated weights and negate the result."""
+    g = graph.to_undirected() if graph.directed else graph
+    canon = (
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.max("w").alias("w"))
+    )
+    remaining = materialize(canon)
+    spark = remaining.sparkSession
+    labels = materialize(
+        g.vertices.select(F.col("id").alias("node"), F.col("id").alias("comp"))
+    )
+    forest = spark.createDataFrame([], "u long, v long, weight double")
+
+    state = IterationState(checkpoint, "boruvka")
+    rnd = 0
+    while rnd < max_rounds:
+        rnd += 1
+        # cross edges under current labels (intra-component edges drop out
+        # for good: overwrite `remaining` with the relabeled cross set)
+        lab_u = labels.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        lab_v = labels.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        cross = materialize(
+            remaining.join(lab_u, "u").join(lab_v, "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .select("u", "v", "w", "cu", "cv")
+        )
+        if cross.isEmpty():
+            break
+        # every component's unique best incident edge under (w, u, v)
+        cand = cross.select(F.col("cu").alias("comp"), "w", "u", "v", F.col("cv").alias("other")) \
+            .unionByName(
+                cross.select(F.col("cv").alias("comp"), "w", "u", "v", F.col("cu").alias("other"))
+            )
+        best = cand.groupBy("comp").agg(F.max(F.struct("w", "u", "v", "other")).alias("b"))
+        chosen = materialize(
+            best.select(
+                F.col("b.u").alias("u"), F.col("b.v").alias("v"), F.col("b.w").alias("w")
+            ).distinct()
+        )
+        forest = forest.unionByName(chosen.select("u", "v", F.col("w").alias("weight")))
+        # parent pointer on components; 2-cycles (mutual picks) break to the
+        # smaller endpoint, which becomes a self-rooted tree root
+        ptr = best.select("comp", F.col("b.other").alias("parent"))
+        p2 = ptr.select(F.col("comp").alias("c2"), F.col("parent").alias("gp"))
+        ptr = (
+            ptr.join(p2, ptr["parent"] == p2["c2"], "left")
+            .select(
+                "comp",
+                F.when(
+                    (F.col("gp") == F.col("comp")) & (F.col("comp") < F.col("parent")),
+                    F.col("comp"),
+                ).otherwise(F.col("parent")).alias("parent"),
+            )
+        )
+        # pointer doubling to roots (successive squaring until fixpoint)
+        ptr = materialize(ptr)
+        for _ in range(64):
+            sq = ptr.select(F.col("comp").alias("pc"), F.col("parent").alias("pp"))
+            nxt = materialize(
+                ptr.join(sq, ptr["parent"] == sq["pc"], "left")
+                .select("comp", F.coalesce("pp", "parent").alias("parent"))
+            )
+            moved = nxt.join(
+                ptr.select(F.col("comp").alias("oc"), F.col("parent").alias("op")),
+                nxt["comp"] == F.col("oc"),
+            ).filter(F.col("parent") != F.col("op")).isEmpty()
+            ptr = nxt
+            if moved:
+                break
+        # relabel vertices whose component moved; components without a cross
+        # edge (isolated going forward) keep their label
+        new_labels = (
+            labels.join(ptr.withColumnRenamed("comp", "lc"), labels["comp"] == F.col("lc"), "left")
+            .select("node", F.coalesce("parent", "comp").alias("comp"))
+        )
+        labels = state.advance(rnd, new_labels)
+        remaining = cross.select("u", "v", "w")
+    state.close()
+    return materialize(forest.select("u", "v", "weight"))
+
+
+def forest_weight(forest: DataFrame) -> float:
+    """Total weight of a spanning forest DataFrame."""
+    return forest.agg(F.sum("weight")).first()[0] or 0.0
