@@ -635,6 +635,16 @@ def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.reachability import exact_reachable_nodes
+
+    g, _ = L.events_digraph(spark, sf_dir)
+    return exact_reachable_nodes(g).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("reachable").cast("bigint").alias("reachable"),
+    )
+
+
 def q_centrality_top_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import top_closeness
 
@@ -719,6 +729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centrality_sfigality": q_centrality_sfigality,
     "embed_node2vec_walks": q_embed_node2vec_walks,
     "graph_msf": q_graph_msf,
+    "graph_reachable": q_graph_reachable,
     "dedup_embed_pairs": q_embed_near_dup,
     "embed_ivf_ann": q_embed_ivf_ann,
     "text_token_stats": q_token_stats,
@@ -794,6 +805,7 @@ def build_oracles() -> dict[str, str]:
         "centrality_sfigality": L.sql_sfigality(),
         "embed_node2vec_walks": L.sql_node2vec_walks(4.0, 0.25, 5, 1, 42),
         "graph_msf": L.sql_msf(),
+        "graph_reachable": L.sql_reachable_nodes(),
         "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

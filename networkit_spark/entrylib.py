@@ -2148,3 +2148,19 @@ SELECT DISTINCT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
        CAST(w AS DOUBLE) AS weight
 FROM forest ORDER BY u, v"""
     return _with_graph(body)
+
+
+# ---- Reachable nodes (reachability/ReachableNodes.cpp) ---------------------
+
+def sql_reachable_nodes() -> str:
+    """Exact reachable-set sizes over the recursive transitive closure —
+    structurally independent of the engine's semi-naive frontier loop,
+    same unique fixed point."""
+    return f"""WITH RECURSIVE {DIGRAPH_CTE.strip()},
+reach(s, v) AS (
+    SELECT id, id FROM dvertices
+    UNION
+    SELECT r.s, e.dst FROM reach r JOIN dedges e ON e.src = r.v
+)
+SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS reachable
+FROM reach GROUP BY s ORDER BY id"""
