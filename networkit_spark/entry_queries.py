@@ -645,6 +645,44 @@ def q_graph_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distance import eccentricity
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return eccentricity(g).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("ecc").cast("bigint").alias("ecc"),
+        F.col("farthest").cast("bigint").alias("farthest"),
+    )
+
+
+SPSP_SOURCES = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def q_graph_spsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distance import spsp
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return spsp(g, SPSP_SOURCES).select(
+        F.col("s").cast("bigint").alias("s"),
+        F.col("t").cast("bigint").alias("t"),
+        F.col("dist").cast("bigint").alias("dist"),
+    )
+
+
+VOLUME_RS = [1.0, 2.0, 4.0]
+
+
+def q_graph_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.distance import volume
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return volume(g, VOLUME_RS, samples=25, seed=42).select(
+        F.col("r").cast("double").alias("r"),
+        F.round("volume", 6).alias("volume"),
+    )
+
+
 def q_centrality_top_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import top_closeness
 
@@ -730,6 +768,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_node2vec_walks": q_embed_node2vec_walks,
     "graph_msf": q_graph_msf,
     "graph_reachable": q_graph_reachable,
+    "graph_eccentricity": q_graph_eccentricity,
+    "graph_spsp": q_graph_spsp,
+    "graph_volume": q_graph_volume,
     "dedup_embed_pairs": q_embed_near_dup,
     "embed_ivf_ann": q_embed_ivf_ann,
     "text_token_stats": q_token_stats,
@@ -806,6 +847,9 @@ def build_oracles() -> dict[str, str]:
         "embed_node2vec_walks": L.sql_node2vec_walks(4.0, 0.25, 5, 1, 42),
         "graph_msf": L.sql_msf(),
         "graph_reachable": L.sql_reachable_nodes(),
+        "graph_eccentricity": L.sql_eccentricity(APSP_ITERS),
+        "graph_spsp": L.sql_spsp(APSP_ITERS, SPSP_SOURCES),
+        "graph_volume": L.sql_volume(VOLUME_RS, 25, 42),
         "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

@@ -2164,3 +2164,58 @@ reach(s, v) AS (
 )
 SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS reachable
 FROM reach GROUP BY s ORDER BY id"""
+
+
+# ---- Eccentricity / SPSP / Volume (distance/) ------------------------------
+
+def sql_eccentricity(iters: int) -> str:
+    """Per-node eccentricity + largest max-distance vertex over the
+    unrolled all-pairs hop table (distance/Eccentricity.cpp semantics with
+    the engine's deterministic argmax tie-break)."""
+    body = ", ".join(_apsp_ctes(iters)) + f""",
+ecc AS (SELECT s, MAX(dist) AS ecc FROM ap{iters} GROUP BY s)
+SELECT e.s AS id, CAST(e.ecc AS BIGINT) AS ecc, CAST(MAX(a.v) AS BIGINT) AS farthest
+FROM ecc e JOIN ap{iters} a ON a.s = e.s AND a.dist = e.ecc
+GROUP BY e.s, e.ecc ORDER BY id"""
+    return _with_graph(body)
+
+
+def sql_spsp(iters: int, sources: list[int]) -> str:
+    """Some-pairs shortest paths: the all-pairs hop table filtered to the
+    pinned source set (distance/SPSP.cpp)."""
+    src_list = ", ".join(str(int(s)) for s in sources)
+    body = ", ".join(_apsp_ctes(iters)) + f"""
+SELECT s, v AS t, CAST(dist AS BIGINT) AS dist
+FROM ap{iters} WHERE s IN ({src_list}) ORDER BY s, t"""
+    return _with_graph(body)
+
+
+def sql_volume(rs: list[float], samples: int, seed: int = 42) -> str:
+    """Expected r-ball size over the deterministic hash-rank node sample —
+    recursive weighted ball expansion pruned at rmax, min distance per
+    (source, node), then one count per radius (distance/Volume.cpp:40-69).
+    Structurally independent of the engine's frontier relaxation loop."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    rk = md5_long_sql(f"('{seed}:' || CAST(id AS STRING))")
+    rmax = max(rs)
+    grid = ", ".join(f"({float(r)})" for r in sorted(rs))
+    return f"""WITH RECURSIVE {GRAPH_CTE.strip()},
+samp AS MATERIALIZED (
+    SELECT id AS s FROM (
+        SELECT id, {rk} AS rk FROM vertices ORDER BY rk, id LIMIT {samples}
+    )
+),
+wadj AS MATERIALIZED (
+    SELECT src, dst, MIN(weight) AS weight FROM edges WHERE src <> dst GROUP BY src, dst
+),
+ball(s, v, d) AS (
+    SELECT s, s, CAST(0 AS DOUBLE) FROM samp
+    UNION
+    SELECT b.s, e.dst, b.d + e.weight FROM ball b JOIN wadj e ON e.src = b.v
+    WHERE b.d + e.weight <= {float(rmax)}
+),
+mind AS (SELECT s, v, MIN(d) AS d FROM ball GROUP BY s, v),
+grid(r) AS (VALUES {grid})
+SELECT g.r, ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM samp) AS DOUBLE), 6) AS volume
+FROM mind m JOIN grid g ON m.d <= g.r GROUP BY g.r ORDER BY g.r"""

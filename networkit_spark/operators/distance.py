@@ -206,3 +206,112 @@ def top_closeness(graph: Graph, k: int = 10, harmonic: bool = False) -> DataFram
         .limit(k)
         .select("id", F.round("score", 6).alias("score"))
     )
+
+
+def eccentricity(graph: Graph, hops: DataFrame | None = None) -> DataFrame:
+    """(id, ecc, farthest) — per-node eccentricity over the reachable set
+    (distance/Eccentricity.cpp:14-24: getValue runs one BFS and reports the
+    last-visited node + its distance). The reference's "farthest node" is
+    whichever max-distance vertex its sequential BFS pops last — an
+    adjacency-order artifact; the distributed engine reports the LARGEST id
+    among max-distance vertices instead (deterministic at any parallelism;
+    documented deviation). One multi-source BFS + one agg serves all
+    sources at once."""
+    if hops is None:
+        hops = multi_source_hops(graph)
+    return (
+        hops.groupBy(F.col("s").alias("id"))
+        .agg(
+            F.max("dist").alias("ecc"),
+            F.max_by("id", F.struct(F.col("dist"), F.col("id"))).alias("farthest"),
+        )
+    )
+
+
+def spsp(graph: Graph, sources: list[int], targets: list[int] | None = None) -> DataFrame:
+    """(s, t, dist) — some-pairs shortest paths (distance/SPSP.cpp:19-40:
+    one SSSP per source, OpenMP-parallel). Here all sources advance in ONE
+    batched frontier BFS (state (s, id, dist)); targets=None keeps every
+    reached vertex, else filters to the target set. Unreachable pairs are
+    absent, matching the reference's infinite-distance convention."""
+    hops = multi_source_hops(graph, sources=sources)
+    out = hops.select("s", F.col("id").alias("t"), "dist")
+    if targets is not None:
+        spark = graph.vertices.sparkSession
+        tdf = spark.createDataFrame([(int(t),) for t in targets], "t long")
+        out = out.join(tdf, "t").select("s", "t", "dist")
+    return out
+
+
+def nodes_within_distance(
+    graph: Graph, r: float, sources: DataFrame, max_rounds: int = 64
+) -> DataFrame:
+    """(s, id, d) — min weighted distance within radius r of each source
+    (distance/Volume.cpp:15-38 nodesWithinDistance: bounded-radius
+    Dijkstra-by-rounds). Frontier relaxation superstep: extend by one edge,
+    prune d > r, keep improvements only; terminates in <= r/min_weight
+    rounds because every kept row strictly improves a distance bounded
+    below by 0. sources is a DataFrame (s) so the sample never collects."""
+    edges = materialize(
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.min("weight").alias("weight"))
+    )
+    state = IterationState(None, "ball")
+    dist = sources.select("s", F.col("s").alias("id"), F.lit(0.0).alias("d"))
+    dist = state.advance(0, dist)
+    frontier = dist
+    rnd = 0
+    while rnd < max_rounds:
+        rnd += 1
+        relax = (
+            frontier.join(edges.withColumnRenamed("src", "id"), "id")
+            .select("s", F.col("dst").alias("id"), (F.col("d") + F.col("weight")).alias("d"))
+            .filter(F.col("d") <= float(r))
+            .groupBy("s", "id")
+            .agg(F.min("d").alias("d"))
+        )
+        improved = (
+            relax.join(
+                dist.select("s", "id", F.col("d").alias("old")), ["s", "id"], "left"
+            )
+            .filter(F.col("old").isNull() | (F.col("d") < F.col("old")))
+            .select("s", "id", "d")
+        )
+        improved = state.advance(rnd, improved)
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("s", "id")
+            .agg(F.min("d").alias("d"))
+        )
+        dist = state.advance(rnd + 1000, dist)
+        frontier = improved
+    state.close()
+    return dist
+
+
+def volume(
+    graph: Graph, rs: list[float], samples: int = 25, seed: int = 42
+) -> DataFrame:
+    """(r, volume) — expected #nodes within weighted distance r of a
+    random node (distance/Volume.cpp:40-69: multi-radius variant runs one
+    rmax ball per sampled node, then counts d <= r per radius). The sample
+    is the deterministic hash-rank draw from operators/sampling.py (pure
+    function of seed — identical at any parallelism and in the SQL
+    oracle); one rmax ball computation serves every radius."""
+    from networkit_spark.operators.sampling import sample_nodes
+
+    src = materialize(sample_nodes(graph, samples, seed=seed).select(F.col("id").alias("s")))
+    n_src = src.count()
+    balls = nodes_within_distance(graph, max(rs), src)
+    grid = graph.vertices.sparkSession.createDataFrame(
+        [(float(r),) for r in rs], "r double"
+    )
+    return (
+        balls.crossJoin(F.broadcast(grid))
+        .filter(F.col("d") <= F.col("r"))
+        .groupBy("r")
+        .agg((F.count(F.lit(1)) / F.lit(float(n_src))).alias("volume"))
+    )
