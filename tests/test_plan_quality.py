@@ -65,11 +65,21 @@ def test_no_forced_vertex_sized_broadcasts():
         # file -> substrings that must appear on the broadcast line
         "operators/pagerank.py": ["F.broadcast(sc)"],  # gated by broadcast_scores
         "operators/components.py": ["F.broadcast(top)"],  # limit(1)
-        # query-set-sized tables, O(len(query_ids) [x n_tables])
+        "operators/anf.py": ["F.broadcast(highest)"],  # 1-row global agg
+        "operators/centrality.py": ["F.broadcast(tot)"],  # 1-row global agg
+        "operators/distance.py": ["F.broadcast(grid)"],  # len(rs) radii
+        "operators/scd.py": [
+            "F.broadcast(tv)",  # 1-row total volume
+            "F.broadcast(best)",  # 1-row argmin
+        ],
+        # query-set-sized tables, O(len(query_ids) [x n_tables]), and the
+        # k-row centroid table of the IVF index
         "functions/similarity.py": [
             "F.broadcast(q)",
             "F.broadcast(qb)",
             "F.broadcast(qv)",
+            "F.broadcast(cent)",
+            "F.broadcast(probes)",
         ],
     }
     violations = []
