@@ -328,6 +328,66 @@ def q_community_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_community_partition_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster local evaluation of the 4-sweep LP partition:
+    intrapartition density, hub dominance, isolated conductance/expansion."""
+    from networkit_spark.operators.partition_eval import (
+        intrapartition_density,
+        isolated_interpartition_values,
+        partition_hub_dominance,
+    )
+
+    g, _ = L.events_graph(spark, sf_dir)
+    labels = label_propagation(g, theta=-1, max_iterations=1)
+    labels = labels.localCheckpoint(eager=True)
+    d = intrapartition_density(g, labels)
+    h = partition_hub_dominance(g, labels).select("label", "hub_dominance")
+    i = isolated_interpartition_values(g, labels).select(
+        "label", "iso_conductance", "iso_expansion"
+    )
+    return (
+        d.join(h, "label")
+        .join(i, "label")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            F.col("size").cast("bigint").alias("size"),
+            F.round("density", 6).alias("density"),
+            F.round("hub_dominance", 6).alias("hub_dominance"),
+            F.round("iso_conductance", 6).alias("iso_conductance"),
+            F.round("iso_expansion", 6).alias("iso_expansion"),
+        )
+    )
+
+
+def q_community_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.measures import adjusted_rand_distance
+
+    g, _ = L.events_graph(spark, sf_dir)
+    zeta = label_propagation(g, theta=-1, max_iterations=2)
+    eta = label_propagation(g, theta=-1, max_iterations=1)
+    v = round(adjusted_rand_distance(zeta, eta), 6) + 0.0
+    return spark.createDataFrame([(v,)], "adjusted_rand_distance double")
+
+
+def q_community_cover_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 of each LP community against the best-matching connected
+    component — partitions viewed as covers (CoverF1Similarity.cpp)."""
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.partition_eval import cover_f1_similarity
+
+    g, _ = L.events_graph(spark, sf_dir)
+    zeta = label_propagation(g, theta=-1, max_iterations=1).select(
+        "id", F.col("label").alias("subset")
+    )
+    ref = connected_components(g, max_iterations=CC_ITERS).select(
+        "id", F.col("label").alias("subset")
+    )
+    return cover_f1_similarity(zeta, ref).select(
+        F.col("subset").cast("bigint").alias("subset"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_community_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.coarsening import coverage
 
@@ -748,6 +808,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_plm": q_graph_plm,
     "graph_plm_pinned": q_graph_plm_pinned,
     "community_measures": q_community_measures,
+    "community_partition_eval": q_community_partition_eval,
+    "community_adjusted_rand": q_community_adjusted_rand,
+    "community_cover_f1": q_community_cover_f1,
     "community_coverage": q_community_coverage,
     "community_edgecut": q_community_edgecut,
     "community_conductance": q_community_conductance,
@@ -853,6 +916,9 @@ def build_oracles() -> dict[str, str]:
         "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),
+        "community_partition_eval": L.sql_partition_eval(1),
+        "community_adjusted_rand": L.sql_adjusted_rand(2, 1),
+        "community_cover_f1": L.sql_cover_f1(1, CC_ITERS),
         "community_coverage": L.sql_coverage(LP_ITERS),
         "community_edgecut": L.sql_edgecut(LP_ITERS),
         "community_conductance": L.sql_conductance(LP_ITERS),

@@ -277,9 +277,7 @@ FROM pr{iters} ORDER BY id"""
     return _with_graph(body)
 
 
-def sql_components(iters: int) -> str:
-    """Unrolled hash-min label propagation; converges well before ``iters``
-    on this graph (and the Spark side runs the same fixed count)."""
+def _cc_ctes(iters: int) -> list[str]:
     ctes = ["cc0 AS (SELECT id, id AS label FROM vertices)"]
     for k in range(1, iters + 1):
         ctes.append(
@@ -294,7 +292,13 @@ def sql_components(iters: int) -> str:
     ) m ON m.id = l.id
 )"""
         )
-    body = ", ".join(ctes) + f" SELECT id, label FROM cc{iters} ORDER BY id"
+    return ctes
+
+
+def sql_components(iters: int) -> str:
+    """Unrolled hash-min label propagation; converges well before ``iters``
+    on this graph (and the Spark side runs the same fixed count)."""
+    body = ", ".join(_cc_ctes(iters)) + f" SELECT id, label FROM cc{iters} ORDER BY id"
     return _with_graph(body)
 
 
@@ -2219,3 +2223,114 @@ mind AS (SELECT s, v, MIN(d) AS d FROM ball GROUP BY s, v),
 grid(r) AS (VALUES {grid})
 SELECT g.r, ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM samp) AS DOUBLE), 6) AS volume
 FROM mind m JOIN grid g ON m.d <= g.r GROUP BY g.r ORDER BY g.r"""
+
+
+# ---- Local partition / cover evaluation (community/) ------------------------
+
+def sql_partition_eval(lp_iters: int) -> str:
+    """Per-cluster intrapartition density, hub dominance, and isolated
+    interpartition conductance/expansion over the lp{N} partition
+    (IntrapartitionDensity.cpp, PartitionHubDominance.cpp,
+    IsolatedInterpartitionConductance.cpp, ...Expansion.cpp)."""
+    inner, last = _lp_inner(lp_iters)
+    return f"""WITH {inner},
+lbl AS (SELECT id, label FROM {last}),
+fe AS (SELECT src, dst, weight FROM edges WHERE src <= dst),
+el AS (
+    SELECT f.weight, lu.label AS lu, lv.label AS lv
+    FROM fe f JOIN lbl lu ON lu.id = f.src JOIN lbl lv ON lv.id = f.dst
+),
+sizes AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS size FROM lbl GROUP BY label),
+intra AS (SELECT lu AS label, COUNT(*) AS m FROM el WHERE lu = lv GROUP BY lu),
+ends AS (
+    SELECT lu AS label, weight, (lu <> lv) AS x FROM el
+    UNION ALL
+    SELECT lv, weight, (lu <> lv) FROM el
+),
+pl AS (
+    SELECT label, SUM(CASE WHEN x THEN weight ELSE 0 END) AS cut,
+           SUM(weight) AS vol
+    FROM ends GROUP BY label
+),
+tot AS (SELECT 2.0 * SUM(weight) AS tv FROM fe),
+nn AS (SELECT COUNT(*) AS n FROM vertices),
+indeg AS (
+    SELECT e.src AS id, COUNT(*) AS d
+    FROM edges e JOIN lbl lu ON lu.id = e.src JOIN lbl lv ON lv.id = e.dst
+    WHERE lu.label = lv.label GROUP BY e.src
+),
+hub AS (
+    SELECT l.label, MAX(COALESCE(i.d, 0)) AS hd
+    FROM lbl l LEFT JOIN indeg i ON i.id = l.id GROUP BY l.label
+)
+SELECT s.label, s.size,
+  ROUND(CASE WHEN s.size > 1 THEN COALESCE(it.m, 0) / (s.size*(s.size-1)/2.0)
+             ELSE 1.0 END, 6) + 0.0 AS density,
+  ROUND(CASE WHEN s.size > 1 THEN CAST(h.hd AS DOUBLE) / (s.size - 1)
+             ELSE 1.0 END, 6) + 0.0 AS hub_dominance,
+  ROUND(CASE WHEN least(p.vol, (SELECT tv FROM tot) - p.vol) > 0
+             THEN COALESCE(p.cut, 0) / least(p.vol, (SELECT tv FROM tot) - p.vol)
+             ELSE 0.0 END, 6) + 0.0 AS iso_conductance,
+  ROUND(CASE WHEN least(s.size, (SELECT n FROM nn) - s.size) > 0
+             THEN COALESCE(p.cut, 0) / least(s.size, (SELECT n FROM nn) - s.size)
+             ELSE 0.0 END, 6) + 0.0 AS iso_expansion
+FROM sizes s
+LEFT JOIN intra it ON it.label = s.label
+JOIN hub h ON h.label = s.label
+LEFT JOIN pl p ON p.label = s.label
+ORDER BY s.label"""
+
+
+def sql_adjusted_rand(lp_iters: int, lp_iters_b: int) -> str:
+    """Chance-corrected Rand distance between lp{a} and lp{b}
+    (AdjustedRandMeasure.cpp:7-56), same degenerate-case zeros as the
+    engine (abs tolerance 1e-12)."""
+    assert lp_iters_b < lp_iters
+    inner, last = _lp_inner(lp_iters)
+    a, b = last, f"lp{lp_iters_b}"
+    return f"""WITH {inner},
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
+msz AS (SELECT label, CAST(count(*) AS DOUBLE) AS s FROM {a} GROUP BY label),
+mse AS (SELECT label, CAST(count(*) AS DOUBLE) AS s FROM {b} GROUP BY label),
+mov AS (
+    SELECT za.label AS la, eb.label AS lb, CAST(count(*) AS DOUBLE) AS s
+    FROM {a} za JOIN {b} eb ON eb.id = za.id GROUP BY 1, 2
+),
+sums AS (
+    SELECT (SELECT SUM(s*(s-1)/2.0) FROM msz) AS sum_z,
+           (SELECT SUM(s*(s-1)/2.0) FROM mse) AS sum_e,
+           (SELECT SUM(s*(s-1)/2.0) FROM mov) AS sum_i,
+           (SELECT n FROM nn) AS n
+)
+SELECT ROUND(
+  CASE WHEN (sum_z + sum_e) / 2.0 < 1e-12 THEN 0.0
+       WHEN abs((sum_z + sum_e) / 2.0 - sum_z*sum_e/(n*(n-1)/2.0)) < 1e-12 THEN 0.0
+       ELSE 1.0 - (sum_i - sum_z*sum_e/(n*(n-1)/2.0))
+                  / ((sum_z + sum_e) / 2.0 - sum_z*sum_e/(n*(n-1)/2.0))
+  END, 6) + 0.0 AS adjusted_rand_distance
+FROM sums"""
+
+
+def sql_cover_f1(lp_iters: int, cc_iters: int) -> str:
+    """Best-match F1 of each lp{N} community against the connected
+    components viewed as a reference cover (CoverF1Similarity.cpp)."""
+    inner, last = _lp_inner(lp_iters)
+    return f"""WITH {inner},
+{', '.join(_cc_ctes(cc_iters))},
+c AS (SELECT id, label AS subset FROM {last}),
+r AS (SELECT id, label AS rsub FROM cc{cc_iters}),
+csz AS (SELECT subset, CAST(COUNT(*) AS DOUBLE) AS cs FROM c GROUP BY subset),
+rsz AS (SELECT rsub, CAST(COUNT(*) AS DOUBLE) AS rs FROM r GROUP BY rsub),
+ov AS (
+    SELECT c.subset, r.rsub, CAST(COUNT(*) AS DOUBLE) AS ov
+    FROM c JOIN r ON r.id = c.id GROUP BY c.subset, r.rsub
+),
+f1 AS (
+    SELECT o.subset, MAX(2.0 * o.ov / (cz.cs + rz.rs)) AS f1
+    FROM ov o JOIN csz cz ON cz.subset = o.subset JOIN rsz rz ON rz.rsub = o.rsub
+    GROUP BY o.subset
+)
+SELECT CAST(cz.subset AS BIGINT) AS subset,
+       ROUND(COALESCE(f.f1, 0.0), 6) + 0.0 AS f1
+FROM csz cz LEFT JOIN f1 f ON f.subset = cz.subset
+ORDER BY subset"""

@@ -80,3 +80,33 @@ def partition_measures(zeta: DataFrame, eta: DataFrame) -> dict[str, float]:
         "rand_distance": float(rand),
         "jaccard_distance": float(jaccard),
     }
+
+
+def adjusted_rand_distance(zeta: DataFrame, eta: DataFrame) -> float:
+    """Chance-corrected Rand dissimilarity
+    (community/AdjustedRandMeasure.cpp:7-56): with pair sums over cluster
+    sizes of zeta, eta, and their intersection,
+    ARD = 1 - (sum_i - E)/(M - E), E = sum_z*sum_e / C(n,2),
+    M = (sum_z + sum_e)/2; 0 for the two degenerate cases (both
+    singleton partitions, both one-cluster partitions)."""
+    joined = (
+        zeta.select("id", F.col("label").alias("la"))
+        .join(eta.select("id", F.col("label").alias("lb")), "id")
+        .persist()
+    )
+    n = joined.count()
+    if n < 2:
+        joined.unpersist()
+        return 0.0
+    sum_z = joined.groupBy("la").agg(F.count(F.lit(1)).alias("s")).agg(_pairs("s")).first()[0] or 0.0
+    sum_e = joined.groupBy("lb").agg(F.count(F.lit(1)).alias("s")).agg(_pairs("s")).first()[0] or 0.0
+    sum_i = joined.groupBy("la", "lb").agg(F.count(F.lit(1)).alias("s")).agg(_pairs("s")).first()[0] or 0.0
+    joined.unpersist()
+
+    max_index = 0.5 * (sum_z + sum_e)
+    expected = sum_z * sum_e / (n * (n - 1) / 2.0)
+    if math.isclose(max_index, 0.0, abs_tol=1e-12) or math.isclose(
+        max_index, expected, abs_tol=1e-12
+    ):
+        return 0.0
+    return float(1.0 - (sum_i - expected) / (max_index - expected))
