@@ -705,6 +705,16 @@ def q_graph_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.clique import maximal_cliques
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return maximal_cliques(g).select(
+        F.array_join(F.col("members"), ",").alias("clique"),
+        F.size("members").cast("bigint").alias("size"),
+    )
+
+
 def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import eccentricity
 
@@ -831,6 +841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_node2vec_walks": q_embed_node2vec_walks,
     "graph_msf": q_graph_msf,
     "graph_reachable": q_graph_reachable,
+    "graph_cliques": q_graph_cliques,
     "graph_eccentricity": q_graph_eccentricity,
     "graph_spsp": q_graph_spsp,
     "graph_volume": q_graph_volume,
@@ -910,6 +921,7 @@ def build_oracles() -> dict[str, str]:
         "embed_node2vec_walks": L.sql_node2vec_walks(4.0, 0.25, 5, 1, 42),
         "graph_msf": L.sql_msf(),
         "graph_reachable": L.sql_reachable_nodes(),
+        "graph_cliques": L.sql_maximal_cliques(),
         "graph_eccentricity": L.sql_eccentricity(APSP_ITERS),
         "graph_spsp": L.sql_spsp(APSP_ITERS, SPSP_SOURCES),
         "graph_volume": L.sql_volume(VOLUME_RS, 25, 42),

@@ -2334,3 +2334,33 @@ SELECT CAST(cz.subset AS BIGINT) AS subset,
        ROUND(COALESCE(f.f1, 0.0), 6) + 0.0 AS f1
 FROM csz cz LEFT JOIN f1 f ON f.subset = cz.subset
 ORDER BY subset"""
+
+
+# ---- Maximal cliques (clique/MaximalCliques.cpp) ---------------------------
+
+def sql_maximal_cliques() -> str:
+    """All-cliques recursive enumeration in increasing-id order (each
+    clique generated once), then an anti-extension maximality filter —
+    structurally independent of the engine's per-ego Bron-Kerbosch."""
+    return f"""WITH RECURSIVE {GRAPH_CTE.strip()},
+uadj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+adjl AS MATERIALIZED (SELECT src AS id, list_sort(list(dst)) AS nbrs FROM uadj GROUP BY src),
+cl(members, maxv) AS (
+    SELECT [id], id FROM vertices
+    UNION ALL
+    SELECT list_append(c.members, e.dst), e.dst
+    FROM cl c
+    JOIN uadj e ON e.src = c.maxv AND e.dst > c.maxv
+    JOIN adjl a ON a.id = e.dst
+    WHERE list_has_all(a.nbrs, c.members)
+),
+mx AS (
+    SELECT members FROM cl c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM adjl a
+        WHERE list_has_all(a.nbrs, c.members)
+          AND NOT list_contains(c.members, a.id)
+    )
+)
+SELECT array_to_string(members, ',') AS clique, CAST(len(members) AS BIGINT) AS size
+FROM mx ORDER BY clique"""
