@@ -705,6 +705,31 @@ def q_graph_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SP_SOURCE, SP_TARGET, SP_CUTOFF = 0, 1, 4
+AD_SYSTEMS, AD_ITERS, AD_OMEGA, AD_NORM = 4, 3, 0.5, 2
+
+
+def q_graph_simple_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.reachability import all_simple_paths
+
+    g, _ = L.events_digraph(spark, sf_dir)
+    p = all_simple_paths(g, SP_SOURCE, SP_TARGET, SP_CUTOFF)
+    return p.select(
+        F.array_join(F.col("path"), ",").alias("path"),
+        (F.size("path") - 1).cast("bigint").alias("hops"),
+    )
+
+
+def q_graph_algdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.algebraic import algebraic_distance_edge_scores
+
+    g, _ = L.events_graph(spark, sf_dir)
+    s = algebraic_distance_edge_scores(
+        g, num_systems=AD_SYSTEMS, num_iters=AD_ITERS, omega=AD_OMEGA, norm=AD_NORM
+    )
+    return s.select("src", "dst", F.round("ad", 6).alias("ad"))
+
+
 def q_graph_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.clique import maximal_cliques
 
@@ -842,6 +867,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_msf": q_graph_msf,
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
+    "graph_simple_paths": q_graph_simple_paths,
+    "graph_algdist": q_graph_algdist,
     "graph_eccentricity": q_graph_eccentricity,
     "graph_spsp": q_graph_spsp,
     "graph_volume": q_graph_volume,
@@ -922,6 +949,8 @@ def build_oracles() -> dict[str, str]:
         "graph_msf": L.sql_msf(),
         "graph_reachable": L.sql_reachable_nodes(),
         "graph_cliques": L.sql_maximal_cliques(),
+        "graph_simple_paths": L.sql_all_simple_paths(SP_SOURCE, SP_TARGET, SP_CUTOFF),
+        "graph_algdist": L.sql_algebraic_distance(AD_SYSTEMS, AD_ITERS, AD_OMEGA, AD_NORM),
         "graph_eccentricity": L.sql_eccentricity(APSP_ITERS),
         "graph_spsp": L.sql_spsp(APSP_ITERS, SPSP_SOURCES),
         "graph_volume": L.sql_volume(VOLUME_RS, 25, 42),

@@ -2364,3 +2364,80 @@ mx AS (
 )
 SELECT array_to_string(members, ',') AS clique, CAST(len(members) AS BIGINT) AS size
 FROM mx ORDER BY clique"""
+
+
+# ---- Algebraic distance (distance/AlgebraicDistance.cpp) -------------------
+
+def sql_algebraic_distance(
+    num_systems: int, num_iters: int, omega: float, norm: int, seed: int = 42
+) -> str:
+    """Unrolled Jacobi smoothing of hash-derandomized unit loads, per-system
+    affine normalization, Lp per-edge distance — same fixed superstep count
+    as the engine."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    cols = [f"x{j}" for j in range(num_systems)]
+    unit = float(1 << 48)
+    init = ", ".join(
+        f"{md5_long_sql(f_expr)} / {unit} AS {c}"
+        for j, c in enumerate(cols)
+        for f_expr in [f"('{seed}:ad:{j}:' || CAST(id AS STRING))"]
+    )
+    ctes = [f"l0 AS (SELECT id, {init} FROM vertices)"]
+    for t in range(1, num_iters + 1):
+        vals = ", ".join(
+            f"SUM(e.weight * p.{c}) AS v_{c}" for c in cols
+        )
+        upd = ", ".join(
+            f"CASE WHEN n.ws IS NOT NULL THEN (1 - {omega}) * l.{c} + {omega} * n.v_{c} / n.ws"
+            f" ELSE l.{c} END AS {c}"
+            for c in cols
+        )
+        ctes.append(
+            f"""n{t} AS (
+    SELECT e.src AS id, {vals}, SUM(e.weight) AS ws
+    FROM edges e JOIN l{t-1} p ON p.id = e.dst GROUP BY e.src
+),
+l{t} AS MATERIALIZED (
+    SELECT l.id, {upd} FROM l{t-1} l LEFT JOIN n{t} n ON n.id = l.id
+)"""
+        )
+    last = f"l{num_iters}"
+    mins = ", ".join(f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}" for c in cols)
+    nrm = ", ".join(
+        f"(m.mn_{c} - l.{c}) / (m.mn_{c} - m.mx_{c}) AS {c}" for c in cols
+    )
+    if norm == 0:
+        dist = "greatest(" + ", ".join(f"ABS(a.{c} - b.{c})" for c in cols) + ")"
+    else:
+        s = " + ".join(f"POWER(ABS(a.{c} - b.{c}), {norm})" for c in cols)
+        dist = f"POWER({s}, 1.0 / {norm})"
+    body = ", ".join(ctes) + f""",
+mm AS (SELECT {mins} FROM {last}),
+nrm AS (SELECT l.id, {nrm} FROM {last} l, mm m),
+fe AS (SELECT DISTINCT src, dst FROM edges WHERE src <= dst)
+SELECT f.src, f.dst,
+       ROUND(COALESCE(CASE WHEN isnan({dist}) THEN 0.0 ELSE {dist} END, 0.0), 6) + 0.0 AS ad
+FROM fe f JOIN nrm a ON a.id = f.src JOIN nrm b ON b.id = f.dst
+ORDER BY f.src, f.dst"""
+    return _with_graph(body)
+
+
+# ---- All simple paths (reachability/AllSimplePaths.cpp) --------------------
+
+def sql_all_simple_paths(source: int, target: int, cutoff: int) -> str:
+    """Recursive simple-path enumeration with list-membership pruning —
+    structurally independent of the engine's frontier-array extension with
+    reverse-BFS pruning; identical path set."""
+    return f"""WITH RECURSIVE {DIGRAPH_CTE.strip()},
+de AS MATERIALIZED (SELECT DISTINCT src, dst FROM dedges WHERE src <> dst),
+paths(path, last, len) AS (
+    SELECT [CAST({source} AS BIGINT)], CAST({source} AS BIGINT), 0
+    UNION ALL
+    SELECT list_append(p.path, e.dst), e.dst, p.len + 1
+    FROM paths p JOIN de e ON e.src = p.last
+    WHERE p.len < {cutoff} AND p.last <> {target}
+      AND NOT list_contains(p.path, e.dst)
+)
+SELECT array_to_string(path, ',') AS path, CAST(len AS BIGINT) AS hops
+FROM paths WHERE last = {target} ORDER BY path"""

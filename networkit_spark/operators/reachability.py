@@ -122,3 +122,70 @@ def approx_reachable_nodes(
             f"POWER(2, CAST({b_sum} AS DOUBLE) / {k}) / {FM_CORRECTION}"
         ).alias("est"),
     )
+
+
+def all_simple_paths(
+    graph: Graph, source: int, target: int, cutoff: int
+) -> DataFrame:
+    """(path: array<long>) — every simple path source ->* target with at
+    most ``cutoff`` edges (reachability/AllSimplePaths.cpp:15-120 —
+    directed, unweighted; the reference prunes expansion with a reverse
+    BFS labelling distanceToTarget <= cutoff, and so does this plan).
+
+    Frontier superstep: partial paths carry an array column; extension is
+    one join on the tail vertex + a NOT array_contains simplicity filter
+    + the reverse-distance prune — all JVM expressions. Path count is
+    worst-case exponential (same as the reference); the cutoff and the
+    prune are the bounds that matter."""
+    if source == target:
+        raise ValueError("source equals target")
+    edges = materialize(
+        graph.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    # reverse BFS from target: dtt(id) = hop distance to target, <= cutoff
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    spark = graph.vertices.sparkSession
+    dtt = spark.createDataFrame([(int(target), 0)], "id long, dtt int")
+    frontier = dtt
+    for depth in range(1, cutoff + 1):
+        nxt = (
+            frontier.withColumnRenamed("id", "src")
+            .join(rev, "src")
+            .select(F.col("dst").alias("id"), F.lit(depth).alias("dtt"))
+            .distinct()
+            .join(dtt.select("id"), "id", "anti")
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        dtt = dtt.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    reach = dtt.select("id", "dtt")
+
+    paths = spark.createDataFrame(
+        [([int(source)], int(source))], "path array<long>, last long"
+    )
+    done = []
+    state = IterationState(None, "simple_paths")
+    for ln in range(1, cutoff + 1):
+        ext = (
+            paths.withColumnRenamed("last", "src")
+            .join(edges, "src")
+            .filter(~F.array_contains(F.col("path"), F.col("dst")))
+            .join(reach.withColumnRenamed("id", "dst"), "dst")
+            .filter(F.col("dtt") <= cutoff - ln)
+            .select(
+                F.concat(F.col("path"), F.array(F.col("dst"))).alias("path"),
+                F.col("dst").alias("last"),
+            )
+        )
+        ext = state.advance(ln, ext)
+        done.append(ext.filter(F.col("last") == int(target)).select("path"))
+        paths = ext.filter(F.col("last") != int(target))
+        if ln < cutoff and paths.isEmpty():
+            break
+    state.close()
+    out = done[0]
+    for d in done[1:]:
+        out = out.unionByName(d)
+    return out
