@@ -730,6 +730,21 @@ def q_graph_algdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("src", "dst", F.round("ad", 6).alias("ad"))
 
 
+def q_graph_edge_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.sparsification import (
+        adamic_adar_distance_score,
+        jaccard_distance_score,
+        tri_deg_base,
+    )
+
+    g, _ = L.events_graph(spark, sf_dir)
+    jd = jaccard_distance_score(g).select("src", "dst", F.round("jd", 6).alias("jd"))
+    aa = adamic_adar_distance_score(g).select(
+        "src", "dst", F.round("aa_dist", 6).alias("aa_dist")
+    )
+    return jd.join(aa, ["src", "dst"], "left")
+
+
 def q_graph_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.clique import maximal_cliques
 
@@ -867,6 +882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_msf": q_graph_msf,
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
+    "graph_edge_distances": q_graph_edge_distances,
     "graph_simple_paths": q_graph_simple_paths,
     "graph_algdist": q_graph_algdist,
     "graph_eccentricity": q_graph_eccentricity,
@@ -949,6 +965,7 @@ def build_oracles() -> dict[str, str]:
         "graph_msf": L.sql_msf(),
         "graph_reachable": L.sql_reachable_nodes(),
         "graph_cliques": L.sql_maximal_cliques(),
+        "graph_edge_distances": L.sql_edge_distances(),
         "graph_simple_paths": L.sql_all_simple_paths(SP_SOURCE, SP_TARGET, SP_CUTOFF),
         "graph_algdist": L.sql_algebraic_distance(AD_SYSTEMS, AD_ITERS, AD_OMEGA, AD_NORM),
         "graph_eccentricity": L.sql_eccentricity(APSP_ITERS),

@@ -2441,3 +2441,34 @@ paths(path, last, len) AS (
 )
 SELECT array_to_string(path, ',') AS path, CAST(len AS BIGINT) AS hops
 FROM paths WHERE last = {target} ORDER BY path"""
+
+
+# ---- Per-edge distance scores (distance/JaccardDistance.cpp,
+# distance/AdamicAdarDistance.cpp) -------------------------------------------
+
+def sql_edge_distances() -> str:
+    """Jaccard distance 1 - t/(du+dv-t) and Adamic-Adar distance
+    1/sum_{w in tri(u,v)} 1/ln(deg(w)) per canonical simple edge (NULL
+    where triangle-free), simple-support degrees."""
+    return _with_graph(f"""{TRI_CTE.strip()},
+tri_edges AS (
+    SELECT least(a, b) AS u, greatest(a, b) AS v, c AS w FROM tri
+    UNION ALL SELECT least(a, c), greatest(a, c), b FROM tri
+    UNION ALL SELECT least(b, c), greatest(b, c), a FROM tri
+),
+sdeg AS (SELECT a AS id, count(*) AS deg FROM und GROUP BY a),
+aa AS (
+    SELECT t.u, t.v, SUM(1.0 / ln(CAST(d.deg AS DOUBLE))) AS aa,
+           COUNT(*) AS tri
+    FROM tri_edges t JOIN sdeg d ON d.id = t.w
+    GROUP BY t.u, t.v
+)
+SELECT s.u AS src, s.v AS dst,
+       ROUND(1.0 - COALESCE(a.tri, 0) / (du.deg + dv.deg - COALESCE(a.tri, 0)), 6)
+         + 0.0 AS jd,
+       ROUND(CASE WHEN a.aa > 0 THEN 1.0 / a.aa END, 6) + 0.0 AS aa_dist
+FROM simple s
+JOIN sdeg du ON du.id = s.u
+JOIN sdeg dv ON dv.id = s.v
+LEFT JOIN aa a ON a.u = s.u AND a.v = s.v
+ORDER BY src, dst""")

@@ -254,3 +254,59 @@ def simmelian_overlap_score(
         .fillna({"ov": 0})
         .select("src", "dst", F.col("ov").cast("double").alias("score"))
     )
+
+
+def jaccard_distance_score(graph: Graph, base: DataFrame | None = None) -> DataFrame:
+    """(src, dst, jd) — per-edge Jaccard distance
+    1 - t/(deg(u) + deg(v) - t) (distance/JaccardDistance.cpp:39-41),
+    over the shared triangle base (simple-support degrees, matching the
+    rest of the edge-score family)."""
+    e = tri_deg_base(graph) if base is None else base
+    return e.select(
+        "src",
+        "dst",
+        (1.0 - F.col("tri") / (F.col("sdeg") + F.col("ddeg") - F.col("tri"))).alias("jd"),
+    )
+
+
+def adamic_adar_distance_score(graph: Graph) -> DataFrame:
+    """(src, dst, aa_dist) — per-edge Adamic-Adar distance
+    (distance/AdamicAdarDistance.cpp:30-59): each triangle {u,v,w} adds
+    1/ln(deg(w)) to edge (u,v) for all three role rotations, then the
+    distance is the reciprocal of the sum; triangle-free edges have no
+    finite distance and are reported NULL (the reference yields +inf).
+
+    One triangle listing + one label-sized agg — the listing's O(sqrt(m))
+    orientation bound is what makes this safe at scale."""
+    from networkit_spark.operators.triangles import triangle_corners
+
+    g = graph.to_undirected() if graph.directed else graph
+    simple = (
+        g.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    )
+    deg = simple.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    tri = triangle_corners(graph)
+
+    def contrib(u, v, w):
+        return tri.select(
+            F.least(F.col(u), F.col(v)).alias("u"),
+            F.greatest(F.col(u), F.col(v)).alias("v"),
+            F.col(w).alias("w"),
+        )
+
+    contribs = (
+        contrib("a", "b", "c")
+        .unionByName(contrib("a", "c", "b"))
+        .unionByName(contrib("b", "c", "a"))
+        .join(deg.withColumnRenamed("id", "w"), "w")
+        .groupBy("u", "v")
+        .agg(F.sum(1.0 / F.log(F.col("deg"))).alias("aa"))
+    )
+    canon = simple.filter(F.col("src") <= F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return canon.join(contribs, ["u", "v"], "left").select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        F.when(F.col("aa") > 0, 1.0 / F.col("aa")).alias("aa_dist"),
+    )

@@ -285,3 +285,27 @@ def test_maximal_independent_set_contract(spark):
         for r in maximal_independent_set(g, seed=7).collect()
     }
     assert out == again
+
+
+def test_jaccard_distance_score(spark):
+    from networkit_spark.operators.sparsification import jaccard_distance_score
+
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    got = {(r["src"], r["dst"]): r["jd"] for r in jaccard_distance_score(g).collect()}
+    assert got[(0, 1)] == pytest.approx(1 - 1 / 3)  # t=1, deg 2+2-1
+    assert got[(2, 3)] == pytest.approx(1.0)  # triangle-free
+
+
+def test_adamic_adar_distance_score(spark):
+    import math
+
+    from networkit_spark.operators.sparsification import adamic_adar_distance_score
+
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    got = {
+        (r["src"], r["dst"]): r["aa_dist"]
+        for r in adamic_adar_distance_score(g).collect()
+    }
+    assert got[(0, 1)] == pytest.approx(math.log(3))  # common nbr 2, deg 3
+    assert got[(0, 2)] == pytest.approx(math.log(2))  # common nbr 1, deg 2
+    assert got[(2, 3)] is None  # triangle-free -> no finite distance
