@@ -745,6 +745,20 @@ def q_graph_edge_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jd.join(aa, ["src", "dst"], "left")
 
 
+GROUP_DEGREE_K = 4
+
+
+def q_centrality_group_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.groups import group_degree
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return group_degree(g, k=GROUP_DEGREE_K).select(
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("id").cast("bigint").alias("id"),
+        F.col("gain").cast("bigint").alias("gain"),
+    )
+
+
 def q_graph_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.clique import maximal_cliques
 
@@ -882,6 +896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_msf": q_graph_msf,
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
+    "centrality_group_degree": q_centrality_group_degree,
     "graph_edge_distances": q_graph_edge_distances,
     "graph_simple_paths": q_graph_simple_paths,
     "graph_algdist": q_graph_algdist,
@@ -965,6 +980,7 @@ def build_oracles() -> dict[str, str]:
         "graph_msf": L.sql_msf(),
         "graph_reachable": L.sql_reachable_nodes(),
         "graph_cliques": L.sql_maximal_cliques(),
+        "centrality_group_degree": L.sql_group_degree(GROUP_DEGREE_K),
         "graph_edge_distances": L.sql_edge_distances(),
         "graph_simple_paths": L.sql_all_simple_paths(SP_SOURCE, SP_TARGET, SP_CUTOFF),
         "graph_algdist": L.sql_algebraic_distance(AD_SYSTEMS, AD_ITERS, AD_OMEGA, AD_NORM),

@@ -2472,3 +2472,42 @@ JOIN sdeg du ON du.id = s.u
 JOIN sdeg dv ON dv.id = s.v
 LEFT JOIN aa a ON a.u = s.u AND a.v = s.v
 ORDER BY src, dst""")
+
+
+# ---- Group degree (centrality/GroupDegree.cpp) -----------------------------
+
+def sql_group_degree(k: int) -> str:
+    """Unrolled k-step greedy max-coverage over the closed neighborhood —
+    same deterministic (gain DESC, id ASC) pick rule as the engine."""
+    ctes = [
+        "usim AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        """adjc AS MATERIALIZED (
+    SELECT src AS u, dst AS v FROM usim
+    UNION SELECT id, id FROM vertices
+)""",
+        "cov0 AS (SELECT id FROM vertices WHERE FALSE)",
+        "grp0 AS (SELECT id, 0 AS rnk, CAST(0 AS BIGINT) AS gain FROM vertices WHERE FALSE)",
+    ]
+    for t in range(1, k + 1):
+        ctes.append(
+            f"""gain{t} AS (
+    SELECT ver.id AS u, COALESCE(c.cnt, 0) AS gain
+    FROM vertices ver
+    LEFT JOIN (
+        SELECT a.u, CAST(COUNT(*) AS BIGINT) AS cnt FROM adjc a
+        WHERE NOT EXISTS (SELECT 1 FROM cov{t-1} c WHERE c.id = a.v)
+        GROUP BY a.u
+    ) c ON c.u = ver.id
+    WHERE NOT EXISTS (SELECT 1 FROM grp{t-1} g WHERE g.id = ver.id)
+),
+pick{t} AS (SELECT u AS id, {t} AS rnk, gain FROM gain{t} ORDER BY gain DESC, u ASC LIMIT 1),
+grp{t} AS (SELECT * FROM grp{t-1} UNION ALL SELECT * FROM pick{t}),
+cov{t} AS MATERIALIZED (
+    SELECT id FROM cov{t-1}
+    UNION
+    SELECT a.v FROM adjc a JOIN pick{t} p ON p.id = a.u
+)"""
+        )
+    body = ", ".join(ctes) + f"""
+SELECT CAST(rnk AS BIGINT) AS rank, id, gain FROM grp{k} ORDER BY rank"""
+    return _with_graph(body)
