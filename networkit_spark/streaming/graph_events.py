@@ -134,3 +134,81 @@ def update_components_incremental(
 
     edges.unpersist()
     return labels
+
+
+def update_bfs_incremental(
+    graph_after: Graph, old_dist: DataFrame, added_edges: DataFrame
+) -> DataFrame:
+    """New hop-distance table after EDGE_ADD events (DynBFS, ref:
+    networkit/cpp/distance/DynBFS.cpp:45-103).
+
+    Unweighted edge additions can only SHORTEN distances, so the previous
+    ``dist(id, dist)`` table (unreachable vertices absent, per bfs_hops)
+    seeds a monotone relaxation whose initial frontier is just the added
+    arcs' improved heads. The reference drains per-level queues seeded the
+    same way (DynBFS.cpp:49-57); a synchronous frontier relaxation reaches
+    the identical fixed point — min over in-neighbors of dist+1 — without
+    the sequential level scan, in supersteps proportional to the reach of
+    the change, not a from-scratch BFS. Vertices that *become* reachable
+    through an added edge are discovered too (the reference caps its queue
+    array at the old maxDistance and documents the same additions-only
+    contract we require here).
+    """
+    edges = (
+        graph_after.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .persist()
+    )
+    edges.count()
+
+    add = added_edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if not graph_after.directed:
+        add = add.unionByName(
+            add.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    dist = old_dist.select("id", F.col("dist").cast("long").alias("dist"))
+    dist = dist.localCheckpoint(eager=True)
+
+    # seed: heads of added arcs whose tail is reachable
+    cand = (
+        add.join(
+            dist.select(F.col("id").alias("src"), F.col("dist").alias("ds")), "src"
+        )
+        .groupBy("dst")
+        .agg(F.min(F.col("ds") + F.lit(1)).alias("cand"))
+        .withColumnRenamed("dst", "id")
+    )
+    while True:
+        merged = (
+            dist.join(cand, "id", "full")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(2**62)),
+                    F.coalesce(F.col("cand"), F.lit(2**62)),
+                ).alias("new_dist"),
+                F.col("dist").alias("old_dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved = merged.filter(
+            F.col("old_dist").isNull() | (F.col("new_dist") < F.col("old_dist"))
+        )
+        n_improved = improved.count()
+        dist = merged.select("id", F.col("new_dist").alias("dist"))
+        if n_improved == 0:
+            break
+        frontier = improved.select("id", F.col("new_dist").alias("dist"))
+        cand = (
+            edges.join(
+                frontier.select(F.col("id").alias("src"), F.col("dist").alias("ds")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min(F.col("ds") + F.lit(1)).alias("cand"))
+            .withColumnRenamed("dst", "id")
+        )
+
+    edges.unpersist()
+    return dist

@@ -224,3 +224,40 @@ def test_incremental_cc_merge(spark):
     # matches a from-scratch recompute
     fresh = {r["id"]: r["label"] for r in connected_components(g2).collect()}
     assert got == fresh
+
+
+def test_incremental_bfs_shortcut_and_new_reach(spark):
+    from networkit_spark.operators.centrality import bfs_hops
+    from networkit_spark.streaming.graph_events import update_bfs_incremental
+
+    # path 0-1-2-3-4 plus an isolated pair 5-6; then add shortcut 0-3 and
+    # bridge 4-5 (makes 5,6 newly reachable and shortens 3,4)
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)], num_nodes=7)
+    dist0 = bfs_hops(g, 0)
+    ev = spark.createDataFrame(
+        [("EDGE_ADD", 0, 3, 1.0), ("EDGE_ADD", 4, 5, 1.0)], EVENT_SCHEMA
+    )
+    g2 = apply_events(g, ev)
+    added = spark.createDataFrame([(0, 3), (4, 5)], "src long, dst long")
+    got = {r["id"]: r["dist"] for r in update_bfs_incremental(g2, dist0, added).collect()}
+    fresh = {r["id"]: r["dist"] for r in bfs_hops(g2, 0).collect()}
+    assert got == fresh
+    assert got[3] == 1 and got[4] == 2 and got[5] == 3 and got[6] == 4
+
+
+def test_incremental_bfs_directed(spark):
+    from networkit_spark.operators.centrality import bfs_hops
+    from networkit_spark.streaming.graph_events import update_bfs_incremental
+
+    g = from_edge_rows(
+        spark, [(0, 1), (1, 2), (2, 3)], num_nodes=5, directed=True
+    )
+    dist0 = bfs_hops(g, 0)
+    ev = spark.createDataFrame([("EDGE_ADD", 3, 0, 1.0), ("EDGE_ADD", 1, 4, 1.0)], EVENT_SCHEMA)
+    g2 = apply_events(g, ev)
+    added = spark.createDataFrame([(3, 0), (1, 4)], "src long, dst long")
+    got = {r["id"]: r["dist"] for r in update_bfs_incremental(g2, dist0, added).collect()}
+    fresh = {r["id"]: r["dist"] for r in bfs_hops(g2, 0).collect()}
+    assert got == fresh
+    # 3->0 is a back-edge: must NOT change dist of 0; 4 newly reachable at 2
+    assert got[0] == 0 and got[4] == 2
