@@ -695,6 +695,25 @@ def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAXFLOW_K, MAXFLOW_S, MAXFLOW_T = 16, 0, 1
+
+
+def q_graph_maxflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edmonds-Karp on the K lowest-id vertices' induced subgraph (the
+    alphabetically-first event-type hubs); the oracle enumerates all 2^K
+    s-t cuts — max-flow/min-cut duality makes the two sides genuinely
+    independent algorithms."""
+    from networkit_spark.operators.flow import edmonds_karp
+
+    g, _ = L.events_graph(spark, sf_dir)
+    sub = g.subgraph_from_nodes(g.vertices.filter(F.col("id") < MAXFLOW_K))
+    value, source_set = edmonds_karp(sub, MAXFLOW_S, MAXFLOW_T)
+    n = source_set.count()
+    return spark.createDataFrame(
+        [(float(value), int(n))], "max_flow double, source_set_size bigint"
+    )
+
+
 def q_graph_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.reachability import exact_reachable_nodes
 
@@ -894,6 +913,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centrality_sfigality": q_centrality_sfigality,
     "embed_node2vec_walks": q_embed_node2vec_walks,
     "graph_msf": q_graph_msf,
+    "graph_maxflow": q_graph_maxflow,
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
     "centrality_group_degree": q_centrality_group_degree,
@@ -978,6 +998,7 @@ def build_oracles() -> dict[str, str]:
         "centrality_sfigality": L.sql_sfigality(),
         "embed_node2vec_walks": L.sql_node2vec_walks(4.0, 0.25, 5, 1, 42),
         "graph_msf": L.sql_msf(),
+        "graph_maxflow": L.sql_maxflow(MAXFLOW_K, MAXFLOW_S, MAXFLOW_T),
         "graph_reachable": L.sql_reachable_nodes(),
         "graph_cliques": L.sql_maximal_cliques(),
         "centrality_group_degree": L.sql_group_degree(GROUP_DEGREE_K),

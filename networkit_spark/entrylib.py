@@ -2511,3 +2511,35 @@ cov{t} AS MATERIALIZED (
     body = ", ".join(ctes) + f"""
 SELECT CAST(rnk AS BIGINT) AS rank, id, gain FROM grp{k} ORDER BY rank"""
     return _with_graph(body)
+
+
+def sql_maxflow(k: int, s: int, t: int) -> str:
+    """Max s-t flow on the induced subgraph of dense ids < k, computed as
+    the MIN CUT over all 2^k source-side subsets (max-flow/min-cut
+    duality) — structurally independent of the engine's augmenting-path
+    loop. With symmetric edge storage, summing stored arcs leaving the
+    source side counts each crossing undirected edge exactly once.
+    source_set_size is the popcount of the minimum-popcount min-cut mask:
+    min cuts are closed under intersection, so that mask is unique and
+    equals the residual-reachable source set EdmondsKarp reports
+    (flow/EdmondsKarp.cpp:99-121)."""
+    body = f"""sub AS MATERIALIZED (
+    SELECT src, dst, SUM(weight) AS cap FROM edges
+    WHERE src < {k} AND dst < {k} AND src <> dst GROUP BY 1, 2
+),
+cuts AS MATERIALIZED (
+    SELECT m.mask, COALESCE(SUM(e.cap), 0) AS cut
+    FROM (
+        SELECT i AS mask FROM range({1 << k}) r(i)
+        WHERE ((i >> {s}) & 1) = 1 AND ((i >> {t}) & 1) = 0
+    ) m
+    LEFT JOIN sub e
+      ON ((m.mask >> e.src) & 1) = 1 AND ((m.mask >> e.dst) & 1) = 0
+    GROUP BY m.mask
+)
+SELECT CAST(MIN(cut) AS DOUBLE) AS max_flow,
+       CAST((SELECT MIN(bit_count(mask)) FROM cuts
+             WHERE cut = (SELECT MIN(cut) FROM cuts)) AS BIGINT)
+           AS source_set_size
+FROM cuts"""
+    return _with_graph(body)

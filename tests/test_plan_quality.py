@@ -73,6 +73,8 @@ def test_no_forced_vertex_sized_broadcasts():
             "F.broadcast(tv)",  # 1-row total volume
             "F.broadcast(best)",  # 1-row argmin
         ],
+        # augmenting-path-sized (<= dist(s,t) rows)
+        "operators/flow.py": ["F.broadcast(path_df)", "F.broadcast(upd)"],
         # query-set-sized tables, O(len(query_ids) [x n_tables]), and the
         # k-row centroid table of the IVF index
         "functions/similarity.py": [
