@@ -695,6 +695,40 @@ def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit script from the even-event_id snapshot graph to the full graph,
+    both mapped through the SAME dense-id dictionary. Filtering events
+    rewires lag() transitions, so the snapshot has edges the full graph
+    lacks and vice versa — the diff exercises ADD, REMOVE and
+    WEIGHT_UPDATE together."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.streaming.graph_events import graph_difference
+
+    g2, verts = L.events_graph(spark, sf_dir)
+    pairs1 = L.events_edge_keys(
+        L.load(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
+    )
+    da = verts.withColumnRenamed("key", "src_key").withColumnRenamed("id", "src")
+    db = verts.withColumnRenamed("key", "dst_key").withColumnRenamed("id", "dst")
+    half1 = (
+        pairs1.join(da, "src_key")
+        .join(db, "dst_key")
+        .select("src", "dst", F.col("weight").cast("float").alias("weight"))
+    )
+    sym1 = half1.unionByName(
+        half1.filter(F.col("src") != F.col("dst")).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+    g1 = Graph(g2.vertices, sym1, directed=False, weighted=True)
+    return graph_difference(g1, g2).select(
+        "etype",
+        F.col("u").cast("bigint").alias("u"),
+        F.col("v").cast("bigint").alias("v"),
+        F.col("w").cast("double").alias("w"),
+    )
+
+
 MAXFLOW_K, MAXFLOW_S, MAXFLOW_T = 16, 0, 1
 
 
@@ -914,6 +948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_node2vec_walks": q_embed_node2vec_walks,
     "graph_msf": q_graph_msf,
     "graph_maxflow": q_graph_maxflow,
+    "graph_diff": q_graph_diff,
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
     "centrality_group_degree": q_centrality_group_degree,
@@ -999,6 +1034,7 @@ def build_oracles() -> dict[str, str]:
         "embed_node2vec_walks": L.sql_node2vec_walks(4.0, 0.25, 5, 1, 42),
         "graph_msf": L.sql_msf(),
         "graph_maxflow": L.sql_maxflow(MAXFLOW_K, MAXFLOW_S, MAXFLOW_T),
+        "graph_diff": L.sql_graph_diff(),
         "graph_reachable": L.sql_reachable_nodes(),
         "graph_cliques": L.sql_maximal_cliques(),
         "centrality_group_degree": L.sql_group_degree(GROUP_DEGREE_K),

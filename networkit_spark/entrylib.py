@@ -2543,3 +2543,51 @@ SELECT CAST(MIN(cut) AS DOUBLE) AS max_flow,
            AS source_set_size
 FROM cuts"""
     return _with_graph(body)
+
+
+def sql_graph_diff() -> str:
+    """Edit script from the even-event_id snapshot to the full graph —
+    a second pair derivation over the filtered events, mapped through the
+    SAME dict (keys of the subset are a subset of the full key set), then
+    a full join of the two canonical weighted edge sets
+    (dynamics/GraphDifference.cpp:19-140 semantics; no node events since
+    both snapshots share the vertex set)."""
+    body = """ev1 AS (
+    SELECT user_id, event_type, ts, event_id FROM events WHERE event_id % 2 = 0
+),
+pair_rows1 AS (
+    SELECT 'user:' || CAST(user_id AS VARCHAR) AS a,
+           'etype:' || event_type AS b
+    FROM ev1
+    UNION ALL
+    SELECT 'etype:' || prev AS a, 'etype:' || event_type AS b
+    FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM ev1
+    ) WHERE prev IS NOT NULL
+),
+pairs1 AS (
+    SELECT least(a, b) AS src_key, greatest(a, b) AS dst_key,
+           CAST(count(*) AS DOUBLE) AS weight
+    FROM pair_rows1 GROUP BY 1, 2
+),
+e1 AS (
+    SELECT da.id AS src, db.id AS dst, p.weight AS w1
+    FROM pairs1 p
+    JOIN dict da ON da.key = p.src_key
+    JOIN dict db ON db.key = p.dst_key
+),
+e2 AS (SELECT src, dst, weight AS w2 FROM half),
+j AS (
+    SELECT COALESCE(e1.src, e2.src) AS src, COALESCE(e1.dst, e2.dst) AS dst, w1, w2
+    FROM e1 FULL JOIN e2 ON e1.src = e2.src AND e1.dst = e2.dst
+)
+SELECT 'EDGE_REMOVE' AS etype, src AS u, dst AS v, CAST(NULL AS DOUBLE) AS w
+FROM j WHERE w2 IS NULL
+UNION ALL
+SELECT 'EDGE_ADD' AS etype, src AS u, dst AS v, w2 AS w FROM j WHERE w1 IS NULL
+UNION ALL
+SELECT 'EDGE_WEIGHT_UPDATE' AS etype, src AS u, dst AS v, w2 AS w
+FROM j WHERE w1 IS NOT NULL AND w2 IS NOT NULL AND w1 <> w2"""
+    return _with_graph(body)

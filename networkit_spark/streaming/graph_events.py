@@ -212,3 +212,66 @@ def update_bfs_incremental(
 
     edges.unpersist()
     return dist
+
+
+def graph_difference(g1: Graph, g2: Graph) -> DataFrame:
+    """Edit script turning ``g1`` into ``g2`` (ref: networkit/cpp/dynamics/
+    GraphDifference.cpp:19-140). Set-oriented re-expression: each edit
+    class is one anti- or full-outer join — node removals = V1 \\ V2,
+    additions = V2 \\ V1, edge edits from a full join of the canonical
+    (src <= dst for undirected) weighted edge sets. Events come back
+    unordered; ``apply_events`` already applies classes in the reference's
+    remove-edges / fix-nodes / add-edges order, and
+    ``apply_events(g1, graph_difference(g1, g2)) == g2`` is the pytest
+    contract. The reference's NODE_RESTORATION / id-bound padding
+    (GraphDifference.cpp:44-60) is an artifact of its compact id arrays;
+    explicit vertex DataFrames need only additions and removals."""
+    if g1.directed != g2.directed:
+        raise ValueError("both or neither graph must be directed")
+
+    def canon(g: Graph) -> DataFrame:
+        e = g.edges.select(
+            "src", "dst", F.col("weight").cast("double").alias("w")
+        )
+        if not g.directed:
+            e = e.filter(F.col("src") <= F.col("dst"))
+        return e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+
+    def ev(etype, u, v, w):
+        return F.struct(
+            F.lit(etype).alias("etype"),
+            u.cast("long").alias("u"),
+            v.cast("long").alias("v"),
+            w.cast("float").alias("w"),
+        )
+
+    null_l = F.lit(None).cast("long")
+    null_f = F.lit(None).cast("float")
+
+    nrm = g1.vertices.join(g2.vertices, "id", "anti").select(
+        ev("NODE_REMOVE", F.col("id"), null_l, null_f).alias("e")
+    )
+    nadd = g2.vertices.join(g1.vertices, "id", "anti").select(
+        ev("NODE_ADD", F.col("id"), null_l, null_f).alias("e")
+    )
+    j = (
+        canon(g1).withColumnRenamed("w", "w1")
+        .join(canon(g2).withColumnRenamed("w", "w2"), ["src", "dst"], "full")
+    )
+    erm = j.filter(F.col("w2").isNull()).select(
+        ev("EDGE_REMOVE", F.col("src"), F.col("dst"), null_f).alias("e")
+    )
+    eadd = j.filter(F.col("w1").isNull()).select(
+        ev("EDGE_ADD", F.col("src"), F.col("dst"), F.col("w2")).alias("e")
+    )
+    wupd = j.filter(
+        F.col("w1").isNotNull()
+        & F.col("w2").isNotNull()
+        & (F.col("w1") != F.col("w2"))
+    ).select(
+        ev("EDGE_WEIGHT_UPDATE", F.col("src"), F.col("dst"), F.col("w2")).alias("e")
+    )
+    out = nrm
+    for part in (nadd, erm, eadd, wupd):
+        out = out.unionByName(part)
+    return out.select("e.etype", "e.u", "e.v", "e.w")

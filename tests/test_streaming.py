@@ -261,3 +261,32 @@ def test_incremental_bfs_directed(spark):
     assert got == fresh
     # 3->0 is a back-edge: must NOT change dist of 0; 4 newly reachable at 2
     assert got[0] == 0 and got[4] == 2
+
+
+def test_graph_difference_roundtrip(spark):
+    from networkit_spark.streaming.graph_events import graph_difference
+
+    g1 = from_edge_rows(spark, [(0, 1, 1.0), (1, 2, 2.0), (3, 4, 1.0)], num_nodes=5)
+    g2 = from_edge_rows(spark, [(0, 1, 1.0), (1, 2, 5.0), (2, 3, 1.0)], num_nodes=4)
+    # g2 drops node 4 (and edge 3-4), reweights 1-2, adds 2-3
+    diff = graph_difference(g1, g2)
+    got = {(r["etype"], r["u"], r["v"]) for r in diff.collect()}
+    assert got == {
+        ("NODE_REMOVE", 4, None),
+        ("EDGE_REMOVE", 3, 4),
+        ("EDGE_ADD", 2, 3),
+        ("EDGE_WEIGHT_UPDATE", 1, 2),
+    }
+    # applying the edits reproduces g2 exactly
+    g3 = apply_events(g1, diff)
+    assert {r["id"] for r in g3.vertices.collect()} == {0, 1, 2, 3}
+    e3 = {(r["src"], r["dst"]): r["weight"] for r in g3.edges.collect()}
+    e2 = {(r["src"], r["dst"]): r["weight"] for r in g2.edges.collect()}
+    assert e3 == e2
+
+
+def test_graph_difference_identical(spark):
+    from networkit_spark.streaming.graph_events import graph_difference
+
+    g = from_edge_rows(spark, [(0, 1), (1, 2)], num_nodes=3)
+    assert graph_difference(g, g).count() == 0
