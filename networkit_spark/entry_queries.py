@@ -729,6 +729,28 @@ def q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_randomize_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant-style oracle (like gen_rmat_invariants): edge switching
+    must preserve the unweighted non-loop degree histogram EXACTLY, so the
+    oracle computes the histogram of the ORIGINAL graph in SQL while Spark
+    computes it over the switched graph."""
+    from networkit_spark.operators.randomization import edge_switching
+
+    g, _ = L.events_graph(spark, sf_dir)
+    r = edge_switching(g, rounds=3, seed=42)
+    return (
+        r.edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(
+            F.col("deg").cast("bigint").alias("degree"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        )
+    )
+
+
 MAXFLOW_K, MAXFLOW_S, MAXFLOW_T = 16, 0, 1
 
 
@@ -949,6 +971,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_msf": q_graph_msf,
     "graph_maxflow": q_graph_maxflow,
     "graph_diff": q_graph_diff,
+    "graph_randomize_invariants": q_graph_randomize_invariants,
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
     "centrality_group_degree": q_centrality_group_degree,
@@ -1035,6 +1058,7 @@ def build_oracles() -> dict[str, str]:
         "graph_msf": L.sql_msf(),
         "graph_maxflow": L.sql_maxflow(MAXFLOW_K, MAXFLOW_S, MAXFLOW_T),
         "graph_diff": L.sql_graph_diff(),
+        "graph_randomize_invariants": L.sql_degree_histogram(),
         "graph_reachable": L.sql_reachable_nodes(),
         "graph_cliques": L.sql_maximal_cliques(),
         "centrality_group_degree": L.sql_group_degree(GROUP_DEGREE_K),

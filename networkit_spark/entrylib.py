@@ -2591,3 +2591,15 @@ UNION ALL
 SELECT 'EDGE_WEIGHT_UPDATE' AS etype, src AS u, dst AS v, w2 AS w
 FROM j WHERE w1 IS NOT NULL AND w2 IS NOT NULL AND w1 <> w2"""
     return _with_graph(body)
+
+
+def sql_degree_histogram() -> str:
+    """Unweighted non-loop degree histogram of the ORIGINAL graph — the
+    exact invariant edge switching preserves (EdgeSwitching.cpp swapEdge
+    never touches degrees), so it doubles as that query's oracle."""
+    body = """nd AS (
+    SELECT src AS id, COUNT(*) AS deg FROM edges WHERE src <> dst GROUP BY src
+)
+SELECT CAST(deg AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM nd GROUP BY deg"""
+    return _with_graph(body)

@@ -1,0 +1,46 @@
+"""Edge switching vs randomization/EdgeSwitching.cpp's contract: exact
+degree preservation, simplicity, determinism under seed, actual mixing."""
+
+from pyspark.sql import functions as F
+
+from networkit_spark.operators.randomization import edge_switching
+from networkit_spark.sources.generators import erdos_renyi
+
+
+def _canon_set(g):
+    return {
+        (r["src"], r["dst"])
+        for r in g.edges.filter(F.col("src") <= F.col("dst")).collect()
+    }
+
+
+def _degrees(g):
+    return {
+        r["src"]: r["cnt"]
+        for r in g.edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+
+def test_edge_switching_preserves_degrees_and_simplicity(spark):
+    g = erdos_renyi(spark, n=40, p=0.15, seed=7)
+    before = _degrees(g)
+    r = edge_switching(g, rounds=6, seed=11)
+    after = _degrees(r)
+    assert before == after
+    # still simple: no duplicate canonical edges, no new self-loops
+    canon = r.edges.filter(F.col("src") < F.col("dst"))
+    assert canon.count() == canon.distinct().count()
+    assert r.edges.filter(F.col("src") == F.col("dst")).count() == \
+        g.edges.filter(F.col("src") == F.col("dst")).count()
+    # the switch chain actually moved something
+    assert _canon_set(r) != _canon_set(g)
+
+
+def test_edge_switching_deterministic(spark):
+    g = erdos_renyi(spark, n=30, p=0.2, seed=3)
+    a = edge_switching(g, rounds=4, seed=5)
+    b = edge_switching(g, rounds=4, seed=5)
+    assert _canon_set(a) == _canon_set(b)
+    c = edge_switching(g, rounds=4, seed=6)
+    assert _canon_set(a) != _canon_set(c)
