@@ -275,3 +275,79 @@ def graph_difference(g1: Graph, g2: Graph) -> DataFrame:
     for part in (nadd, erm, eadd, wupd):
         out = out.unionByName(part)
     return out.select("e.etype", "e.u", "e.v", "e.w")
+
+
+def update_sssp_incremental(
+    graph_after: Graph, old_dist: DataFrame, added_edges: DataFrame
+) -> DataFrame:
+    """New weighted-distance table after EDGE_ADD / weight-DECREASE events
+    (DynDijkstra, ref: networkit/cpp/distance/DynDijkstra.cpp:41-90).
+    Distance-improving relaxations seeded from the touched arcs — the
+    reference drains a priority queue seeded by updateQueue(u,v,w) on both
+    endpoints; the synchronous frontier relaxation (same loop shape as
+    sssp_weighted) reaches the identical fixed point. ``added_edges`` rows
+    are (src, dst, weight); pass both a new edge and a decreased weight the
+    same way. old_dist is (id, dist: double) with unreachable absent."""
+    edges = (
+        graph_after.edges.select(
+            "src", "dst", F.col("weight").cast("double").alias("w")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .persist()
+    )
+    edges.count()
+
+    add = added_edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("w")
+    ).filter(F.col("src") != F.col("dst"))
+    if not graph_after.directed:
+        add = add.unionByName(
+            add.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+
+    dist = old_dist.select("id", F.col("dist").cast("double").alias("dist"))
+    dist = dist.localCheckpoint(eager=True)
+
+    cand = (
+        add.join(
+            dist.select(F.col("id").alias("src"), F.col("dist").alias("ds")), "src"
+        )
+        .groupBy("dst")
+        .agg(F.min(F.col("ds") + F.col("w")).alias("cand"))
+        .withColumnRenamed("dst", "id")
+    )
+    while True:
+        merged = (
+            dist.join(cand, "id", "full")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                    F.coalesce(F.col("cand"), F.lit(float("inf"))),
+                ).alias("new_dist"),
+                F.col("dist").alias("old_dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved = merged.filter(
+            F.col("old_dist").isNull() | (F.col("new_dist") < F.col("old_dist"))
+        )
+        n_improved = improved.count()
+        dist = merged.select("id", F.col("new_dist").alias("dist"))
+        if n_improved == 0:
+            break
+        frontier = improved.select("id", F.col("new_dist").alias("dist"))
+        cand = (
+            edges.join(
+                frontier.select(F.col("id").alias("src"), F.col("dist").alias("ds")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min(F.col("ds") + F.col("w")).alias("cand"))
+            .withColumnRenamed("dst", "id")
+        )
+
+    edges.unpersist()
+    return dist

@@ -290,3 +290,35 @@ def test_graph_difference_identical(spark):
 
     g = from_edge_rows(spark, [(0, 1), (1, 2)], num_nodes=3)
     assert graph_difference(g, g).count() == 0
+
+
+def test_incremental_sssp_weight_decrease_and_add(spark):
+    from networkit_spark.operators.centrality import sssp_weighted
+    from networkit_spark.streaming.graph_events import update_sssp_incremental
+
+    g = from_edge_rows(
+        spark,
+        [(0, 1, 4.0), (1, 2, 4.0), (0, 3, 1.0), (3, 4, 1.0), (5, 6, 1.0)],
+        num_nodes=7,
+    )
+    d0 = sssp_weighted(g, 0)
+    # decrease 1-2 to 0.5, add shortcut 4-2 (w 0.5) and bridge 2-5 (w 2)
+    ev = spark.createDataFrame(
+        [
+            ("EDGE_WEIGHT_UPDATE", 1, 2, 0.5),
+            ("EDGE_ADD", 4, 2, 0.5),
+            ("EDGE_ADD", 2, 5, 2.0),
+        ],
+        EVENT_SCHEMA,
+    )
+    g2 = apply_events(g, ev)
+    added = spark.createDataFrame(
+        [(1, 2, 0.5), (4, 2, 0.5), (2, 5, 2.0)], "src long, dst long, weight double"
+    )
+    got = {
+        r["id"]: r["dist"]
+        for r in update_sssp_incremental(g2, d0, added).collect()
+    }
+    fresh = {r["id"]: r["dist"] for r in sssp_weighted(g2, 0).collect()}
+    assert got == fresh
+    assert got[2] == 2.5 and got[5] == 4.5 and got[6] == 5.5
