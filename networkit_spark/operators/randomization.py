@@ -145,3 +145,81 @@ def edge_switching(
     )
     out = sym.unionByName(loops).withColumn("weight", F.lit(1.0).cast("float"))
     return Graph(graph.vertices, out, directed=False, weighted=False)
+
+
+def degree_preserving_shuffle(
+    graph: Graph, seed: int = 42, salt_buckets: int = 1
+):
+    """Relabel node ids by a permutation that only maps within equal-degree
+    classes (ref: networkit/cpp/randomization/DegreePreservingShuffle.cpp:
+    70-146 — per-degree-group Fisher-Yates). Distributed form: rank each
+    degree class under two independent hash orders and map rank-to-rank;
+    any such mapping is a uniform in-class permutation, so per-id degrees
+    are EXACTLY preserved (degree(id) is invariant because ids trade places
+    only with same-degree ids).
+
+    ``salt_buckets > 1`` splits each degree class into hash salt buckets
+    and permutes within buckets — the scale path for power-law graphs where
+    one degree class (deg=1) would otherwise be a single window partition;
+    still degree-preserving, just a subgroup of the permutation group.
+
+    Returns (shuffled Graph, mapping DataFrame(id, new_id)).
+    """
+    deg = (
+        graph.vertices.join(
+            graph.edges.filter(F.col("src") != F.col("dst"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count(F.lit(1)).alias("deg")),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+    )
+
+    def ranked(tag: str, out: str):
+        # the salt hash must NOT depend on the ranking tag: both rankings
+        # need identical (deg, salt) class membership or the rank-to-rank
+        # join stops being a permutation
+        d = (
+            deg.withColumn(
+                "sstr",
+                F.concat_ws(":", F.lit(str(seed)), F.lit("salt"), F.col("id")),
+            )
+            .withColumn(
+                "salt",
+                F.pmod(F.expr(md5_long_sql("sstr")), F.lit(salt_buckets))
+                if salt_buckets > 1
+                else F.lit(0),
+            )
+            .withColumn(
+                "hstr",
+                F.concat_ws(":", F.lit(str(seed)), F.lit(tag), F.col("id")),
+            )
+            .withColumn("h", F.expr(md5_long_sql("hstr")))
+        )
+        w = Window.partitionBy("deg", "salt").orderBy("h", "id")
+        return d.select(
+            "deg", "salt", F.col("id").alias(out),
+            F.row_number().over(w).alias("rk"),
+        )
+
+    mapping = (
+        ranked("a", "id")
+        .join(ranked("b", "new_id"), ["deg", "salt", "rk"])
+        .select("id", "new_id")
+    )
+    ms = mapping.withColumnRenamed("id", "src").withColumnRenamed("new_id", "new_src")
+    md = mapping.withColumnRenamed("id", "dst").withColumnRenamed("new_id", "new_dst")
+    edges = (
+        graph.edges.join(ms, "src")
+        .join(md, "dst")
+        .select(
+            F.col("new_src").alias("src"),
+            F.col("new_dst").alias("dst"),
+            "weight",
+        )
+    )
+    g = Graph(
+        graph.vertices, edges, directed=graph.directed, weighted=graph.weighted
+    )
+    return g, mapping

@@ -44,3 +44,32 @@ def test_edge_switching_deterministic(spark):
     assert _canon_set(a) == _canon_set(b)
     c = edge_switching(g, rounds=4, seed=6)
     assert _canon_set(a) != _canon_set(c)
+
+
+def test_degree_preserving_shuffle(spark):
+    from networkit_spark.operators.randomization import degree_preserving_shuffle
+
+    g = erdos_renyi(spark, n=40, p=0.12, seed=9)
+    s, mapping = degree_preserving_shuffle(g, seed=4)
+    # mapping is a permutation of the vertex set
+    rows = mapping.collect()
+    assert len(rows) == 40
+    assert {r["id"] for r in rows} == {r["new_id"] for r in rows} == set(range(40))
+    # per-id degree is EXACTLY preserved (in-class trades only)
+    assert _degrees(s) == _degrees(g)
+    # something actually moved
+    assert _canon_set(s) != _canon_set(g)
+    # deterministic under seed
+    s2, _ = degree_preserving_shuffle(g, seed=4)
+    assert _canon_set(s2) == _canon_set(s)
+
+
+def test_degree_preserving_shuffle_salted(spark):
+    from networkit_spark.operators.randomization import degree_preserving_shuffle
+
+    g = erdos_renyi(spark, n=40, p=0.12, seed=9)
+    s, mapping = degree_preserving_shuffle(g, seed=4, salt_buckets=4)
+    rows = mapping.collect()
+    assert len(rows) == 40
+    assert {r["id"] for r in rows} == {r["new_id"] for r in rows} == set(range(40))
+    assert _degrees(s) == _degrees(g)
