@@ -28,8 +28,20 @@ Scores implemented (semantics per the cited reference file):
   global_threshold_filter  GlobalThresholdFilter.cpp (keep score >= threshold)
   simmelian_overlap_score  SimmelianScore.cpp:17-46 + SimmelianOverlapScore.cpp:17-31
 
-ForestFireScore (random-walk simulation) is documented out of scope —
-its sequential burning process has no deterministic distributed analogue.
+  forest_fire_score        ForestFireScore.cpp:22-92 — the reference burns
+                           fires one at a time (queue + per-edge URNG
+                           draws); the distributed analogue below runs a
+                           BATCH of fires as synchronous supersteps with
+                           hash-derandomized geometric burn counts. The
+                           per-fire visit order differs from the sequential
+                           process (two frontier nodes can burn edges to
+                           the same target in one superstep), so this is a
+                           same-family sampler, not a bit-exact port —
+                           scores are checked by invariants (normalized to
+                           max 1, only real edges, burnt mass >= target,
+                           seed-deterministic), matching how the reference
+                           itself is tested (sparsification GTests assert
+                           ranges, not values, for randomized scores).
 """
 
 from __future__ import annotations
@@ -309,4 +321,117 @@ def adamic_adar_distance_score(graph: Graph) -> DataFrame:
         F.col("u").alias("src"),
         F.col("v").alias("dst"),
         F.when(F.col("aa") > 0, 1.0 / F.col("aa")).alias("aa_dist"),
+    )
+
+
+def forest_fire_score(
+    graph: Graph,
+    pf: float = 0.7,
+    target_burnt_ratio: float = 1.0,
+    fires_per_batch: int = 32,
+    seed: int = 42,
+    max_batches: int = 16,
+    max_rounds: int = 32,
+) -> DataFrame:
+    """(src, dst, score) for every canonical edge — burn frequency
+    normalized by the max (ForestFireScore.cpp:80-92). Fires in a batch
+    spread concurrently: per superstep every (fire, frontier-node) burns a
+    Geometric(pf)-distributed number of its unvisited-in-that-fire
+    neighbors, chosen by hash rank; k = floor(ln U / ln pf) reproduces the
+    reference's draw-until-q>pf loop distribution exactly. Batches repeat
+    until the burnt-edge mass reaches ``target_burnt_ratio * m``."""
+    import math
+
+    from networkit_spark.plans.checkpoint import materialize
+
+    if not (0.0 < pf < 1.0):
+        raise ValueError("pf must be in (0, 1)")
+    canon = materialize(canonical_edges(graph))
+    m = canon.count()
+    if m == 0:
+        return canon.withColumn("score", F.lit(0.0))
+    adj = materialize(
+        canon.select(F.col("src").alias("u"), F.col("dst").alias("x")).unionByName(
+            canon.select(F.col("dst").alias("u"), F.col("src").alias("x"))
+        )
+    )
+    ln_pf = math.log(pf)
+
+    burnt = None
+    total = 0
+    for batch in range(max_batches):
+        if total >= target_burnt_ratio * m:
+            break
+        starts = (
+            graph.vertices.withColumn(
+                "hstr",
+                F.concat_ws(":", F.lit(str(seed)), F.lit("start"),
+                            F.lit(str(batch)), F.col("id")),
+            )
+            .withColumn("h", F.expr(md5_long_sql("hstr")))
+            .orderBy("h", "id")
+            .limit(fires_per_batch)
+            .select(F.col("id").alias("fire"), F.col("id").alias("node"))
+        )
+        visited = starts.localCheckpoint(eager=True)
+        frontier = visited
+        for rnd in range(max_rounds):
+            cand = (
+                frontier.join(adj, frontier.node == adj.u)
+                .select("fire", "u", "x")
+                .join(
+                    visited.withColumnRenamed("node", "x"), ["fire", "x"], "anti"
+                )
+            )
+            tag = f"{seed}:{batch}:{rnd}"
+            u01 = (
+                (F.expr(md5_long_sql("kstr")) + F.lit(1.0)) / F.lit(_HASH_SPAN + 2.0)
+            )
+            k = F.floor(F.log(u01) / F.lit(ln_pf))
+            cand = cand.withColumn(
+                "kstr",
+                F.concat_ws(":", F.lit(tag), F.lit("k"), F.col("fire"), F.col("u")),
+            ).withColumn("k", k)
+            pick = F.concat_ws(
+                ":", F.lit(tag), F.lit("p"), F.col("fire"), F.col("u"), F.col("x")
+            )
+            cand = cand.withColumn("pstr", pick).withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("fire", "u").orderBy(
+                        F.expr(md5_long_sql("pstr")), "x"
+                    )
+                ),
+            )
+            burn = cand.filter(F.col("rk") <= F.col("k")).localCheckpoint(eager=True)
+            if burn.isEmpty():
+                break
+            nb = (
+                burn.select(
+                    F.least("u", "x").alias("src"),
+                    F.greatest("u", "x").alias("dst"),
+                )
+                .groupBy("src", "dst")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            burnt = (
+                nb
+                if burnt is None
+                else burnt.unionByName(nb)
+                .groupBy("src", "dst")
+                .agg(F.sum("cnt").alias("cnt"))
+            ).localCheckpoint(eager=True)
+            newv = burn.select("fire", F.col("x").alias("node")).distinct()
+            visited = visited.unionByName(newv).localCheckpoint(eager=True)
+            frontier = newv
+        total = (
+            0 if burnt is None
+            else burnt.agg(F.sum("cnt")).collect()[0][0] or 0
+        )
+    if burnt is None:
+        return canon.withColumn("score", F.lit(0.0))
+    mx = float(burnt.agg(F.max("cnt")).collect()[0][0])
+    return canon.join(burnt, ["src", "dst"], "left").select(
+        "src", "dst",
+        (F.coalesce("cnt", F.lit(0)).cast("double") / F.lit(mx)).alias("score"),
     )

@@ -309,3 +309,28 @@ def test_adamic_adar_distance_score(spark):
     assert got[(0, 1)] == pytest.approx(math.log(3))  # common nbr 2, deg 3
     assert got[(0, 2)] == pytest.approx(math.log(2))  # common nbr 1, deg 2
     assert got[(2, 3)] is None  # triangle-free -> no finite distance
+
+
+def test_forest_fire_score_invariants(spark):
+    from networkit_spark.operators.sparsification import (
+        canonical_edges,
+        forest_fire_score,
+    )
+    from networkit_spark.sources.generators import erdos_renyi
+
+    g = erdos_renyi(spark, n=40, p=0.15, seed=7)
+    s = forest_fire_score(g, pf=0.6, target_burnt_ratio=0.5, fires_per_batch=16, seed=3)
+    rows = s.collect()
+    m = canonical_edges(g).count()
+    # one score per canonical edge, normalized into [0, 1] with max exactly 1
+    assert len(rows) == m
+    vals = [r["score"] for r in rows]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+    assert max(vals) == 1.0
+    # burnt mass reached the target ratio
+    assert sum(v > 0 for v in vals) >= 0.3 * m
+    # deterministic under seed
+    s2 = forest_fire_score(g, pf=0.6, target_burnt_ratio=0.5, fires_per_batch=16, seed=3)
+    assert {(r["src"], r["dst"]): r["score"] for r in s2.collect()} == {
+        (r["src"], r["dst"]): r["score"] for r in rows
+    }
