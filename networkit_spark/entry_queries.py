@@ -751,6 +751,18 @@ def q_graph_randomize_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CTD_PAIRS = [(0, 1), (0, 2), (1, 3)]
+CTD_ITERS, CTD_OMEGA = 30, 0.5
+
+
+def q_graph_commute_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.electrical import commute_time_distance
+
+    g, _ = L.events_graph(spark, sf_dir)
+    out = commute_time_distance(g, CTD_PAIRS, num_iters=CTD_ITERS, omega=CTD_OMEGA)
+    return out.select("u", "v", F.round("ctd", 6).alias("ctd"))
+
+
 MAXFLOW_K, MAXFLOW_S, MAXFLOW_T = 16, 0, 1
 
 
@@ -972,6 +984,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_maxflow": q_graph_maxflow,
     "graph_diff": q_graph_diff,
     "graph_randomize_invariants": q_graph_randomize_invariants,
+    "graph_commute_time": q_graph_commute_time,
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
     "centrality_group_degree": q_centrality_group_degree,
@@ -1059,6 +1072,7 @@ def build_oracles() -> dict[str, str]:
         "graph_maxflow": L.sql_maxflow(MAXFLOW_K, MAXFLOW_S, MAXFLOW_T),
         "graph_diff": L.sql_graph_diff(),
         "graph_randomize_invariants": L.sql_degree_histogram(),
+        "graph_commute_time": L.sql_commute_time(CTD_PAIRS, CTD_ITERS, CTD_OMEGA),
         "graph_reachable": L.sql_reachable_nodes(),
         "graph_cliques": L.sql_maximal_cliques(),
         "centrality_group_degree": L.sql_group_degree(GROUP_DEGREE_K),

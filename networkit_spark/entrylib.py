@@ -2603,3 +2603,53 @@ def sql_degree_histogram() -> str:
 SELECT CAST(deg AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM nd GROUP BY deg"""
     return _with_graph(body)
+
+
+def sql_commute_time(
+    pairs: list[tuple[int, int]], iters: int, omega: float
+) -> str:
+    """Unrolled damped-Jacobi Laplacian solve, one x-column per pair, then
+    ctd = sqrt(|x_u - x_v| * vol) (CommuteTimeDistance.cpp:172-189) —
+    the same fixed superstep count as the engine's electrical.py."""
+    k = len(pairs)
+    cols = [f"x{j}" for j in range(k)]
+    binit = ", ".join(
+        f"CASE WHEN v.id = {int(u)} THEN 1.0 WHEN v.id = {int(v)} THEN -1.0 "
+        f"ELSE 0.0 END AS b{j}"
+        for j, (u, v) in enumerate(pairs)
+    )
+    xinit = ", ".join(f"CAST(0.0 AS DOUBLE) AS {c}" for c in cols)
+    ctes = [
+        "wadj AS MATERIALIZED (SELECT src, dst, weight AS w FROM edges WHERE src <> dst)",
+        "dg AS MATERIALIZED (SELECT src AS id, SUM(w) AS d FROM wadj GROUP BY src)",
+        "vol AS (SELECT SUM(weight) + SUM(CASE WHEN src = dst THEN weight "
+        "ELSE 0 END) AS v FROM edges)",
+        f"l0 AS (SELECT v.id, {binit}, {xinit}, dg.d "
+        "FROM vertices v LEFT JOIN dg ON dg.id = v.id)",
+    ]
+    bs = ", ".join(f"l.b{j}" for j in range(k))
+    for t in range(1, iters + 1):
+        vals = ", ".join(f"SUM(e.w * p.{c}) AS v_{c}" for c in cols)
+        upd = ", ".join(
+            f"CASE WHEN l.d IS NOT NULL THEN (1 - {omega}) * l.{c} + {omega} * "
+            f"(l.b{j} + COALESCE(n.v_{c}, 0)) / l.d ELSE l.{c} END AS {c}"
+            for j, c in enumerate(cols)
+        )
+        ctes.append(
+            f"""n{t} AS (
+    SELECT e.src AS id, {vals}
+    FROM wadj e JOIN l{t-1} p ON p.id = e.dst GROUP BY e.src
+),
+l{t} AS MATERIALIZED (
+    SELECT l.id, {bs}, {upd}, l.d FROM l{t-1} l LEFT JOIN n{t} n ON n.id = l.id
+)"""
+        )
+    last = f"l{iters}"
+    outs = " UNION ALL ".join(
+        f"SELECT CAST({int(u)} AS BIGINT) AS u, CAST({int(v)} AS BIGINT) AS v, "
+        f"ROUND(SQRT(ABS((SELECT {c} FROM {last} WHERE id = {int(u)}) - "
+        f"(SELECT {c} FROM {last} WHERE id = {int(v)})) * "
+        f"(SELECT v FROM vol)), 6) AS ctd"
+        for (u, v), c in zip(pairs, cols)
+    )
+    return _with_graph(", ".join(ctes) + " " + outs)

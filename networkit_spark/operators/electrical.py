@@ -1,0 +1,121 @@
+"""Commute-time distance via a distributed Laplacian solve (ref:
+networkit/cpp/distance/CommuteTimeDistance.cpp:172-189 runSinglePair —
+solve L x = e_u - e_v, return sqrt(|x_u - x_v| * vol(G)); the reference
+solves with the Lamg multigrid from numerics/).
+
+Spark-first re-expression: the Laplacian never materializes — a damped
+Jacobi iteration x' = (1-w)x + w D^{-1}(b + A x) needs only the adjacency
+matvec, which is the engine's standard one-join-one-agg superstep (the
+same shape as PageRank's score push and algebraic_loads' smoothing). All
+k requested pairs are solved SIMULTANEOUSLY as k DOUBLE columns of one
+DataFrame, so the per-superstep cost is one O(m)-row shuffle regardless
+of k.
+
+Fixed-iteration damped Jacobi (not Lamg/CG) is chosen deliberately: it is
+a pure deterministic function of the graph, so the DuckDB oracle can
+unroll the identical supersteps and hash-match — the same trade
+algebraic.py makes. Semantics: for b ⊥ 1 on a connected graph the Jacobi
+error's only non-decaying mode is the constant vector, which the
+difference x_u - x_v cancels, so the pair distance converges (damping
+w < 1 also kills the bipartite -1 mode); the pytest checks convergence
+against a numpy pseudo-inverse ground truth. At production scale the
+natural upgrade is Chebyshev acceleration or CG over the same matvec
+superstep — the plan shape does not change.
+
+Self-loops carry no current: they cancel out of L = D - A, so the solve
+uses loop-free adjacency/degrees. vol(G) follows GraphTools::volume
+(weightedDegree summed over nodes, self-loops counted twice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.checkpoint import IterationState, materialize
+
+
+def commute_time_distance(
+    graph: Graph,
+    pairs: list[tuple[int, int]],
+    num_iters: int = 40,
+    omega: float = 0.5,
+) -> DataFrame:
+    """(u, v, ctd) for each requested pair. Undirected graphs only
+    (CommuteTimeDistance.cpp:21-23)."""
+    if graph.directed:
+        raise ValueError("commute time distance needs an undirected graph")
+    spark = graph.vertices.sparkSession
+    cols = [f"x{j}" for j in range(len(pairs))]
+
+    adj = materialize(
+        graph.edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", F.col("weight").cast("double").alias("w")
+        )
+    )
+    deg = adj.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("d"))
+    # vol = sum of weighted degrees, self-loops twice (GraphTools::volume)
+    vol = float(
+        graph.edges.agg(
+            (
+                F.sum(F.col("weight").cast("double"))
+                + F.sum(
+                    F.when(F.col("src") == F.col("dst"), F.col("weight"))
+                    .otherwise(F.lit(0.0))
+                    .cast("double")
+                )
+            ).alias("v")
+        ).collect()[0][0]
+    )
+
+    b_exprs = [
+        F.when(F.col("id") == int(u), F.lit(1.0))
+        .when(F.col("id") == int(v), F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+        .alias(f"b{j}")
+        for j, (u, v) in enumerate(pairs)
+    ]
+    state0 = graph.vertices.select(
+        "id", *b_exprs, *[F.lit(0.0).alias(c) for c in cols]
+    ).join(deg, "id", "left")
+    x = materialize(state0)
+
+    state = IterationState(None, "commute_time")
+    for t in range(1, num_iters + 1):
+        nbr = (
+            adj.join(x.select(F.col("id").alias("dst"), *cols), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(*[F.sum(F.col("w") * F.col(c)).alias(f"v_{c}") for c in cols])
+        )
+        x = x.join(nbr, "id", "left").select(
+            "id",
+            *[F.col(f"b{j}") for j in range(len(pairs))],
+            *[
+                F.when(
+                    F.col("d").isNotNull(),
+                    (1.0 - omega) * F.col(c)
+                    + omega
+                    * (F.col(f"b{j}") + F.coalesce(F.col(f"v_{c}"), F.lit(0.0)))
+                    / F.col("d"),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for j, c in enumerate(cols)
+            ],
+            "d",
+        )
+        x = state.advance(t, x)
+    state.close()
+
+    want = sorted({int(n) for p in pairs for n in p})
+    got = {
+        r["id"]: r
+        for r in x.filter(F.col("id").isin(want)).collect()
+    }
+    rows = []
+    for j, (u, v) in enumerate(pairs):
+        c = cols[j]
+        diff = abs(got[int(u)][c] - got[int(v)][c])
+        rows.append((int(u), int(v), float((diff * vol) ** 0.5)))
+    return spark.createDataFrame(rows, "u long, v long, ctd double")

@@ -227,3 +227,26 @@ def harmonic_closeness_oracle(n: int, edges, normalized: bool = False) -> np.nda
     if normalized:
         sc /= max(n - 1, 1)
     return sc
+
+
+def commute_time_oracle(n: int, edges, pairs) -> list[float]:
+    """sqrt(|x_u - x_v| * vol) with x = L^+ (e_u - e_v) via numpy pinv —
+    the exact linear-algebra ground truth for CommuteTimeDistance.cpp:
+    172-189 (independent of the engine's Jacobi superstep path)."""
+    A = np.zeros((n, n))
+    for u, v, w in edges:
+        if u != v:
+            A[u, v] += w
+            A[v, u] += w
+    # symmetric input may list both directions; collapse double counting
+    A = np.minimum(A, A.T)
+    L = np.diag(A.sum(axis=1)) - A
+    Lp = np.linalg.pinv(L)
+    vol = A.sum()
+    out = []
+    for u, v in pairs:
+        b = np.zeros(n)
+        b[u], b[v] = 1.0, -1.0
+        x = Lp @ b
+        out.append(float(np.sqrt(abs(x[u] - x[v]) * vol)))
+    return out
