@@ -234,6 +234,77 @@ def write_gml(graph: Graph, path: str) -> None:
         f.write("]\n")
 
 
+def read_graphml(spark: SparkSession, path: str) -> Graph:
+    """GraphML (Python GraphMLIO.py / graphio.pyx GraphMLReader): the XML
+    schema <graph edgedefault=...><node id=../><edge source=.. target=..
+    [data key=weight]/></graph>. Fixture-scale driver-side parse with
+    xml.etree (the reference's SAX reader is single-threaded too); node
+    ids remapped to dense longs in document order. Reads the first
+    <graph> element; a <data> child whose key attribute contains
+    "weight" (or the conventional d1/d_weight keys declared with
+    attr.name="weight") becomes the edge weight."""
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(path)
+    root = tree.getroot()
+
+    def tag(el):
+        return el.tag.rsplit("}", 1)[-1]
+
+    weight_keys = {
+        k.get("id")
+        for k in root.iter()
+        if tag(k) == "key" and (k.get("attr.name") or "").lower() == "weight"
+    }
+    graph_el = next(el for el in root.iter() if tag(el) == "graph")
+    directed = graph_el.get("edgedefault", "undirected") == "directed"
+    ids: dict[str, int] = {}
+    edges: list[tuple[int, int, float]] = []
+    for el in graph_el:
+        t = tag(el)
+        if t == "node":
+            ids.setdefault(el.get("id"), len(ids))
+        elif t == "edge":
+            u = ids.setdefault(el.get("source"), len(ids))
+            v = ids.setdefault(el.get("target"), len(ids))
+            w = 1.0
+            for d in el:
+                if tag(d) == "data" and (
+                    d.get("key") in weight_keys
+                    or "weight" in (d.get("key") or "").lower()
+                ):
+                    w = float(d.text)
+            edges.append((u, v, w))
+    from networkit_spark.graph import from_edge_rows
+
+    return from_edge_rows(spark, edges, directed=directed, num_nodes=len(ids))
+
+
+def write_graphml(graph: Graph, path: str) -> None:
+    """GraphML writer (GraphMLIO.py GraphMLWriter layout): declares a
+    weight key when the graph is weighted, canonical undirected
+    representatives once. Fixture-scale (driver collect)."""
+    n = graph.num_nodes()
+    e = graph.edges if graph.directed else graph.edges.filter(
+        F.col("src") <= F.col("dst")
+    )
+    rows = e.select("src", "dst", "weight").collect()
+    dflt = "directed" if graph.directed else "undirected"
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n')
+        f.write('  <key id="d1" for="edge" attr.name="weight" attr.type="double"/>\n')
+        f.write(f'  <graph id="G" edgedefault="{dflt}">\n')
+        for i in range(n):
+            f.write(f'    <node id="n{i}"/>\n')
+        for r in rows:
+            f.write(
+                f'    <edge source="n{r["src"]}" target="n{r["dst"]}">'
+                f'<data key="d1">{r["weight"]}</data></edge>\n'
+            )
+        f.write("  </graph>\n</graphml>\n")
+
+
 def read_partition(spark: SparkSession, path: str) -> DataFrame:
     """labels(id, label) from the engine's parquet partition layout
     (PartitionReader analogue; the text label-per-line format does not

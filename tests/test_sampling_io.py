@@ -85,3 +85,40 @@ def test_gml_roundtrip(spark, tmp_path):
     write_gml(gd, pd)
     gd2 = read_gml(spark, pd)
     assert gd2.directed and gd2.num_edges() == 2
+
+
+def test_graphml_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io import read_graphml, write_graphml
+
+    g = from_edge_rows(spark, [(0, 1, 2.0), (1, 2, 1.5), (0, 2, 1.0)])
+    path = str(tmp_path / "g.graphml")
+    write_graphml(g, path)
+    g2 = read_graphml(spark, path)
+    assert g2.num_nodes() == 3 and not g2.directed
+    e1 = {(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()}
+    e2 = {(r["src"], r["dst"], r["weight"]) for r in g2.edges.collect()}
+    assert e1 == e2
+
+    gd = from_edge_rows(spark, [(0, 1), (1, 2)], directed=True)
+    pd = str(tmp_path / "d.graphml")
+    write_graphml(gd, pd)
+    gd2 = read_graphml(spark, pd)
+    assert gd2.directed and gd2.num_edges() == 2
+
+
+def test_graphml_reads_foreign_namespaced_file(spark, tmp_path):
+    # a file another tool wrote: namespace prefix, no weight data
+    from networkit_spark.sources.io import read_graphml
+
+    xml = """<?xml version="1.0"?>
+<graphml xmlns="http://graphml.graphdrawing.org/xmlns">
+  <graph id="G" edgedefault="undirected">
+    <node id="a"/><node id="b"/><node id="c"/>
+    <edge source="a" target="b"/>
+    <edge source="b" target="c"/>
+  </graph>
+</graphml>"""
+    p = tmp_path / "foreign.graphml"
+    p.write_text(xml)
+    g = read_graphml(spark, str(p))
+    assert g.num_nodes() == 3 and g.num_edges() == 2 and not g.directed
