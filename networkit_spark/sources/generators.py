@@ -316,3 +316,73 @@ def clustered_random_graph(
     vertices = spark.range(n).select(F.col("id").cast("long"))
     truth = vertices.select("id", (F.col("id") % k).cast("long").alias("label"))
     return Graph(vertices, edges, directed=False, weighted=False), truth
+
+
+def chung_lu(
+    spark: SparkSession, weights: list[float], seed: int = 42
+) -> Graph:
+    """Chung-Lu expected-degree random graph (ref: generators/
+    ChungLuGenerator.cpp — pair (u,v) is an edge with probability
+    w_u w_v / S, S = sum of weights). The reference walks all pairs with
+    geometric skips; the distributed re-expression draws M = ceil(S/2)
+    candidate edges whose endpoints are i.i.d. proportional to w (the
+    standard "fast Chung-Lu" sampler: per-pair inclusion converges to
+    w_u w_v / S for sparse graphs), then dedupes — no O(n^2) anywhere.
+
+    Endpoint sampling is inverse-CDF: nodes own segments of [0,1) sized
+    w/S, draws are hash-u01s, and the segment lookup is a BINNED
+    equi-join (segments exploded over the n buckets they overlap, draws
+    bucketed by floor(u*n)) — never a range cross join. The cumulative
+    sum uses one ordered window at fixture scale; at 10^9 nodes the
+    drop-in is the two-pass per-partition prefix sum over the same
+    range-partitioned id order. Deterministic in (seed, weights)."""
+    from pyspark.sql import Window
+
+    n = len(weights)
+    S = float(sum(weights))
+    m_draws = int(S // 2) + 1
+    wdf = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)], "id long, w double"
+    )
+    cum = wdf.withColumn(
+        "hi", F.sum("w").over(Window.orderBy("id")) / F.lit(S)
+    ).withColumn("lo", F.col("hi") - F.col("w") / F.lit(S))
+    # explode each segment over the draw buckets it overlaps
+    seg = cum.select(
+        "id", "lo", "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") * n).cast("long"),
+                F.least(
+                    F.floor(F.col("hi") * n).cast("long"), F.lit(n - 1)
+                ),
+            )
+        ).alias("bucket"),
+    )
+
+    draws = spark.range(m_draws).select(F.col("id").alias("i"))
+    u01 = lambda tag: (
+        F.abs(F.xxhash64(F.lit(seed * 31 + tag), "i")) % F.lit(1 << 48)
+    ).cast("double") / F.lit(float(1 << 48))
+    d = draws.select("i", u01(1).alias("ua"), u01(2).alias("ub"))
+
+    def lookup(col, out):
+        dd = d.withColumn("bucket", F.floor(F.col(col) * n).cast("long"))
+        return (
+            dd.join(seg, "bucket")
+            .filter((F.col(col) >= F.col("lo")) & (F.col(col) < F.col("hi")))
+            .select("i", F.col("id").alias(out))
+        )
+
+    pairs = lookup("ua", "u").join(lookup("ub", "v"), "i")
+    half = (
+        pairs.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst"))
+        .distinct()
+        .select("src", "dst", F.lit(1.0).cast("float").alias("weight"))
+    )
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(vertices, sym, directed=False, weighted=False)

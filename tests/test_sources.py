@@ -155,3 +155,27 @@ def test_barabasi_albert(spark):
     e1 = {(r["src"], r["dst"]) for r in g.edges.collect()}
     e2 = {(r["src"], r["dst"]) for r in g2.edges.collect()}
     assert e1 == e2
+
+
+def test_chung_lu_expected_degrees(spark):
+    from networkit_spark.sources.generators import chung_lu
+
+    # skewed expected degrees: few hubs, many leaves
+    weights = [20.0] * 4 + [2.0] * 60
+    g = chung_lu(spark, weights, seed=11)
+    assert g.num_nodes() == 64
+    deg = {
+        r["src"]: r["c"]
+        for r in g.edges.groupBy("src").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    hubs = sum(deg.get(i, 0) for i in range(4)) / 4.0
+    leaves = sum(deg.get(i, 0) for i in range(4, 64)) / 60.0
+    # hubs must have much higher realized degree than leaves, in the
+    # right ballpark of the expected-degree targets
+    assert hubs > 3 * leaves
+    assert 8.0 <= hubs <= 32.0 and 0.5 <= leaves <= 5.0
+    # deterministic
+    g2 = chung_lu(spark, weights, seed=11)
+    e1 = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    e2 = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert e1 == e2
