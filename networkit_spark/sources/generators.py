@@ -386,3 +386,122 @@ def chung_lu(
     )
     vertices = spark.range(n).select(F.col("id").cast("long"))
     return Graph(vertices, sym, directed=False, weighted=False)
+
+
+def hyperbolic(
+    spark: SparkSession,
+    n: int,
+    R: float,
+    alpha: float = 1.0,
+    seed: int = 42,
+    angular_buckets: int = 64,
+) -> Graph:
+    """Threshold (T=0) random hyperbolic graph (ref: generators/
+    HyperbolicGenerator.cpp:69-129 + geometric/HyperbolicSpace.cpp:74-90):
+    points get angle theta ~ U[0, 2pi) and radius r with CDF
+    (cosh(alpha r) - 1)/(cosh(alpha R) - 1); an edge exists iff the
+    hyperbolic distance acosh(cosh r_u cosh r_v - sinh r_u sinh r_v
+    cos(d_theta)) <= R. Coordinates are hash-derandomized pure functions
+    of (seed, id).
+
+    The reference prunes candidate pairs with a polar quadtree; the
+    distributed analogue is the standard core/periphery split: "core"
+    points (r <= R/2 — an e^{-alpha R/2} fraction) pair with everyone via
+    a small-side join, while each periphery point explodes over only the
+    angular buckets within its OWN reach Delta(r, R/2) (cos Delta =
+    (cosh r cosh(R/2) - cosh R)/(sinh r sinh(R/2)); Delta decreases in
+    both radii, so the exploded node's window bounds every periphery
+    pair it belongs to) and equi-joins on bucket against home-anchored
+    points. Rim points get genuinely narrow windows — candidate volume
+    ~O(sum_b Delta(r_b)/2pi * n_bucket) instead of O(n^2). The final
+    exact distance filter makes pruning loss-free — the pytest checks
+    the edge set EQUALS the brute-force O(n^2) evaluation."""
+    import math
+
+    pts = spark.range(n).select(F.col("id").cast("long"))
+    u_theta = (
+        F.abs(F.xxhash64(F.lit(seed * 17 + 1), "id")) % F.lit(1 << 48)
+    ).cast("double") / F.lit(float(1 << 48))
+    u_r = (
+        F.abs(F.xxhash64(F.lit(seed * 17 + 2), "id")) % F.lit(1 << 48)
+    ).cast("double") / F.lit(float(1 << 48))
+    cosh_aR = math.cosh(alpha * R)
+    coords = pts.select(
+        "id",
+        (u_theta * F.lit(2.0 * math.pi)).alias("theta"),
+        (F.acosh(F.lit(1.0) + u_r * F.lit(cosh_aR - 1.0)) / F.lit(alpha)).alias("r"),
+    ).localCheckpoint(eager=True)
+
+    r0 = R / 2.0
+    bw = 2.0 * math.pi / angular_buckets
+
+    core = coords.filter(F.col("r") <= r0)
+    peri = coords.filter(F.col("r") > r0)
+
+    def dist_leq_R(a, b):
+        cd = (
+            F.cosh(F.col(f"{a}.r")) * F.cosh(F.col(f"{b}.r"))
+            - F.sinh(F.col(f"{a}.r"))
+            * F.sinh(F.col(f"{b}.r"))
+            * F.cos(F.col(f"{a}.theta") - F.col(f"{b}.theta"))
+        )
+        return cd <= F.lit(math.cosh(R))
+
+    # core pairs with everyone (small side broadcast by AQE)
+    core_pairs = (
+        core.alias("a")
+        .join(coords.alias("b"), F.col("a.id") != F.col("b.id"))
+        .filter(dist_leq_R("a", "b"))
+        .select(
+            F.least("a.id", "b.id").alias("src"),
+            F.greatest("a.id", "b.id").alias("dst"),
+        )
+        .distinct()
+    )
+    # periphery pairs via PER-NODE angular-bucket windows: for a periphery
+    # pair (a, b), d_theta <= Delta(r_a, r_b) <= Delta(r_b, r0) (Delta is
+    # decreasing in each radius), so exploding b over +-Delta(r_b, r0)
+    # buckets and anchoring a at its home bucket is loss-free; nodes near
+    # the rim get genuinely narrow windows (the quadtree-pruning analogue)
+    home = F.floor(F.col("theta") / F.lit(bw)).cast("long")
+    cos_d = (
+        F.cosh("r") * F.lit(math.cosh(r0)) - F.lit(math.cosh(R))
+    ) / (F.sinh("r") * F.lit(math.sinh(r0)))
+    delta = F.when(cos_d <= -1.0, F.lit(math.pi)).when(
+        cos_d >= 1.0, F.lit(0.0)
+    ).otherwise(F.acos(cos_d))
+    win_col = F.least(
+        (F.ceil(delta / F.lit(bw)) + 1).cast("long"),
+        F.lit(angular_buckets // 2 + 1),
+    )
+    offs = F.explode(F.sequence(-win_col, win_col)).alias("o")
+    exploded = peri.select(
+        "id", "theta", "r", home.alias("hb"), offs
+    ).select(
+        "id", "theta", "r",
+        F.pmod(F.col("hb") + F.col("o"), F.lit(angular_buckets)).alias("bucket"),
+    )
+    anchored = peri.select("id", "theta", "r", home.alias("bucket"))
+    peri_pairs = (
+        anchored.alias("a")
+        .join(exploded.alias("b"), ["bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(dist_leq_R("a", "b"))
+        .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        .distinct()
+    )
+    # core-core edges appear in core_pairs; drop them from none — core x peri
+    # already covered by core_pairs (core joins everyone)
+    peri_only = peri_pairs.join(
+        core.select(F.col("id").alias("src")), "src", "anti"
+    ).join(core.select(F.col("id").alias("dst")), "dst", "anti")
+    half = (
+        core_pairs.unionByName(peri_only.select("src", "dst"))
+        .distinct()
+        .select("src", "dst", F.lit(1.0).cast("float").alias("weight"))
+    )
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    vertices = pts
+    return Graph(vertices, sym, directed=False, weighted=False)

@@ -179,3 +179,75 @@ def test_chung_lu_expected_degrees(spark):
     e1 = {(r["src"], r["dst"]) for r in g.edges.collect()}
     e2 = {(r["src"], r["dst"]) for r in g2.edges.collect()}
     assert e1 == e2
+
+
+def test_hyperbolic_matches_brute_force(spark):
+    import math
+
+    from networkit_spark.sources.generators import hyperbolic
+
+    n, R, alpha = 200, 4.0, 1.0
+    g = hyperbolic(spark, n=n, R=R, alpha=alpha, seed=5, angular_buckets=32)
+    # reconstruct coordinates from the same deterministic columns
+    coords = {
+        r["id"]: (r["theta"], r["r"])
+        for r in spark.range(n)
+        .selectExpr(
+            "id",
+            "(abs(xxhash64(86, id)) % 281474976710656) / 281474976710656.0e0 * 2 * pi() as theta",
+            f"acosh(1.0 + (abs(xxhash64(87, id)) % 281474976710656) / 281474976710656.0e0 * (cosh({alpha * R}) - 1)) / {alpha} as r",
+        )
+        .collect()
+    }
+    coshR = math.cosh(R)
+    got = {
+        (r["src"], r["dst"])
+        for r in g.edges.filter("src < dst").collect()
+    }
+    must, may = set(), set()
+    for u in range(n):
+        for v in range(u + 1, n):
+            tu, ru = coords[u]
+            tv, rv = coords[v]
+            cd = math.cosh(ru) * math.cosh(rv) - math.sinh(ru) * math.sinh(rv) * math.cos(tu - tv)
+            if cd <= coshR - 1e-9:
+                must.add((u, v))
+            if cd <= coshR + 1e-9:
+                may.add((u, v))
+    # banded candidate generation is loss-free: exactly the brute-force set
+    # (modulo floating-point threshold dust)
+    assert must <= got <= may
+    assert len(got) > 50  # non-degenerate fixture
+
+
+def test_hyperbolic_prunes_and_stays_exact_large_R(spark):
+    import math
+
+    from networkit_spark.sources.generators import hyperbolic
+
+    # larger R: rim nodes have narrow angular reach, pruning is active
+    n, R, alpha = 150, 6.0, 0.9
+    g = hyperbolic(spark, n=n, R=R, alpha=alpha, seed=8, angular_buckets=48)
+    coords = {
+        r["id"]: (r["theta"], r["r"])
+        for r in spark.range(n)
+        .selectExpr(
+            "id",
+            "(abs(xxhash64(137, id)) % 281474976710656) / 281474976710656.0e0 * 2 * pi() as theta",
+            f"acosh(1.0 + (abs(xxhash64(138, id)) % 281474976710656) / 281474976710656.0e0 * (cosh({alpha * R}) - 1)) / {alpha} as r",
+        )
+        .collect()
+    }
+    coshR = math.cosh(R)
+    got = {(r["src"], r["dst"]) for r in g.edges.filter("src < dst").collect()}
+    must, may = set(), set()
+    for u in range(n):
+        for v in range(u + 1, n):
+            tu, ru = coords[u]
+            tv, rv = coords[v]
+            cd = math.cosh(ru) * math.cosh(rv) - math.sinh(ru) * math.sinh(rv) * math.cos(tu - tv)
+            if cd <= coshR - 1e-9:
+                must.add((u, v))
+            if cd <= coshR + 1e-9:
+                may.add((u, v))
+    assert must <= got <= may
