@@ -763,6 +763,16 @@ def q_graph_commute_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("u", "v", F.round("ctd", 6).alias("ctd"))
 
 
+GROUP_CLOSENESS_K = 4
+
+
+def q_centrality_group_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.groups import group_closeness
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return group_closeness(g, k=GROUP_CLOSENESS_K)
+
+
 MAXFLOW_K, MAXFLOW_S, MAXFLOW_T = 16, 0, 1
 
 
@@ -985,6 +995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_diff": q_graph_diff,
     "graph_randomize_invariants": q_graph_randomize_invariants,
     "graph_commute_time": q_graph_commute_time,
+    "centrality_group_closeness": q_centrality_group_closeness,
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
     "centrality_group_degree": q_centrality_group_degree,
@@ -1073,6 +1084,7 @@ def build_oracles() -> dict[str, str]:
         "graph_diff": L.sql_graph_diff(),
         "graph_randomize_invariants": L.sql_degree_histogram(),
         "graph_commute_time": L.sql_commute_time(CTD_PAIRS, CTD_ITERS, CTD_OMEGA),
+        "centrality_group_closeness": L.sql_group_closeness(GROUP_CLOSENESS_K),
         "graph_reachable": L.sql_reachable_nodes(),
         "graph_cliques": L.sql_maximal_cliques(),
         "centrality_group_degree": L.sql_group_degree(GROUP_DEGREE_K),

@@ -2653,3 +2653,56 @@ l{t} AS MATERIALIZED (
         for (u, v), c in zip(pairs, cols)
     )
     return _with_graph(", ".join(ctes) + " " + outs)
+
+
+def sql_group_closeness(k: int) -> str:
+    """Unrolled k-step greedy farness minimization over a recursive-ball
+    APSP, unreachable targets penalized at distance n — the same
+    deterministic greedy (ties to smallest id) as operators/groups.py
+    group_closeness (GroupCloseness.cpp:83-207 semantics)."""
+    base = """sedges AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vertices),
+ball(s, v, d) AS (
+    SELECT id, id, CAST(0 AS BIGINT) FROM vertices
+    UNION
+    SELECT b.s, e.dst, b.d + 1 FROM ball b JOIN sedges e ON e.src = b.v
+    WHERE b.d + 1 <= (SELECT n FROM nn)
+),
+apsp AS MATERIALIZED (SELECT s, v AS t, MIN(d) AS dist FROM ball GROUP BY s, v),
+gd0 AS (SELECT id AS t, (SELECT n FROM nn) AS gd FROM vertices),
+tot0 AS (SELECT (SELECT n FROM nn) * (SELECT n FROM nn) AS total)"""
+    ctes = [base]
+    for t in range(1, k + 1):
+        excl = (
+            " WHERE v.id NOT IN ("
+            + " UNION ALL ".join(f"SELECT id FROM pick{j}" for j in range(1, t))
+            + ")"
+            if t > 1
+            else ""
+        )
+        ctes.append(
+            f"""cand{t} AS (
+    SELECT d.s AS id, SUM(LEAST(d.dist, g.gd) - g.gd) AS delta
+    FROM apsp d JOIN gd{t-1} g ON g.t = d.t GROUP BY d.s
+),
+pick{t} AS MATERIALIZED (
+    SELECT v.id, (SELECT total FROM tot{t-1}) + COALESCE(c.delta, 0) AS farness
+    FROM vertices v LEFT JOIN cand{t} c ON c.id = v.id{excl}
+    ORDER BY farness, v.id LIMIT 1
+),
+gd{t} AS MATERIALIZED (
+    SELECT g.t, LEAST(g.gd, COALESCE(d.dist, g.gd)) AS gd
+    FROM gd{t-1} g LEFT JOIN (
+        SELECT t, dist FROM apsp WHERE s = (SELECT id FROM pick{t})
+    ) d ON d.t = g.t
+),
+tot{t} AS (SELECT farness AS total FROM pick{t})"""
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, CAST(id AS BIGINT) AS id, "
+        f"CAST(farness AS BIGINT) AS farness FROM pick{t}"
+        for t in range(1, k + 1)
+    )
+    return f"WITH RECURSIVE {GRAPH_CTE.strip()}, " + ", ".join(ctes) + " " + outs

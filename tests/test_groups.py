@@ -27,3 +27,68 @@ def test_without_group_nodes(spark):
     g = from_edge_rows(spark, [(0, 1), (0, 2), (0, 3)])
     rows = group_degree(g, k=1, count_group_nodes=False).collect()
     assert rows[0]["id"] == 0 and rows[0]["gain"] == 3
+
+
+def _greedy_group_closeness_bruteforce(n, adj, k):
+    import collections
+
+    def bfs(s):
+        d = {s: 0}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj[u]:
+                if v not in d:
+                    d[v] = d[u] + 1
+                    q.append(v)
+        return d
+
+    D = {s: bfs(s) for s in range(n)}
+    gd = {v: n for v in range(n)}
+    group, picks = set(), []
+    total = n * n
+    for rank in range(1, k + 1):
+        best = None
+        for c in range(n):
+            if c in group:
+                continue
+            f = total + sum(min(D[c].get(v, n), gd[v]) - gd[v] for v in D[c])
+            if best is None or (f, c) < best:
+                best = (f, c)
+        f, c = best
+        picks.append((rank, c, f))
+        total = f
+        group.add(c)
+        for v, dv in D[c].items():
+            gd[v] = min(gd[v], dv)
+    return picks
+
+
+def test_group_closeness_matches_bruteforce(spark):
+    from networkit_spark.operators.groups import group_closeness
+
+    rows = [
+        (0, 1), (0, 2), (0, 3), (3, 4), (4, 5), (5, 6), (6, 7), (2, 8),
+        (8, 9), (9, 10),
+    ]
+    n = 11
+    adj = {i: [] for i in range(n)}
+    for u, v in rows:
+        adj[u].append(v)
+        adj[v].append(u)
+    g = from_edge_rows(spark, rows, num_nodes=n)
+    got = [
+        (r["rank"], r["id"], r["farness"])
+        for r in group_closeness(g, k=4).collect()
+    ]
+    assert got == _greedy_group_closeness_bruteforce(n, adj, 4)
+
+
+def test_group_closeness_penalty_on_fragments(spark):
+    from networkit_spark.operators.groups import group_closeness
+
+    # two components: greedy must cover BOTH (penalty n per unreached node)
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (3, 4)], num_nodes=5)
+    got = [r["id"] for r in group_closeness(g, k=2).collect()]
+    assert got[0] == 1  # center of the larger component
+    assert got[1] in (3, 4)  # second pick jumps to the other fragment
