@@ -351,3 +351,61 @@ def update_sssp_incremental(
 
     edges.unpersist()
     return dist
+
+
+def update_apsp_incremental(
+    graph_after: Graph, old_apsp: DataFrame, added_edges: DataFrame,
+    max_rounds: int = 16,
+) -> DataFrame:
+    """New all-pairs hop-distance table (s, t, dist) after EDGE_ADD events
+    (DynAPSP, ref: networkit/cpp/distance/DynAPSP.cpp:92-180). An added
+    arc (u, v) can only create shortcuts through itself:
+    d'(s, t) = min(d(s, t), d'(s, u) + 1 + d'(v, t)), so each round joins
+    the current table onto both sides of every added arc and keeps the
+    min — repeated to a fixed point because shortcuts can chain through
+    several added arcs (the reference propagates the same relaxation from
+    the affected-source/target sets). Unreachable pairs are absent; newly
+    connected pairs appear through the joins. ``old_apsp`` is
+    multi_source_hops output (s, id, dist) or (s, t, dist)."""
+    cols = old_apsp.columns
+    apsp = old_apsp.withColumnRenamed("id", "t") if "id" in cols else old_apsp
+    apsp = apsp.select("s", "t", F.col("dist").cast("long").alias("dist"))
+    apsp = apsp.localCheckpoint(eager=True)
+
+    add = added_edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if not graph_after.directed:
+        add = add.unionByName(
+            add.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    add = add.localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        left = apsp.select("s", F.col("t").alias("src"), F.col("dist").alias("dsu"))
+        right = apsp.select(
+            F.col("s").alias("dst"), F.col("t").alias("t2"), F.col("dist").alias("dvt")
+        )
+        cand = (
+            add.join(left, "src")
+            .join(right, "dst")
+            .groupBy("s", F.col("t2").alias("t"))
+            .agg(F.min(F.col("dsu") + 1 + F.col("dvt")).alias("cand"))
+        )
+        merged = (
+            apsp.join(cand, ["s", "t"], "full")
+            .select(
+                "s", "t",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(2**62)),
+                    F.coalesce(F.col("cand"), F.lit(2**62)),
+                ).alias("new_dist"),
+                F.col("dist").alias("old_dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved = merged.filter(
+            F.col("old_dist").isNull() | (F.col("new_dist") < F.col("old_dist"))
+        ).count()
+        apsp = merged.select("s", "t", F.col("new_dist").alias("dist"))
+        if improved == 0:
+            break
+    return apsp

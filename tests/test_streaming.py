@@ -322,3 +322,27 @@ def test_incremental_sssp_weight_decrease_and_add(spark):
     fresh = {r["id"]: r["dist"] for r in sssp_weighted(g2, 0).collect()}
     assert got == fresh
     assert got[2] == 2.5 and got[5] == 4.5 and got[6] == 5.5
+
+
+def test_incremental_apsp(spark):
+    from networkit_spark.operators.distance import multi_source_hops
+    from networkit_spark.streaming.graph_events import update_apsp_incremental
+
+    # two chains 0-1-2 and 3-4-5; adds bridge 2-3 and shortcut 0-5 —
+    # shortcuts must CHAIN through both new edges
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (3, 4), (4, 5)], num_nodes=6)
+    apsp0 = multi_source_hops(g)
+    ev = spark.createDataFrame(
+        [("EDGE_ADD", 2, 3, 1.0), ("EDGE_ADD", 0, 5, 1.0)], EVENT_SCHEMA
+    )
+    g2 = apply_events(g, ev)
+    added = spark.createDataFrame([(2, 3), (0, 5)], "src long, dst long")
+    got = {
+        (r["s"], r["t"]): r["dist"]
+        for r in update_apsp_incremental(g2, apsp0, added).collect()
+    }
+    fresh = {
+        (r["s"], r["id"]): r["dist"] for r in multi_source_hops(g2).collect()
+    }
+    assert got == fresh
+    assert got[(1, 4)] == 3  # 1-0-5-4 via the new shortcut
