@@ -115,3 +115,43 @@ def test_cover_structure(spark):
     assert labs[2] == [0, 1]
     assert in_same_subset(c, 0, 2) and not in_same_subset(c, 0, 3)
     assert cover_coverage(g, c) == 0.75  # node 3 uncovered
+
+
+def test_agglomerative_recovers_planted_partition(spark):
+    from networkit_spark.operators.agglomerative import agglomerative_communities
+    from networkit_spark.operators.coarsening import modularity
+    from networkit_spark.sources.generators import clustered_random_graph
+
+    g, truth = clustered_random_graph(
+        spark, n=60, k=3, p_intra=0.5, p_inter=0.01, seed=5
+    )
+    labels = agglomerative_communities(g)
+    # communities must align with the planted partition: every planted
+    # cluster maps (mostly) into one agglomerated label
+    joined = labels.join(truth.withColumnRenamed("label", "want"), "id")
+    agree = (
+        joined.groupBy("want", "label").count()
+        .groupBy("want").agg(F.max("count").alias("best"), F.sum("count").alias("tot"))
+        .selectExpr("sum(best) as b", "sum(tot) as t")
+        .first()
+    )
+    # matching-based agglomeration merges greedily (the reference stops
+    # only at 2 communities), so planted clusters stay pure but may pair up
+    assert agree["b"] / agree["t"] >= 0.9
+    assert modularity(g, labels) > 0.25
+    n_labels = labels.select("label").distinct().count()
+    assert 2 <= n_labels <= 10
+
+
+def test_agglomerative_two_cliques(spark):
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.agglomerative import agglomerative_communities
+
+    rows = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    rows += [(u, v) for u in range(4, 8) for v in range(u + 1, 8)]
+    rows += [(3, 4)]  # single bridge
+    g = from_edge_rows(spark, rows, num_nodes=8)
+    labels = {r["id"]: r["label"] for r in agglomerative_communities(g).collect()}
+    assert len({labels[i] for i in range(4)}) == 1
+    assert len({labels[i] for i in range(4, 8)}) == 1
+    assert labels[0] != labels[7]
