@@ -369,6 +369,16 @@ def q_community_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(v,)], "adjusted_rand_distance double")
 
 
+def q_community_graph_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.measures import graph_structural_rand
+
+    g, _ = L.events_graph(spark, sf_dir)
+    zeta = label_propagation(g, theta=-1, max_iterations=2)
+    eta = label_propagation(g, theta=-1, max_iterations=1)
+    v = round(graph_structural_rand(g, zeta, eta), 6) + 0.0
+    return spark.createDataFrame([(v,)], "graph_structural_rand double")
+
+
 def q_community_cover_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 of each LP community against the best-matching connected
     component — partitions viewed as covers (CoverF1Similarity.cpp)."""
@@ -971,6 +981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "community_measures": q_community_measures,
     "community_partition_eval": q_community_partition_eval,
     "community_adjusted_rand": q_community_adjusted_rand,
+    "community_graph_rand": q_community_graph_rand,
     "community_cover_f1": q_community_cover_f1,
     "community_coverage": q_community_coverage,
     "community_edgecut": q_community_edgecut,
@@ -1099,6 +1110,7 @@ def build_oracles() -> dict[str, str]:
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),
         "community_partition_eval": L.sql_partition_eval(1),
         "community_adjusted_rand": L.sql_adjusted_rand(2, 1),
+        "community_graph_rand": L.sql_graph_structural_rand(2, 1),
         "community_cover_f1": L.sql_cover_f1(1, CC_ITERS),
         "community_coverage": L.sql_coverage(LP_ITERS),
         "community_edgecut": L.sql_edgecut(LP_ITERS),

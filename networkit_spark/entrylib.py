@@ -2706,3 +2706,20 @@ tot{t} AS (SELECT farness AS total FROM pick{t})"""
         for t in range(1, k + 1)
     )
     return f"WITH RECURSIVE {GRAPH_CTE.strip()}, " + ", ".join(ctes) + " " + outs
+
+
+def sql_graph_structural_rand(lp_iters: int, lp_iters_b: int) -> str:
+    """1 - (e11+e00)/m over canonical edges between the two pinned-LP
+    partitions (GraphStructuralRandMeasure.cpp:13-38)."""
+    assert lp_iters_b < lp_iters
+    inner, last = _lp_inner(lp_iters)
+    a, b = last, f"lp{lp_iters_b}"
+    return f"""WITH {inner},
+ce AS (SELECT src, dst FROM edges WHERE src <= dst)
+SELECT ROUND(1.0 - SUM(CASE
+        WHEN a1.label = a2.label AND b1.label = b2.label THEN 1
+        WHEN a1.label <> a2.label AND b1.label <> b2.label THEN 1
+        ELSE 0 END) * 1.0 / COUNT(*), 6) + 0.0 AS graph_structural_rand
+FROM ce
+JOIN {a} a1 ON a1.id = ce.src JOIN {a} a2 ON a2.id = ce.dst
+JOIN {b} b1 ON b1.id = ce.src JOIN {b} b2 ON b2.id = ce.dst"""

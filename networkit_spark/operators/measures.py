@@ -110,3 +110,33 @@ def adjusted_rand_distance(zeta: DataFrame, eta: DataFrame) -> float:
     ):
         return 0.0
     return float(1.0 - (sum_i - expected) / (max_index - expected))
+
+
+def graph_structural_rand(graph, zeta: DataFrame, eta: DataFrame) -> float:
+    """Graph-structural Rand dissimilarity
+    (community/GraphStructuralRandMeasure.cpp:13-38): over the m edges
+    (each undirected edge once, self-loops included like forEdges),
+    1 - (e11 + e00)/m where e11 = edges whose endpoints agree in BOTH
+    partitions and e00 = edges whose endpoints disagree in both. One
+    4-way label join over the canonical edge table."""
+    ce = graph.edges.filter(F.col("src") <= F.col("dst")).select("src", "dst")
+    za = zeta.select(F.col("id").alias("src"), F.col("label").alias("a1"))
+    zb = zeta.select(F.col("id").alias("dst"), F.col("label").alias("a2"))
+    ea = eta.select(F.col("id").alias("src"), F.col("label").alias("b1"))
+    eb = eta.select(F.col("id").alias("dst"), F.col("label").alias("b2"))
+    row = (
+        ce.join(za, "src").join(zb, "dst").join(ea, "src").join(eb, "dst")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum(
+                (
+                    ((F.col("a1") == F.col("a2")) & (F.col("b1") == F.col("b2")))
+                    | ((F.col("a1") != F.col("a2")) & (F.col("b1") != F.col("b2")))
+                ).cast("long")
+            ).alias("e"),
+        )
+        .first()
+    )
+    if not row["m"]:
+        raise ValueError("graph-structural rand needs at least one edge")
+    return 1.0 - float(row["e"]) / float(row["m"])
