@@ -233,3 +233,54 @@ def pagerank_nibble(
         .select("id")
         .orderBy("id")
     )
+
+
+def lfm(
+    graph: Graph,
+    alpha: float = 0.15,
+    eps: float = 0.0,
+    nibble_rounds: int = 8,
+    max_communities: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """cover(id, subset) — overlapping communities via LFM (ref:
+    networkit/cpp/community/LFM.cpp:17-41): repeatedly pick an uncovered
+    node and expand one community around it with a selective community
+    detector; nodes reached by several expansions belong to several
+    subsets. The expander here is PageRankNibble (the engine's SCD), and
+    the reference's forNodesInRandomOrder seed order is hash-derandomized
+    (md5 rank) so runs are reproducible at any parallelism. The loop is
+    sequential in the number of COMMUNITIES (the reference's is too);
+    each expansion is the batched-push APR + sweep superstep plan."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    spark = graph.vertices.sparkSession
+    ranked = graph.vertices.withColumn(
+        "hstr", F.concat_ws(":", F.lit(str(seed)), F.col("id"))
+    ).withColumn("h", F.expr(md5_long_sql("hstr"))).select("id", "h")
+    ranked = ranked.localCheckpoint(eager=True)
+
+    covered = spark.createDataFrame([], "id long")
+    parts = []
+    for o in range(max_communities):
+        nxt = (
+            ranked.join(covered, "id", "anti")
+            .orderBy("h", "id")
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        s = int(nxt[0]["id"])
+        comm = pagerank_nibble(
+            graph, [s], alpha=alpha, eps=eps, max_rounds=nibble_rounds
+        ).select("id")
+        comm = comm.unionByName(
+            spark.createDataFrame([(s,)], "id long")
+        ).distinct().localCheckpoint(eager=True)
+        parts.append(comm.withColumn("subset", F.lit(o).cast("long")))
+        covered = covered.unionByName(comm).distinct().localCheckpoint(eager=True)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("id", "subset")

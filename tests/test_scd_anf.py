@@ -76,3 +76,25 @@ def test_seir_population_invariants(spark):
         assert c[0] <= s_prev  # S monotone nonincreasing (ref GTest contract)
         assert c[3] >= r_prev  # R monotone nondecreasing
         s_prev, r_prev = c[0], c[3]
+
+
+def test_lfm_covers_and_overlaps(spark):
+    from networkit_spark.operators.scd import lfm
+
+    # two 5-cliques sharing node 4 — LFM must cover everything; the shared
+    # node lands in whichever expansions reach it
+    rows = [(u, v) for u in range(5) for v in range(u + 1, 5)]
+    rows += [(u, v) for u in range(4, 9) for v in range(u + 1, 9)]
+    g = from_edge_rows(spark, rows, num_nodes=9)
+    cov = lfm(g, nibble_rounds=6, max_communities=8).collect()
+    by_node = {}
+    for r in cov:
+        by_node.setdefault(r["id"], set()).add(r["subset"])
+    # every node covered
+    assert set(by_node) == set(range(9))
+    # at least 1 and at most a handful of communities
+    subsets = {r["subset"] for r in cov}
+    assert 1 <= len(subsets) <= 4
+    # deterministic under the seed
+    cov2 = lfm(g, nibble_rounds=6, max_communities=8).collect()
+    assert {(r["id"], r["subset"]) for r in cov} == {(r["id"], r["subset"]) for r in cov2}
