@@ -379,6 +379,27 @@ def q_community_graph_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(v,)], "graph_structural_rand double")
 
 
+def q_community_cover_hub_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping cover = pinned-LP subsets + component subsets (offset);
+    every node holds two memberships, so the cover path is genuinely
+    exercised."""
+    from networkit_spark.operators.partition_eval import cover_hub_dominance
+
+    g, _ = L.events_graph(spark, sf_dir)
+    zeta = label_propagation(g, theta=-1, max_iterations=1).select(
+        "id", F.col("label").alias("subset")
+    )
+    comp = connected_components(g, max_iterations=CC_ITERS).select(
+        "id", (F.col("label") + F.lit(10_000_000)).alias("subset")
+    )
+    cover = zeta.unionByName(comp)
+    return cover_hub_dominance(g, cover).select(
+        F.col("subset").cast("bigint").alias("subset"),
+        F.col("size").cast("bigint").alias("size"),
+        F.round("hub_dominance", 6).alias("hub_dominance"),
+    )
+
+
 def q_community_cover_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 of each LP community against the best-matching connected
     component — partitions viewed as covers (CoverF1Similarity.cpp)."""
@@ -982,6 +1003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "community_partition_eval": q_community_partition_eval,
     "community_adjusted_rand": q_community_adjusted_rand,
     "community_graph_rand": q_community_graph_rand,
+    "community_cover_hub_dominance": q_community_cover_hub_dominance,
     "community_cover_f1": q_community_cover_f1,
     "community_coverage": q_community_coverage,
     "community_edgecut": q_community_edgecut,
@@ -1111,6 +1133,7 @@ def build_oracles() -> dict[str, str]:
         "community_partition_eval": L.sql_partition_eval(1),
         "community_adjusted_rand": L.sql_adjusted_rand(2, 1),
         "community_graph_rand": L.sql_graph_structural_rand(2, 1),
+        "community_cover_hub_dominance": L.sql_cover_hub_dominance(1, CC_ITERS, 10_000_000),
         "community_cover_f1": L.sql_cover_f1(1, CC_ITERS),
         "community_coverage": L.sql_coverage(LP_ITERS),
         "community_edgecut": L.sql_edgecut(LP_ITERS),

@@ -2723,3 +2723,37 @@ SELECT ROUND(1.0 - SUM(CASE
 FROM ce
 JOIN {a} a1 ON a1.id = ce.src JOIN {a} a2 ON a2.id = ce.dst
 JOIN {b} b1 ON b1.id = ce.src JOIN {b} b2 ON b2.id = ce.dst"""
+
+
+def sql_cover_hub_dominance(lp_iters: int, cc_iters: int, offset: int) -> str:
+    """Hub dominance per subset of the deterministic overlapping cover
+    built from pinned-LP subsets plus component subsets shifted by
+    ``offset`` (CoverHubDominance.cpp:9-75 semantics: internal degree
+    counts neighbors sharing the subset)."""
+    inner, lp_last = _lp_inner(lp_iters)
+    body = f"""{inner},
+{", ".join(_cc_ctes(cc_iters))},
+cover AS MATERIALIZED (
+    SELECT id, label AS subset FROM {lp_last}
+    UNION ALL
+    SELECT id, label + {offset} AS subset FROM cc{cc_iters}
+),
+internal AS (
+    SELECT e.src AS id, ms.subset, COUNT(*) AS d
+    FROM edges e
+    JOIN cover ms ON ms.id = e.src
+    WHERE EXISTS (
+        SELECT 1 FROM cover md WHERE md.id = e.dst AND md.subset = ms.subset
+    )
+    GROUP BY e.src, ms.subset
+),
+per_member AS (
+    SELECT c.subset, COALESCE(i.d, 0) AS d
+    FROM cover c LEFT JOIN internal i ON i.id = c.id AND i.subset = c.subset
+)
+SELECT subset, CAST(COUNT(*) AS BIGINT) AS size,
+       ROUND(CASE WHEN COUNT(*) > 1
+                  THEN MAX(d) * 1.0 / (COUNT(*) - 1) ELSE 1.0 END, 6)
+           AS hub_dominance
+FROM per_member GROUP BY subset"""
+    return f"WITH {body}"

@@ -156,3 +156,34 @@ def cover_f1_similarity(cover: DataFrame, reference: DataFrame) -> DataFrame:
         csz.join(f1, "subset", "left")
         .select("subset", F.coalesce(F.col("f1"), F.lit(0.0)).alias("f1"))
     )
+
+
+def cover_hub_dominance(graph: Graph, cover: DataFrame) -> DataFrame:
+    """(subset, size, hub_dominance) — the Cover generalization of hub
+    dominance (community/CoverHubDominance.cpp:9-75): a member's internal
+    degree inside subset c counts neighbors that ALSO hold membership c
+    (overlapping memberships allowed); per subset the max internal degree
+    over size-1, 1.0 for singletons. One membership-pair join per the
+    partition variant, keyed by (edge, shared subset)."""
+    mem = cover.select("id", "subset")
+    internal = (
+        graph.edges.select("src", "dst")
+        .join(mem.select(F.col("id").alias("src"), "subset"), "src")
+        .join(mem.select(F.col("id").alias("dst"), "subset"), ["dst", "subset"], "semi")
+        .groupBy("src", "subset")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .withColumnRenamed("src", "id")
+    )
+    per_member = mem.join(internal, ["id", "subset"], "left").select(
+        "subset", F.coalesce("d", F.lit(0)).alias("d")
+    )
+    agg = per_member.groupBy("subset").agg(
+        F.count(F.lit(1)).alias("size"), F.max("d").alias("hd")
+    )
+    return agg.select(
+        "subset",
+        "size",
+        F.when(F.col("size") > 1, F.col("hd") / (F.col("size") - 1))
+        .otherwise(F.lit(1.0))
+        .alias("hub_dominance"),
+    )

@@ -93,3 +93,30 @@ def test_cover_f1_overlapping_membership(spark):
     got = {r["subset"]: r["f1"] for r in cover_f1_similarity(c, ref).collect()}
     assert got[0] == pytest.approx(1.0)  # {0,1,2} vs {0,1,2}
     assert got[1] == pytest.approx(2.0 * 2 / (3 + 2))  # {2,3,4} vs {3,4}
+
+
+def test_cover_hub_dominance_overlapping(spark):
+    from networkit_spark.operators.partition_eval import cover_hub_dominance
+
+    # triangle 0-1-2 + pendant 3 on node 2; subsets {0,1,2} and {2,3}
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (0, 2), (2, 3)], num_nodes=4)
+    cover = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (2, 1), (3, 1)], "id long, subset long"
+    )
+    got = {
+        r["subset"]: (r["size"], r["hub_dominance"])
+        for r in cover_hub_dominance(g, cover).collect()
+    }
+    # subset 0: each of 0,1,2 has 2 internal neighbors -> 2/(3-1) = 1.0
+    assert got[0] == (3, 1.0)
+    # subset 1: 2-3 edge only -> max internal deg 1 / (2-1) = 1.0
+    assert got[1] == (2, 1.0)
+
+    # make it non-trivial: drop edge 0-2 -> subset 0 max internal deg 2 stays
+    # with node 1 (neighbors 0 and 2), dominance 1.0; instead check a path
+    g2 = from_edge_rows(spark, [(0, 1), (1, 2), (2, 3)], num_nodes=4)
+    got2 = {
+        r["subset"]: (r["size"], r["hub_dominance"])
+        for r in cover_hub_dominance(g2, cover).collect()
+    }
+    assert got2[0] == (3, 1.0)  # node 1 internal deg 2 over size-1=2
