@@ -400,6 +400,19 @@ def q_community_cover_hub_dominance(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_community_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.partition_eval import partition_fragmentation
+
+    g, _ = L.events_graph(spark, sf_dir)
+    zeta = label_propagation(g, theta=-1, max_iterations=1)
+    comp = connected_components(g, max_iterations=CC_ITERS)
+    return partition_fragmentation(g, zeta, comp).select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("size").cast("bigint").alias("size"),
+        F.round("fragmentation", 6).alias("fragmentation"),
+    )
+
+
 def q_community_cover_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 of each LP community against the best-matching connected
     component — partitions viewed as covers (CoverF1Similarity.cpp)."""
@@ -1004,6 +1017,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "community_adjusted_rand": q_community_adjusted_rand,
     "community_graph_rand": q_community_graph_rand,
     "community_cover_hub_dominance": q_community_cover_hub_dominance,
+    "community_fragmentation": q_community_fragmentation,
     "community_cover_f1": q_community_cover_f1,
     "community_coverage": q_community_coverage,
     "community_edgecut": q_community_edgecut,
@@ -1134,6 +1148,7 @@ def build_oracles() -> dict[str, str]:
         "community_adjusted_rand": L.sql_adjusted_rand(2, 1),
         "community_graph_rand": L.sql_graph_structural_rand(2, 1),
         "community_cover_hub_dominance": L.sql_cover_hub_dominance(1, CC_ITERS, 10_000_000),
+        "community_fragmentation": L.sql_partition_fragmentation(1, CC_ITERS),
         "community_cover_f1": L.sql_cover_f1(1, CC_ITERS),
         "community_coverage": L.sql_coverage(LP_ITERS),
         "community_edgecut": L.sql_edgecut(LP_ITERS),

@@ -2757,3 +2757,20 @@ SELECT subset, CAST(COUNT(*) AS BIGINT) AS size,
            AS hub_dominance
 FROM per_member GROUP BY subset"""
     return f"WITH {body}"
+
+
+def sql_partition_fragmentation(lp_iters: int, cc_iters: int) -> str:
+    """Per-cluster fragmentation of the pinned-LP partition against global
+    unrolled-CC components (PartitionFragmentation.cpp:7-62)."""
+    inner, lp_last = _lp_inner(lp_iters)
+    body = f"""{inner},
+{", ".join(_cc_ctes(cc_iters))},
+ints AS (
+    SELECT l.label, c.label AS clabel, COUNT(*) AS isz
+    FROM {lp_last} l JOIN cc{cc_iters} c ON c.id = l.id
+    GROUP BY 1, 2
+)
+SELECT label, CAST(SUM(isz) AS BIGINT) AS size,
+       ROUND(1.0 - MAX(isz) * 1.0 / SUM(isz), 6) AS fragmentation
+FROM ints GROUP BY label"""
+    return f"WITH {body}"

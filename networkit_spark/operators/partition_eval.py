@@ -187,3 +187,29 @@ def cover_hub_dominance(graph: Graph, cover: DataFrame) -> DataFrame:
         .otherwise(F.lit(1.0))
         .alias("hub_dominance"),
     )
+
+
+def partition_fragmentation(
+    graph: Graph, labels: DataFrame, components: DataFrame | None = None
+) -> DataFrame:
+    """(label, size, fragmentation) — per cluster 1 - (largest piece of the
+    cluster that lies in one GLOBAL connected component) / cluster size
+    (community/PartitionFragmentation.cpp:7-62: global CC intersected with
+    the partition, then the per-cluster min over members). 0 = cluster
+    fully inside one component."""
+    from networkit_spark.operators.components import connected_components
+
+    comp = (
+        components
+        if components is not None
+        else connected_components(graph)
+    ).select("id", F.col("label").alias("clabel"))
+    j = labels.select("id", "label").join(comp, "id")
+    ints = j.groupBy("label", "clabel").agg(F.count(F.lit(1)).alias("isz"))
+    agg = ints.groupBy("label").agg(
+        F.sum("isz").alias("size"), F.max("isz").alias("big")
+    )
+    return agg.select(
+        "label", "size",
+        (F.lit(1.0) - F.col("big") / F.col("size")).alias("fragmentation"),
+    )

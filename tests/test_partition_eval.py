@@ -120,3 +120,20 @@ def test_cover_hub_dominance_overlapping(spark):
         for r in cover_hub_dominance(g2, cover).collect()
     }
     assert got2[0] == (3, 1.0)  # node 1 internal deg 2 over size-1=2
+
+
+def test_partition_fragmentation(spark):
+    from networkit_spark.operators.partition_eval import partition_fragmentation
+
+    # components {0,1,2} and {3,4}; cluster A = {0,1,3} spans both (frag
+    # 1 - 2/3), cluster B = {2,4} spans both (frag 1 - 1/2)
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (3, 4)], num_nodes=5)
+    labels = spark.createDataFrame(
+        [(0, 10), (1, 10), (3, 10), (2, 20), (4, 20)], "id long, label long"
+    )
+    got = {
+        r["label"]: (r["size"], round(r["fragmentation"], 6))
+        for r in partition_fragmentation(g, labels).collect()
+    }
+    assert got[10] == (3, round(1 - 2 / 3, 6))
+    assert got[20] == (2, 0.5)
