@@ -413,6 +413,25 @@ def q_community_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_community_overlapping_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.measures import overlapping_nmi_distance
+
+    g, _ = L.events_graph(spark, sf_dir)
+    n = g.num_nodes()
+    cx = label_propagation(g, theta=-1, max_iterations=1).select(
+        "id", F.col("label").alias("subset")
+    ).unionByName(
+        connected_components(g, max_iterations=CC_ITERS).select(
+            "id", (F.col("label") + F.lit(10_000_000)).alias("subset")
+        )
+    )
+    cy = label_propagation(g, theta=-1, max_iterations=2).select(
+        "id", F.col("label").alias("subset")
+    )
+    v = round(overlapping_nmi_distance(cx, cy, n), 6) + 0.0
+    return spark.createDataFrame([(v,)], "onmi_distance double")
+
+
 def q_community_cover_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 of each LP community against the best-matching connected
     component — partitions viewed as covers (CoverF1Similarity.cpp)."""
@@ -1018,6 +1037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "community_graph_rand": q_community_graph_rand,
     "community_cover_hub_dominance": q_community_cover_hub_dominance,
     "community_fragmentation": q_community_fragmentation,
+    "community_overlapping_nmi": q_community_overlapping_nmi,
     "community_cover_f1": q_community_cover_f1,
     "community_coverage": q_community_coverage,
     "community_edgecut": q_community_edgecut,
@@ -1149,6 +1169,7 @@ def build_oracles() -> dict[str, str]:
         "community_graph_rand": L.sql_graph_structural_rand(2, 1),
         "community_cover_hub_dominance": L.sql_cover_hub_dominance(1, CC_ITERS, 10_000_000),
         "community_fragmentation": L.sql_partition_fragmentation(1, CC_ITERS),
+        "community_overlapping_nmi": L.sql_overlapping_nmi(CC_ITERS, 10_000_000),
         "community_cover_f1": L.sql_cover_f1(1, CC_ITERS),
         "community_coverage": L.sql_coverage(LP_ITERS),
         "community_edgecut": L.sql_edgecut(LP_ITERS),

@@ -2774,3 +2774,77 @@ SELECT label, CAST(SUM(isz) AS BIGINT) AS size,
        ROUND(1.0 - MAX(isz) * 1.0 / SUM(isz), 6) AS fragmentation
 FROM ints GROUP BY label"""
     return f"WITH {body}"
+
+
+def sql_overlapping_nmi(cc_iters: int, offset: int) -> str:
+    """MAX-normalized overlapping NMI distance
+    (OverlappingNMIDistance.cpp:36-269) between cover X = LP(1) subsets +
+    offset components and cover Y = LP(2) as a cover — the full
+    adjusted-conditional-entropy formula in SQL, same MAX normalization
+    and H(Xi) initialization as the engine."""
+    inner, lp_last = _lp_inner(2)
+
+    def H(e):
+        return f"(CASE WHEN ({e}) > 0 THEN -(CAST({e} AS DOUBLE)) * log2(CAST({e} AS DOUBLE) / (SELECT n FROM nn)) ELSE 0.0 END)"
+
+    def ENT(sz):
+        return f"({H(sz)} + {H(f'(SELECT n FROM nn) - ({sz})')})"
+
+    body = f"""{inner},
+{", ".join(_cc_ctes(cc_iters))},
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices),
+cx AS MATERIALIZED (
+    SELECT id, label AS subset FROM lp1
+    UNION ALL SELECT id, label + {offset} FROM cc{cc_iters}
+),
+cy AS MATERIALIZED (SELECT id, label AS subset FROM {lp_last}),
+sx AS MATERIALIZED (SELECT subset AS i, COUNT(*) AS szx FROM cx GROUP BY 1),
+sy AS MATERIALIZED (SELECT subset AS j, COUNT(*) AS szy FROM cy GROUP BY 1),
+inter AS MATERIALIZED (
+    SELECT x.subset AS i, y.subset AS j, COUNT(*) AS isz, sx.szx, sy.szy
+    FROM cx x JOIN cy y ON y.id = x.id
+    JOIN sx ON sx.i = x.subset JOIN sy ON sy.j = y.subset
+    GROUP BY 1, 2, sx.szx, sy.szy
+),
+adj AS (
+    SELECT i, j,
+      CASE WHEN {H("(SELECT n FROM nn) + isz - szx - szy")} + {H("isz")}
+             >= {H("szy - isz")} + {H("szx - isz")}
+           THEN ({H("(SELECT n FROM nn) + isz - szx - szy")} + {H("szy - isz")}
+               + {H("szx - isz")} + {H("isz")}) - {ENT("szy")}
+           ELSE {ENT("szx")} END AS vx,
+      CASE WHEN {H("(SELECT n FROM nn) + isz - szx - szy")} + {H("isz")}
+             >= {H("szy - isz")} + {H("szx - isz")}
+           THEN ({H("(SELECT n FROM nn) + isz - szx - szy")} + {H("szy - isz")}
+               + {H("szx - isz")} + {H("isz")}) - {ENT("szx")}
+           ELSE {ENT("szy")} END AS vy
+    FROM inter
+),
+condx AS (
+    SELECT SUM(v) AS v FROM (
+        SELECT k, MIN(v) AS v FROM (
+            SELECT i AS k, vx AS v FROM adj
+            UNION ALL SELECT i AS k, {ENT("szx")} AS v FROM sx
+        ) GROUP BY k
+    )
+),
+condy AS (
+    SELECT SUM(v) AS v FROM (
+        SELECT k, MIN(v) AS v FROM (
+            SELECT j AS k, vy AS v FROM adj
+            UNION ALL SELECT j AS k, {ENT("szy")} AS v FROM sy
+        ) GROUP BY k
+    )
+),
+ents AS (
+    SELECT (SELECT SUM({ENT("szx")}) FROM sx) AS ex,
+           (SELECT SUM({ENT("szy")}) FROM sy) AS ey
+),
+mi AS (
+    SELECT 0.5 * (e.ex - cx2.v + e.ey - cy2.v) AS m, e.ex, e.ey
+    FROM ents e, condx cx2, condy cy2
+)
+SELECT ROUND(1.0 - LEAST(1.0, GREATEST(0.0,
+         m / GREATEST(ex, ey))), 6) + 0.0 AS onmi_distance
+FROM mi"""
+    return f"WITH {body}"

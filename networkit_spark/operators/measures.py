@@ -140,3 +140,95 @@ def graph_structural_rand(graph, zeta: DataFrame, eta: DataFrame) -> float:
     if not row["m"]:
         raise ValueError("graph-structural rand needs at least one edge")
     return 1.0 - float(row["e"]) / float(row["m"])
+
+
+def overlapping_nmi_distance(
+    cover_x: DataFrame, cover_y: DataFrame, n: int, normalization: str = "max"
+) -> float:
+    """LFK/McDaid overlapping NMI dissimilarity between two covers
+    (community/OverlappingNMIDistance.cpp:36-269, default MAX
+    normalization): per cluster pair the adjusted conditional entropy
+    H*(Xi|Yj) = H(Xi,Yj) - H(Yj) when h(a)+h(d) >= h(b)+h(c) else the
+    unconditional H(Xi) fallback; H(Xi|Y) = min over intersecting Yj
+    (initialized at H(Xi), exactly the reference's init); MI = mean of the
+    two directions' information gains; distance = 1 - MI/norm.
+
+    Everything is joins + aggregations over (subset-size, intersection)
+    tables — per-pair work only for INTERSECTING cluster pairs, so the
+    shuffle is bounded by co-membership, not |X| x |Y|. Covers are
+    (id, subset) DataFrames."""
+    import math as _m
+
+    def h(w):
+        return F.when(w > 0, -w.cast("double") * F.log2(w.cast("double") / F.lit(float(n)))).otherwise(F.lit(0.0))
+
+    sx = cover_x.groupBy(F.col("subset").alias("i")).agg(F.count(F.lit(1)).alias("szx"))
+    sy = cover_y.groupBy(F.col("subset").alias("j")).agg(F.count(F.lit(1)).alias("szy"))
+    inter = (
+        cover_x.select("id", F.col("subset").alias("i"))
+        .join(cover_y.select("id", F.col("subset").alias("j")), "id")
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("isz"))
+        .join(sx, "i")
+        .join(sy, "j")
+        .persist()
+    )
+
+    def ent(size_col):
+        return h(size_col) + h(F.lit(n) - size_col)
+
+    a = F.lit(n) + F.col("isz") - F.col("szx") - F.col("szy")
+    b = F.col("szy") - F.col("isz")
+    c = F.col("szx") - F.col("isz")
+    d = F.col("isz")
+    joint = h(a) + h(b) + h(c) + h(d)
+    adj_x_given_y = F.when(
+        h(a) + h(d) >= h(b) + h(c), joint - ent(F.col("szy"))
+    ).otherwise(ent(F.col("szx")))
+    adj_y_given_x = F.when(
+        h(a) + h(d) >= h(b) + h(c), joint - ent(F.col("szx"))
+    ).otherwise(ent(F.col("szy")))
+
+    def cond_sum(sizes, key, adj_col):
+        per = (
+            inter.select(F.col(key).alias("k"), adj_col.alias("v"))
+            .unionByName(
+                sizes.select(
+                    F.col(sizes.columns[0]).alias("k"),
+                    ent(F.col(sizes.columns[1])).alias("v"),
+                )
+            )
+            .groupBy("k")
+            .agg(F.min("v").alias("v"))
+            .agg(F.sum("v"))
+            .first()[0]
+        )
+        return float(per or 0.0)
+
+    cond_x = cond_sum(sx, "i", adj_x_given_y)
+    cond_y = cond_sum(sy, "j", adj_y_given_x)
+    ex = float(sx.agg(F.sum(ent(F.col("szx")))).first()[0] or 0.0)
+    ey = float(sy.agg(F.sum(ent(F.col("szy")))).first()[0] or 0.0)
+    inter.unpersist()
+
+    mi = 0.5 * (ex - cond_x + ey - cond_y)
+    ex, ey = max(ex, 0.0), max(ey, 0.0)
+    if ex == 0.0 and ey == 0.0:
+        return 0.0  # equal trivial covers -> nmi 1 -> distance 0
+    if (ex == 0.0 or ey == 0.0) and normalization in ("min", "geometric"):
+        return 1.0
+    denom = {
+        "max": max(ex, ey),
+        "min": min(ex, ey),
+        "geometric": _m.sqrt(ex * ey),
+        "arithmetic": 0.5 * (ex + ey) * 2 / 2,
+        "joint": ex + ey - mi,
+    }[normalization]
+    if normalization == "arithmetic":
+        nmi = 2 * mi / (ex + ey)
+    else:
+        nmi = mi / denom
+    if _m.isnan(nmi):
+        nmi = 0.0
+    nmi = min(max(nmi, 0.0), 1.0)
+    return 1.0 - nmi

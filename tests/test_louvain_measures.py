@@ -155,3 +155,28 @@ def test_agglomerative_two_cliques(spark):
     assert len({labels[i] for i in range(4)}) == 1
     assert len({labels[i] for i in range(4, 8)}) == 1
     assert labels[0] != labels[7]
+
+
+def test_overlapping_nmi_distance_goldens(spark):
+    # CommunityGTest.cpp testOverlappingNMIDistance, n=2 cases (MAX norm)
+    from networkit_spark.operators.measures import overlapping_nmi_distance
+
+    def cover(rows):
+        return spark.createDataFrame(rows, "id long, subset long")
+
+    A = cover([(0, 0), (1, 0), (0, 1)])        # {{0,1},{0}}
+    B = cover([(0, 0)])                        # {{0}}
+    assert abs(overlapping_nmi_distance(A, B, 2)) < 1e-12
+    assert abs(overlapping_nmi_distance(B, A, 2)) < 1e-12
+
+    C = cover([(0, 0), (1, 1)])                # {{0},{1}}
+    assert abs(overlapping_nmi_distance(A, C, 2) - 0.5) < 1e-12
+    assert abs(overlapping_nmi_distance(C, A, 2) - 0.5) < 1e-12
+
+    D = cover([(0, 0), (1, 0)])                # {{0,1}}
+    assert abs(overlapping_nmi_distance(D, C, 2) - 1.0) < 1e-12
+    assert abs(overlapping_nmi_distance(C, D, 2) - 1.0) < 1e-12
+
+    E = cover([(0, 0), (1, 0), (0, 1), (0, 2), (0, 3)])  # {{0,1},{0},{0},{0}}
+    assert abs(overlapping_nmi_distance(E, B, 2) - 1.0 / 3.0) < 1e-12
+    assert abs(overlapping_nmi_distance(B, E, 2) - 1.0 / 3.0) < 1e-12
