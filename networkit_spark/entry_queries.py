@@ -328,6 +328,24 @@ def q_community_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centrality_permanence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex permanence (PermanenceCentrality.cpp) against the
+    1-sweep pinned LP partition."""
+    from networkit_spark.operators.permanence import permanence_centrality
+
+    g, _ = L.events_graph(spark, sf_dir)
+    labels = label_propagation(g, theta=-1, max_iterations=1)
+    labels = labels.localCheckpoint(eager=True)
+    return (
+        permanence_centrality(g, labels)
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.round("permanence", 6).alias("permanence"),
+        )
+        .orderBy("id")
+    )
+
+
 def q_community_partition_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster local evaluation of the 4-sweep LP partition:
     intrapartition density, hub dominance, isolated conductance/expansion."""
@@ -1032,6 +1050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_plm": q_graph_plm,
     "graph_plm_pinned": q_graph_plm_pinned,
     "community_measures": q_community_measures,
+    "centrality_permanence": q_centrality_permanence,
     "community_partition_eval": q_community_partition_eval,
     "community_adjusted_rand": q_community_adjusted_rand,
     "community_graph_rand": q_community_graph_rand,
@@ -1164,6 +1183,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),
+        "centrality_permanence": L.sql_permanence(1),
         "community_partition_eval": L.sql_partition_eval(1),
         "community_adjusted_rand": L.sql_adjusted_rand(2, 1),
         "community_graph_rand": L.sql_graph_structural_rand(2, 1),

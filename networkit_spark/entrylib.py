@@ -2281,6 +2281,47 @@ LEFT JOIN pl p ON p.label = s.label
 ORDER BY s.label"""
 
 
+def sql_permanence(lp_iters: int) -> str:
+    """Per-vertex permanence against the lp{N} partition
+    (PermanenceCentrality.cpp:139-160 getPermanence, :112-137
+    getIntraClustering): internal-degree / max-single-external-community
+    strength / degree minus (1 - intra clustering), where the intra
+    clustering counts monochromatic triangles over the simple support."""
+    inner, last = _lp_inner(lp_iters)
+    return f"""WITH {inner},
+lbl AS (SELECT id, label FROM {last}),
+ne AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+nl AS (
+    SELECT n.src, n.dst, a.label AS lsrc, b.label AS ldst
+    FROM ne n JOIN lbl a ON a.id = n.src JOIN lbl b ON b.id = n.dst
+),
+st AS (SELECT src, lsrc, ldst, COUNT(*) AS s FROM nl GROUP BY 1, 2, 3),
+pn AS (
+    SELECT src AS id, SUM(s) AS deg,
+           COALESCE(SUM(CASE WHEN ldst = lsrc THEN s END), 0) AS ideg,
+           COALESCE(MAX(CASE WHEN ldst <> lsrc THEN s END), 0) AS emax
+    FROM st GROUP BY src
+),
+ie AS (SELECT src, dst FROM nl WHERE lsrc = ldst AND src < dst),
+tr AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM ie e1
+    JOIN ie e2 ON e2.src = e1.dst
+    JOIN ie e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+corners AS (
+    SELECT a AS id FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr
+),
+tric AS (SELECT id, COUNT(*) AS t FROM corners GROUP BY id)
+SELECT p.id,
+  ROUND(CAST(p.ideg AS DOUBLE) / GREATEST(p.emax, 1) / p.deg
+        - (1.0 - CASE WHEN p.ideg >= 2
+                      THEN COALESCE(tc.t, 0) * 2.0 / (p.ideg * (p.ideg - 1))
+                      ELSE 0.0 END), 6) + 0.0 AS permanence
+FROM pn p LEFT JOIN tric tc ON tc.id = p.id
+ORDER BY p.id"""
+
+
 def sql_adjusted_rand(lp_iters: int, lp_iters_b: int) -> str:
     """Chance-corrected Rand distance between lp{a} and lp{b}
     (AdjustedRandMeasure.cpp:7-56), same degenerate-case zeros as the
