@@ -346,6 +346,23 @@ def q_centrality_permanence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centrality_spanning_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate spanning-edge centrality (JL sketch, k=4, 30 Jacobi
+    supersteps) per canonical edge."""
+    from networkit_spark.operators.electrical import spanning_edge_scores
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return (
+        spanning_edge_scores(g, num_systems=4, num_iters=30, omega=0.5, seed=42)
+        .select(
+            F.col("src").cast("bigint").alias("src"),
+            F.col("dst").cast("bigint").alias("dst"),
+            F.round("sec", 6).alias("sec"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
 def q_community_partition_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster local evaluation of the 4-sweep LP partition:
     intrapartition density, hub dominance, isolated conductance/expansion."""
@@ -1051,6 +1068,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_plm_pinned": q_graph_plm_pinned,
     "community_measures": q_community_measures,
     "centrality_permanence": q_centrality_permanence,
+    "centrality_spanning_edge": q_centrality_spanning_edge,
     "community_partition_eval": q_community_partition_eval,
     "community_adjusted_rand": q_community_adjusted_rand,
     "community_graph_rand": q_community_graph_rand,
@@ -1184,6 +1202,7 @@ def build_oracles() -> dict[str, str]:
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),
         "centrality_permanence": L.sql_permanence(1),
+        "centrality_spanning_edge": L.sql_spanning_edge(4, 30, 0.5),
         "community_partition_eval": L.sql_partition_eval(1),
         "community_adjusted_rand": L.sql_adjusted_rand(2, 1),
         "community_graph_rand": L.sql_graph_structural_rand(2, 1),

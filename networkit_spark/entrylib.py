@@ -2464,6 +2464,81 @@ ORDER BY f.src, f.dst"""
     return _with_graph(body)
 
 
+def sql_spanning_edge(
+    num_systems: int, num_iters: int, omega: float, seed: int = 42
+) -> str:
+    """Unrolled hash-derandomized JL spanning-edge centrality
+    (SpanningEdgeCentrality.cpp:68-104 runApproximation): per sketch j,
+    each canonical edge draws sign +/-1/sqrt(k) from md5(seed, j, src,
+    dst); rhs = signed incidence sums; damped-Jacobi Laplacian solve with
+    the same fixed superstep count as the engine; sec = sum_j diff^2."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    k = num_systems
+    r = 1.0 / (k ** 0.5)
+    cols = [f"x{j}" for j in range(k)]
+    sgn = ", ".join(
+        f"CASE WHEN {md5_long_sql(f_expr)} % 2 = 0 THEN {r!r} ELSE {-r!r} END AS s{j}"
+        for j in range(k)
+        for f_expr in [
+            f"(CONCAT('{seed}:sec:{j}:', CAST(src AS STRING), ':', "
+            f"CAST(dst AS STRING)))"
+        ]
+    )
+    ctes = [
+        "wadj AS MATERIALIZED (SELECT src, dst, weight AS w FROM edges WHERE src <> dst)",
+        "dg AS MATERIALIZED (SELECT src AS id, SUM(w) AS d FROM wadj GROUP BY src)",
+        f"signs AS MATERIALIZED (SELECT src, dst, {sgn} FROM wadj WHERE src < dst)",
+        "ends AS ("
+        + " UNION ALL ".join(
+            [
+                "SELECT src AS id, "
+                + ", ".join(f"s{j}" for j in range(k))
+                + " FROM signs",
+                "SELECT dst AS id, "
+                + ", ".join(f"-s{j} AS s{j}" for j in range(k))
+                + " FROM signs",
+            ]
+        )
+        + ")",
+        "bv AS (SELECT id, "
+        + ", ".join(f"SUM(s{j}) AS b{j}" for j in range(k))
+        + " FROM ends GROUP BY id)",
+        "l0 AS (SELECT v.id, "
+        + ", ".join(f"COALESCE(bv.b{j}, 0.0) AS b{j}" for j in range(k))
+        + ", "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS {c}" for c in cols)
+        + ", dg.d FROM vertices v LEFT JOIN bv ON bv.id = v.id "
+        "LEFT JOIN dg ON dg.id = v.id)",
+    ]
+    bs = ", ".join(f"l.b{j}" for j in range(k))
+    for t in range(1, num_iters + 1):
+        vals = ", ".join(f"SUM(e.w * p.{c}) AS v_{c}" for c in cols)
+        upd = ", ".join(
+            f"CASE WHEN l.d IS NOT NULL THEN (1 - {omega}) * l.{c} + {omega} * "
+            f"(l.b{j} + COALESCE(n.v_{c}, 0)) / l.d ELSE l.{c} END AS {c}"
+            for j, c in enumerate(cols)
+        )
+        ctes.append(
+            f"""n{t} AS (
+    SELECT e.src AS id, {vals}
+    FROM wadj e JOIN l{t-1} p ON p.id = e.dst GROUP BY e.src
+),
+l{t} AS MATERIALIZED (
+    SELECT l.id, {bs}, {upd}, l.d FROM l{t-1} l LEFT JOIN n{t} n ON n.id = l.id
+)"""
+        )
+    last = f"l{num_iters}"
+    score = " + ".join(f"POWER(xu.{c} - xv.{c}, 2)" for c in cols)
+    body = (
+        ", ".join(ctes)
+        + f""" SELECT s.src, s.dst, ROUND({score}, 6) + 0.0 AS sec
+FROM signs s JOIN {last} xu ON xu.id = s.src JOIN {last} xv ON xv.id = s.dst
+ORDER BY s.src, s.dst"""
+    )
+    return _with_graph(body)
+
+
 # ---- All simple paths (reachability/AllSimplePaths.cpp) --------------------
 
 def sql_all_simple_paths(source: int, target: int, cutoff: int) -> str:

@@ -119,3 +119,123 @@ def commute_time_distance(
         diff = abs(got[int(u)][c] - got[int(v)][c])
         rows.append((int(u), int(v), float((diff * vol) ** 0.5)))
     return spark.createDataFrame(rows, "u long, v long, ctd double")
+
+
+def spanning_edge_scores(
+    graph: Graph,
+    num_systems: int = 8,
+    num_iters: int = 40,
+    omega: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(src, dst, sec) per canonical (src < dst) undirected edge —
+    approximate spanning-edge centrality / effective resistance.
+
+    Reference: networkit/cpp/centrality/SpanningEdgeCentrality.cpp:68-104
+    runApproximation — k Johnson-Lindenstrauss sketches: per sketch j,
+    every edge draws a sign r in {+1,-1}/sqrt(k); rhs accumulates +r at
+    the lower endpoint and -r at the higher; solve L x_j = rhs_j; then
+    sec(e) = sum_j (x_j[u] - x_j[v])^2.  The reference draws signs from
+    its RNG and solves with Lamg; here the signs are hash-derandomized
+    (md5 of (seed, j, src, dst) — a pure function both engines compute
+    identically) and the solve is the same fixed-superstep damped Jacobi
+    as commute_time_distance, so the DuckDB oracle can unroll the exact
+    computation.  All k systems ride as k DOUBLE columns of one
+    DataFrame: one O(m)-row shuffle per superstep regardless of k, and
+    the final score is one join of the solution against the canonical
+    edge table — nothing vertex-sized is collected or broadcast.
+    """
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    if graph.directed:
+        raise ValueError("spanning edge centrality needs an undirected graph")
+    k = num_systems
+    r = 1.0 / (k ** 0.5)
+    cols = [f"x{j}" for j in range(k)]
+
+    adj = materialize(
+        graph.edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", F.col("weight").cast("double").alias("w")
+        )
+    )
+    deg = adj.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("d"))
+    canon = adj.filter(F.col("src") < F.col("dst")).select("src", "dst")
+    sign_exprs = [
+        F.when(
+            F.expr(
+                md5_long_sql(
+                    f"(CONCAT('{seed}:sec:{j}:', CAST(src AS STRING), ':', "
+                    f"CAST(dst AS STRING)))"
+                )
+            )
+            % 2
+            == 0,
+            F.lit(r),
+        )
+        .otherwise(F.lit(-r))
+        .alias(f"s{j}")
+        for j in range(k)
+    ]
+    signs = materialize(canon.select("src", "dst", *sign_exprs))
+
+    ends = signs.select(
+        F.col("src").alias("id"), *[F.col(f"s{j}") for j in range(k)]
+    ).unionByName(
+        signs.select(
+            F.col("dst").alias("id"), *[(-F.col(f"s{j}")).alias(f"s{j}") for j in range(k)]
+        )
+    )
+    b = ends.groupBy("id").agg(
+        *[F.sum(f"s{j}").alias(f"b{j}") for j in range(k)]
+    )
+    x = materialize(
+        graph.vertices.select("id")
+        .join(b, "id", "left")
+        .join(deg, "id", "left")
+        .select(
+            "id",
+            *[F.coalesce(F.col(f"b{j}"), F.lit(0.0)).alias(f"b{j}") for j in range(k)],
+            *[F.lit(0.0).alias(c) for c in cols],
+            "d",
+        )
+    )
+
+    state = IterationState(None, "spanning_edge")
+    for t in range(1, num_iters + 1):
+        nbr = (
+            adj.join(x.select(F.col("id").alias("dst"), *cols), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(*[F.sum(F.col("w") * F.col(c)).alias(f"v_{c}") for c in cols])
+        )
+        x = x.join(nbr, "id", "left").select(
+            "id",
+            *[F.col(f"b{j}") for j in range(k)],
+            *[
+                F.when(
+                    F.col("d").isNotNull(),
+                    (1.0 - omega) * F.col(c)
+                    + omega
+                    * (F.col(f"b{j}") + F.coalesce(F.col(f"v_{c}"), F.lit(0.0)))
+                    / F.col("d"),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                for j, c in enumerate(cols)
+            ],
+            "d",
+        )
+        x = state.advance(t, x)
+    state.close()
+
+    xu = x.select(F.col("id").alias("src"), *[F.col(c).alias(f"u_{c}") for c in cols])
+    xv = x.select(F.col("id").alias("dst"), *[F.col(c).alias(f"v_{c}") for c in cols])
+    score = sum(
+        (F.col(f"u_{c}") - F.col(f"v_{c}")) * (F.col(f"u_{c}") - F.col(f"v_{c}"))
+        for c in cols
+    )
+    return (
+        signs.select("src", "dst")
+        .join(xu, "src")
+        .join(xv, "dst")
+        .select("src", "dst", score.alias("sec"))
+    )
