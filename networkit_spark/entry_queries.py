@@ -404,6 +404,24 @@ def q_community_adjusted_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(v,)], "adjusted_rand_distance double")
 
 
+def q_community_sampled_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-derandomized sampled node-/graph-structural Rand distances
+    between the 2-sweep and 1-sweep pinned LP partitions."""
+    from networkit_spark.operators.measures import (
+        sampled_graph_rand_distance,
+        sampled_node_rand_distance,
+    )
+
+    g, _ = L.events_graph(spark, sf_dir)
+    zeta = label_propagation(g, theta=-1, max_iterations=2).localCheckpoint(eager=True)
+    eta = label_propagation(g, theta=-1, max_iterations=1).localCheckpoint(eager=True)
+    nv = round(sampled_node_rand_distance(g, zeta, eta, 40), 6) + 0.0
+    ev = round(sampled_graph_rand_distance(g, zeta, eta, 60), 6) + 0.0
+    return spark.createDataFrame(
+        [(nv, ev)], "sampled_node_rand double, sampled_graph_rand double"
+    )
+
+
 def q_community_graph_rand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.measures import graph_structural_rand
 
@@ -1072,6 +1090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "community_partition_eval": q_community_partition_eval,
     "community_adjusted_rand": q_community_adjusted_rand,
     "community_graph_rand": q_community_graph_rand,
+    "community_sampled_rand": q_community_sampled_rand,
     "community_cover_hub_dominance": q_community_cover_hub_dominance,
     "community_fragmentation": q_community_fragmentation,
     "community_overlapping_nmi": q_community_overlapping_nmi,
@@ -1205,6 +1224,7 @@ def build_oracles() -> dict[str, str]:
         "centrality_spanning_edge": L.sql_spanning_edge(4, 30, 0.5),
         "community_partition_eval": L.sql_partition_eval(1),
         "community_adjusted_rand": L.sql_adjusted_rand(2, 1),
+        "community_sampled_rand": L.sql_sampled_rand(2, 1, 40, 60),
         "community_graph_rand": L.sql_graph_structural_rand(2, 1),
         "community_cover_hub_dominance": L.sql_cover_hub_dominance(1, CC_ITERS, 10_000_000),
         "community_fragmentation": L.sql_partition_fragmentation(1, CC_ITERS),

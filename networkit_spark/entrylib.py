@@ -2281,6 +2281,69 @@ LEFT JOIN pl p ON p.label = s.label
 ORDER BY s.label"""
 
 
+def sql_sampled_rand(
+    lp_iters: int,
+    lp_iters_b: int,
+    node_samples: int,
+    edge_samples: int,
+    seed: int = 42,
+) -> str:
+    """Hash-derandomized sampled node-structural and graph-structural Rand
+    dissimilarities between lp{a} and lp{b}
+    (SampledNodeStructuralRandMeasure.cpp:18-48,
+    SampledGraphStructuralRandMeasure.cpp:18-50) — identical md5-ranked
+    sample as operators/measures.py."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    assert lp_iters_b < lp_iters
+    inner, last = _lp_inner(lp_iters)
+    a, b = last, f"lp{lp_iters_b}"
+    vh = md5_long_sql(f"('{seed}:snr:' || CAST(id AS STRING))")
+    eh = md5_long_sql(
+        f"('{seed}:sgr:' || CAST(src AS STRING) || ':' || CAST(dst AS STRING))"
+    )
+    agree = (
+        "(za.label = zb.label AND ea.label = eb.label) OR "
+        "(za.label <> zb.label AND ea.label <> eb.label)"
+    )
+    return f"""WITH {inner},
+rv AS (SELECT id, ROW_NUMBER() OVER (ORDER BY {vh}, id) - 1 AS r FROM vertices),
+hn AS (SELECT COUNT(*) // 2 AS h FROM vertices),
+sn AS (SELECT LEAST({node_samples}, (SELECT h FROM hn)) AS s),
+pa AS (SELECT r AS k, id AS u FROM rv WHERE r < (SELECT s FROM sn)),
+pb AS (
+    SELECT r - (SELECT h FROM hn) AS k, id AS v FROM rv
+    WHERE r >= (SELECT h FROM hn)
+      AND r < (SELECT h FROM hn) + (SELECT s FROM sn)
+),
+np AS (SELECT u, v FROM pa JOIN pb USING (k)),
+nagr AS (
+    SELECT COUNT(*) AS s,
+           SUM(CASE WHEN {agree} THEN 1 ELSE 0 END) AS ag
+    FROM np
+    JOIN {a} za ON za.id = np.u JOIN {a} zb ON zb.id = np.v
+    JOIN {b} ea ON ea.id = np.u JOIN {b} eb ON eb.id = np.v
+),
+ce AS (SELECT DISTINCT src, dst FROM edges WHERE src <= dst),
+re AS (
+    SELECT src, dst, ROW_NUMBER() OVER (ORDER BY {eh}, src, dst) - 1 AS r
+    FROM ce
+),
+se AS (SELECT src, dst FROM re WHERE r < {edge_samples}),
+eagr AS (
+    SELECT COUNT(*) AS s,
+           SUM(CASE WHEN {agree} THEN 1 ELSE 0 END) AS ag
+    FROM se
+    JOIN {a} za ON za.id = se.src JOIN {a} zb ON zb.id = se.dst
+    JOIN {b} ea ON ea.id = se.src JOIN {b} eb ON eb.id = se.dst
+)
+SELECT
+  ROUND(1.0 - (SELECT ag FROM nagr) * 1.0 / (SELECT s FROM nagr), 6) + 0.0
+    AS sampled_node_rand,
+  ROUND(1.0 - (SELECT ag FROM eagr) * 1.0 / (SELECT s FROM eagr), 6) + 0.0
+    AS sampled_graph_rand"""
+
+
 def sql_permanence(lp_iters: int) -> str:
     """Per-vertex permanence against the lp{N} partition
     (PermanenceCentrality.cpp:139-160 getPermanence, :112-137

@@ -232,3 +232,100 @@ def overlapping_nmi_distance(
         nmi = 0.0
     nmi = min(max(nmi, 0.0), 1.0)
     return 1.0 - nmi
+
+
+def _hash_rank(df: DataFrame, id_cols: list[str], salt: str):
+    """Deterministic rank by the cross-engine md5 hash of the id columns —
+    the hash-derandomized stand-in for the reference's RNG sampling.
+    The global sort is label/edge-sample-sized only at collect time; at
+    production scale swap for TABLESAMPLE + per-partition ranking."""
+    from pyspark.sql import Window
+
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    concat = " || ':' || ".join(f"CAST({c} AS STRING)" for c in id_cols)
+    h = F.expr(md5_long_sql(f"('{salt}:' || {concat})"))
+    w = Window.orderBy(h, *[F.col(c) for c in id_cols])
+    return df.withColumn("r", F.row_number().over(w) - 1)
+
+
+def sampled_node_rand_distance(
+    graph, zeta: DataFrame, eta: DataFrame, max_samples: int, seed: int = 42
+) -> float:
+    """Sampled node-structural Rand dissimilarity
+    (community/SampledNodeStructuralRandMeasure.cpp:18-48):
+    1 - (n11 + n00)/samples over sampled distinct node pairs. The
+    reference draws pairs from its RNG; here the pair set is
+    hash-derandomized — vertices ranked by md5(seed, id), rank r paired
+    with rank r + floor(n/2) — so both engines (and the DuckDB oracle)
+    see the identical sample."""
+    ranked = _hash_rank(graph.vertices.select("id"), ["id"], f"{seed}:snr")
+    n = ranked.count()
+    half = n // 2
+    s = min(max_samples, half)
+    a = ranked.filter(F.col("r") < s).select(
+        F.col("r").alias("k"), F.col("id").alias("u")
+    )
+    b = ranked.filter(
+        (F.col("r") >= half) & (F.col("r") < half + s)
+    ).select((F.col("r") - half).alias("k"), F.col("id").alias("v"))
+    pairs = a.join(b, "k")
+    za = zeta.select(F.col("id").alias("u"), F.col("label").alias("a1"))
+    zb = zeta.select(F.col("id").alias("v"), F.col("label").alias("a2"))
+    ea = eta.select(F.col("id").alias("u"), F.col("label").alias("b1"))
+    eb = eta.select(F.col("id").alias("v"), F.col("label").alias("b2"))
+    row = (
+        pairs.join(za, "u").join(zb, "v").join(ea, "u").join(eb, "v")
+        .agg(
+            F.count(F.lit(1)).alias("s"),
+            F.sum(
+                (
+                    ((F.col("a1") == F.col("a2")) & (F.col("b1") == F.col("b2")))
+                    | ((F.col("a1") != F.col("a2")) & (F.col("b1") != F.col("b2")))
+                ).cast("long")
+            ).alias("agree"),
+        )
+        .first()
+    )
+    if not row["s"]:
+        raise ValueError("sampled node rand needs at least one pair")
+    return 1.0 - float(row["agree"]) / float(row["s"])
+
+
+def sampled_graph_rand_distance(
+    graph, zeta: DataFrame, eta: DataFrame, max_samples: int, seed: int = 42
+) -> float:
+    """Sampled graph-structural Rand dissimilarity
+    (community/SampledGraphStructuralRandMeasure.cpp:18-50): the agreement
+    fraction over a sample of edges; edges ranked by md5(seed, src, dst)
+    and the first max_samples taken, hash-derandomized as above."""
+    ce = (
+        graph.edges.filter(F.col("src") <= F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sample = (
+        _hash_rank(ce, ["src", "dst"], f"{seed}:sgr")
+        .filter(F.col("r") < max_samples)
+        .select("src", "dst")
+    )
+    za = zeta.select(F.col("id").alias("src"), F.col("label").alias("a1"))
+    zb = zeta.select(F.col("id").alias("dst"), F.col("label").alias("a2"))
+    ea = eta.select(F.col("id").alias("src"), F.col("label").alias("b1"))
+    eb = eta.select(F.col("id").alias("dst"), F.col("label").alias("b2"))
+    row = (
+        sample.join(za, "src").join(zb, "dst").join(ea, "src").join(eb, "dst")
+        .agg(
+            F.count(F.lit(1)).alias("s"),
+            F.sum(
+                (
+                    ((F.col("a1") == F.col("a2")) & (F.col("b1") == F.col("b2")))
+                    | ((F.col("a1") != F.col("a2")) & (F.col("b1") != F.col("b2")))
+                ).cast("long")
+            ).alias("agree"),
+        )
+        .first()
+    )
+    if not row["s"]:
+        raise ValueError("sampled graph rand needs at least one edge")
+    return 1.0 - float(row["agree"]) / float(row["s"])

@@ -180,3 +180,46 @@ def test_overlapping_nmi_distance_goldens(spark):
     E = cover([(0, 0), (1, 0), (0, 1), (0, 2), (0, 3)])  # {{0,1},{0},{0},{0}}
     assert abs(overlapping_nmi_distance(E, B, 2) - 1.0 / 3.0) < 1e-12
     assert abs(overlapping_nmi_distance(B, E, 2) - 1.0 / 3.0) < 1e-12
+
+
+def test_sampled_rand_measures_match_hash_sample(spark):
+    """Engine sampled Rand distances equal a hashlib transliteration of
+    the same md5-ranked sample."""
+    import hashlib
+
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.measures import (
+        sampled_graph_rand_distance,
+        sampled_node_rand_distance,
+    )
+
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [(0, 6), (2, 8), (3, 9)]
+    n = 12
+    za = {i: i // 4 for i in range(n)}   # 3 blocks of 4
+    zb = {i: i // 6 for i in range(n)}   # 2 blocks of 6
+    g = from_edge_rows(spark, edges, num_nodes=n)
+    zeta = spark.createDataFrame(sorted(za.items()), "id long, label long")
+    eta = spark.createDataFrame(sorted(zb.items()), "id long, label long")
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    def agree(u, v):
+        return (za[u] == za[v]) == (zb[u] == zb[v])
+
+    # node sample: rank by md5("42:snr:"+id), rank r pairs with r + n//2
+    ranked = sorted(range(n), key=lambda i: (h(f"42:snr:{i}"), i))
+    half = n // 2
+    s = min(4, half)
+    pairs = [(ranked[k], ranked[k + half]) for k in range(s)]
+    want_node = 1.0 - sum(agree(u, v) for u, v in pairs) / s
+    got_node = sampled_node_rand_distance(g, zeta, eta, 4)
+    assert got_node == pytest.approx(want_node, abs=1e-12)
+
+    # edge sample: canonical edges ranked by md5("42:sgr:src:dst")
+    canon = sorted({(min(u, v), max(u, v)) for u, v in edges})
+    eranked = sorted(canon, key=lambda e: (h(f"42:sgr:{e[0]}:{e[1]}"), e))
+    sample = eranked[:5]
+    want_edge = 1.0 - sum(agree(u, v) for u, v in sample) / 5
+    got_edge = sampled_graph_rand_distance(g, zeta, eta, 5)
+    assert got_edge == pytest.approx(want_edge, abs=1e-12)
