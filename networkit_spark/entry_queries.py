@@ -982,6 +982,23 @@ def q_graph_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd_clique_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective community detection by cliques: the largest maximal
+    clique containing each vertex (CliqueDetect.cpp)."""
+    from networkit_spark.operators.clique import clique_detect
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return (
+        clique_detect(g)
+        .select(
+            F.col("seed").cast("bigint").alias("seed"),
+            F.size("members").cast("bigint").alias("size"),
+            F.array_join(F.col("members"), ",").alias("clique"),
+        )
+        .orderBy("seed")
+    )
+
+
 def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import eccentricity
 
@@ -1121,6 +1138,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centrality_group_closeness": q_centrality_group_closeness,
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
+    "scd_clique_detect": q_scd_clique_detect,
     "centrality_group_degree": q_centrality_group_degree,
     "graph_edge_distances": q_graph_edge_distances,
     "graph_simple_paths": q_graph_simple_paths,
@@ -1210,6 +1228,7 @@ def build_oracles() -> dict[str, str]:
         "centrality_group_closeness": L.sql_group_closeness(GROUP_CLOSENESS_K),
         "graph_reachable": L.sql_reachable_nodes(),
         "graph_cliques": L.sql_maximal_cliques(),
+        "scd_clique_detect": L.sql_clique_detect(),
         "centrality_group_degree": L.sql_group_degree(GROUP_DEGREE_K),
         "graph_edge_distances": L.sql_edge_distances(),
         "graph_simple_paths": L.sql_all_simple_paths(SP_SOURCE, SP_TARGET, SP_CUTOFF),

@@ -2470,6 +2470,45 @@ SELECT array_to_string(members, ',') AS clique, CAST(len(members) AS BIGINT) AS 
 FROM mx ORDER BY clique"""
 
 
+def sql_clique_detect() -> str:
+    """Largest maximal clique per member vertex (scd/CliqueDetect.cpp
+    expandOneCommunity; size ties to the lexicographically smallest member
+    list) over the same all-cliques recursive enumeration as
+    sql_maximal_cliques."""
+    return f"""WITH RECURSIVE {GRAPH_CTE.strip()},
+uadj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+adjl AS MATERIALIZED (SELECT src AS id, list_sort(list(dst)) AS nbrs FROM uadj GROUP BY src),
+cl(members, maxv) AS (
+    SELECT [id], id FROM vertices
+    UNION ALL
+    SELECT list_append(c.members, e.dst), e.dst
+    FROM cl c
+    JOIN uadj e ON e.src = c.maxv AND e.dst > c.maxv
+    JOIN adjl a ON a.id = e.dst
+    WHERE list_has_all(a.nbrs, c.members)
+),
+mx AS (
+    SELECT members FROM cl c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM adjl a
+        WHERE list_has_all(a.nbrs, c.members)
+          AND NOT list_contains(c.members, a.id)
+    )
+),
+ex AS (SELECT unnest(members) AS seed, members FROM mx),
+pick AS (
+    SELECT seed, members,
+           ROW_NUMBER() OVER (
+               PARTITION BY seed ORDER BY len(members) DESC, members
+           ) AS rn
+    FROM ex
+)
+SELECT CAST(seed AS BIGINT) AS seed,
+       CAST(len(members) AS BIGINT) AS size,
+       array_to_string(members, ',') AS clique
+FROM pick WHERE rn = 1 ORDER BY seed"""
+
+
 # ---- Algebraic distance (distance/AlgebraicDistance.cpp) -------------------
 
 def sql_algebraic_distance(

@@ -138,3 +138,41 @@ def clique_stats(cliques: DataFrame) -> DataFrame:
         .groupBy("size")
         .agg(F.count(F.lit(1)).alias("n_cliques"))
     )
+
+
+def clique_detect(graph: Graph, seeds: DataFrame | None = None) -> DataFrame:
+    """(seed, members: array<long>) — selective community detection by
+    cliques: for each seed s, the community is s plus the maximum clique
+    among s's neighbors (ref: scd/CliqueDetect.cpp:17-39
+    expandOneCommunity).
+
+    A maximum clique C within N(s) extended by s is exactly the largest
+    MAXIMAL clique of G containing s (any common neighbor of C + s would
+    contradict C's maximality inside N(s)), so the operator is a rank over
+    the already-distributed maximal-clique listing: explode members, take
+    the largest clique per member.  The reference breaks size ties
+    uniformly at random (IncrementalUniformRandomSelector); here ties go
+    to the lexicographically smallest member array so both engines (and
+    the DuckDB oracle) are deterministic.
+
+    ``seeds`` (a DataFrame with column ``seed``) restricts the output;
+    None returns every vertex that appears in some clique.
+    """
+    from pyspark.sql import Window
+
+    cliques = maximal_cliques(graph).select(
+        F.array_sort("members").alias("members")
+    )
+    ex = cliques.select(
+        "members",
+        F.size("members").alias("sz"),
+        F.explode("members").alias("seed"),
+    )
+    if seeds is not None:
+        ex = ex.join(seeds.select("seed"), "seed", "semi")
+    w = Window.partitionBy("seed").orderBy(F.desc("sz"), F.asc("members"))
+    return (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("seed", "members")
+    )

@@ -56,3 +56,28 @@ def test_clique_stats_histogram(spark):
     g = from_edge_rows(spark, edges)
     got = {r["size"]: r["n_cliques"] for r in clique_stats(maximal_cliques(g)).collect()}
     assert got == {3: 1, 2: 1}
+
+
+def test_clique_detect_picks_largest_then_lexicographic(spark):
+    from networkit_spark.operators.clique import clique_detect
+
+    # seed 0 sits in a triangle {0,1,2} and a 4-clique {0,5,6,7}
+    edges = [
+        (0, 1), (1, 2), (2, 0),
+        (0, 5), (0, 6), (0, 7), (5, 6), (5, 7), (6, 7),
+        # vertex 9 sits in two triangles {9,10,11} and {8,9,10}? no —
+        # make a clean tie: {9,10,11} and {9,12,13}
+        (9, 10), (10, 11), (9, 11),
+        (9, 12), (12, 13), (9, 13),
+    ]
+    g = from_edge_rows(spark, edges)
+    got = {
+        r["seed"]: list(r["members"]) for r in clique_detect(g).collect()
+    }
+    assert got[0] == [0, 5, 6, 7]
+    assert got[1] == [0, 1, 2]
+    # size tie at seed 9: lexicographically smallest member array wins
+    assert got[9] == [9, 10, 11]
+    seeds = spark.createDataFrame([(0,)], "seed long")
+    only = clique_detect(g, seeds=seeds).collect()
+    assert len(only) == 1 and list(only[0]["members"]) == [0, 5, 6, 7]
