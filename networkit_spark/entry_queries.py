@@ -999,6 +999,26 @@ def q_scd_clique_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GCE_SEEDS = [0, 1, 2, 3, 4, 5]
+GCE_STEPS = 5
+
+
+def q_scd_gce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy Community Expansion (objective M) from six pinned seeds,
+    five pinned greedy steps."""
+    from networkit_spark.operators.scd import gce
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return (
+        gce(g, GCE_SEEDS, max_steps=GCE_STEPS, pinned=True)
+        .select(
+            F.col("seed").cast("bigint").alias("seed"),
+            F.col("node").cast("bigint").alias("node"),
+        )
+        .orderBy("seed", "node")
+    )
+
+
 def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import eccentricity
 
@@ -1139,6 +1159,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
     "scd_clique_detect": q_scd_clique_detect,
+    "scd_gce": q_scd_gce,
     "centrality_group_degree": q_centrality_group_degree,
     "graph_edge_distances": q_graph_edge_distances,
     "graph_simple_paths": q_graph_simple_paths,
@@ -1229,6 +1250,7 @@ def build_oracles() -> dict[str, str]:
         "graph_reachable": L.sql_reachable_nodes(),
         "graph_cliques": L.sql_maximal_cliques(),
         "scd_clique_detect": L.sql_clique_detect(),
+        "scd_gce": L.sql_gce(GCE_SEEDS, GCE_STEPS),
         "centrality_group_degree": L.sql_group_degree(GROUP_DEGREE_K),
         "graph_edge_distances": L.sql_edge_distances(),
         "graph_simple_paths": L.sql_all_simple_paths(SP_SOURCE, SP_TARGET, SP_CUTOFF),

@@ -2470,6 +2470,65 @@ SELECT array_to_string(members, ',') AS clique, CAST(len(members) AS BIGINT) AS 
 FROM mx ORDER BY clique"""
 
 
+def sql_gce(seeds: list[int], steps: int) -> str:
+    """Unrolled Greedy Community Expansion, objective M (scd/GCE.cpp
+    expandseedInternal<true>): per step, every seed admits its best
+    shell node by dQ = (W_int+intDeg)/(cut-intDeg+extDeg) - W_int/cut
+    when positive, ties to smallest id — same pinned step count and
+    tie-break as the engine."""
+    seed_rows = ", ".join(f"({int(s)})" for s in seeds)
+    ctes = [
+        "wadj AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS w "
+        "FROM edges WHERE src <> dst)",
+        "gwd AS MATERIALIZED (SELECT src AS dst, SUM(w) AS wd FROM wadj GROUP BY src)",
+        f"mem0 AS (SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS node "
+        f"FROM (VALUES {seed_rows}) s(seed))",
+    ]
+    for t in range(1, steps + 1):
+        p = f"mem{t-1}"
+        ctes.append(
+            f"""rows{t} AS (
+    SELECT m.seed, e.dst, e.w, (mm.node IS NOT NULL) AS inm
+    FROM {p} m JOIN wadj e ON e.src = m.node
+    LEFT JOIN {p} mm ON mm.seed = m.seed AND mm.node = e.dst
+),
+agg{t} AS (
+    SELECT seed,
+           COALESCE(SUM(CASE WHEN inm THEN w END), 0.0) / 2.0 AS wint,
+           COALESCE(SUM(CASE WHEN NOT inm THEN w END), 0.0) AS cut
+    FROM rows{t} GROUP BY seed
+),
+cand{t} AS (
+    SELECT seed, dst, SUM(w) AS intdeg FROM rows{t} WHERE NOT inm GROUP BY 1, 2
+),
+sc{t} AS (
+    SELECT c.seed, c.dst,
+           (CASE WHEN a.cut - c.intdeg + (d.wd - c.intdeg) > 0
+                 THEN (a.wint + c.intdeg) / (a.cut - c.intdeg + (d.wd - c.intdeg))
+                 ELSE 1e308 END) - a.wint / a.cut AS dq
+    FROM cand{t} c JOIN agg{t} a USING (seed) JOIN gwd d ON d.dst = c.dst
+    WHERE a.cut > 0
+),
+win{t} AS (
+    SELECT seed, dst FROM (
+        SELECT seed, dst,
+               ROW_NUMBER() OVER (PARTITION BY seed ORDER BY dq DESC, dst) AS rn
+        FROM sc{t} WHERE dq > 0
+    ) WHERE rn = 1
+),
+mem{t} AS MATERIALIZED (
+    SELECT seed, node FROM {p}
+    UNION ALL
+    SELECT seed, dst FROM win{t}
+)"""
+        )
+    body = (
+        ", ".join(ctes)
+        + f" SELECT seed, node FROM mem{steps} ORDER BY seed, node"
+    )
+    return _with_graph(body)
+
+
 def sql_clique_detect() -> str:
     """Largest maximal clique per member vertex (scd/CliqueDetect.cpp
     expandOneCommunity; size ties to the lexicographically smallest member

@@ -284,3 +284,91 @@ def lfm(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("id", "subset")
+
+
+def gce(
+    graph: Graph,
+    seeds: list[int],
+    max_steps: int = 20,
+    pinned: bool = False,
+) -> DataFrame:
+    """(seed, node) — Greedy Community Expansion under objective M
+    (ref: scd/GCE.cpp:44-51,79-116 expandseedInternal<true>): starting
+    from each seed, repeatedly admit the shell node maximizing
+    dQ = (W_int + intDeg) / (cut - intDeg + extDeg) - W_int / cut, while
+    some dQ > 0.  The reference breaks dQ ties uniformly at random; here
+    ties go to the smallest node id so the DuckDB oracle replays the
+    identical expansion.  Self-loops are excluded (GCE.cpp:18-20 rejects
+    them outright).
+
+    ALL seed expansions advance simultaneously as one (seed, node)
+    membership table: each greedy step is one adjacency join + two
+    seed-keyed aggregations + a per-seed top-1 window — the per-seed
+    community is small (locality is the point of SCD), so the window
+    partitions are tiny and the shuffle is bounded by
+    |members| x avg-degree rows per superstep.  ``pinned=True`` runs
+    exactly max_steps rounds with no early-exit action, the
+    oracle-checkable mode.
+    """
+    adj = materialize(
+        graph.edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", F.col("weight").cast("double").alias("w")
+        )
+    )
+    wdeg = adj.groupBy(F.col("src").alias("dst")).agg(F.sum("w").alias("wd"))
+    spark = graph.vertices.sparkSession
+    mem = materialize(
+        spark.createDataFrame(
+            [(int(s), int(s)) for s in seeds], "seed long, node long"
+        )
+    )
+
+    state = IterationState(None, "gce")
+    for t in range(1, max_steps + 1):
+        rows = (
+            mem.withColumnRenamed("node", "src")
+            .join(adj, "src")
+            .join(
+                mem.select("seed", F.col("node").alias("dst"), F.lit(True).alias("inm")),
+                ["seed", "dst"],
+                "left",
+            )
+            .select("seed", "dst", "w", F.coalesce("inm", F.lit(False)).alias("inm"))
+        )
+        agg = rows.groupBy("seed").agg(
+            (
+                F.coalesce(F.sum(F.when(F.col("inm"), F.col("w"))), F.lit(0.0)) / 2.0
+            ).alias("wint"),
+            F.coalesce(
+                F.sum(F.when(~F.col("inm"), F.col("w"))), F.lit(0.0)
+            ).alias("cut"),
+        )
+        cand = (
+            rows.filter(~F.col("inm"))
+            .groupBy("seed", "dst")
+            .agg(F.sum("w").alias("intdeg"))
+        )
+        denom = F.col("cut") - F.col("intdeg") + (F.col("wd") - F.col("intdeg"))
+        dq = (
+            F.when(denom > 0, (F.col("wint") + F.col("intdeg")) / denom)
+            .otherwise(F.lit(1e308))
+            - F.col("wint") / F.col("cut")
+        )
+        scored = (
+            cand.join(agg, "seed")
+            .join(wdeg, "dst")
+            .filter(F.col("cut") > 0)
+            .select("seed", "dst", dq.alias("dq"))
+            .filter(F.col("dq") > 0)
+        )
+        w = Window.partitionBy("seed").orderBy(F.desc("dq"), F.asc("dst"))
+        winners = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("seed", F.col("dst").alias("node"))
+        )
+        mem = state.advance(t, mem.unionByName(winners))
+        if not pinned and winners.isEmpty():
+            break
+    state.close()
+    return mem

@@ -98,3 +98,69 @@ def test_lfm_covers_and_overlaps(spark):
     # deterministic under the seed
     cov2 = lfm(g, nibble_rounds=6, max_communities=8).collect()
     assert {(r["id"], r["subset"]) for r in cov} == {(r["id"], r["subset"]) for r in cov2}
+
+
+def _brute_gce_m(edges, seed, max_steps=50):
+    """Direct GCE.cpp objective-M greedy (ties to smallest id)."""
+    adj = {}
+    for u, v, *w in edges:
+        wt = float(w[0]) if w else 1.0
+        if u == v:
+            continue
+        adj.setdefault(u, {})[v] = adj.setdefault(u, {}).get(v, 0.0) + wt
+        adj.setdefault(v, {})[u] = adj.setdefault(v, {}).get(u, 0.0) + wt
+    com = {seed}
+    for _ in range(max_steps):
+        wint = sum(
+            w for u in com for v, w in adj.get(u, {}).items() if v in com
+        ) / 2.0
+        cut = sum(
+            w for u in com for v, w in adj.get(u, {}).items() if v not in com
+        )
+        if cut <= 0:
+            break
+        q = wint / cut
+        best, best_dq = None, 0.0
+        shell = {
+            v for u in com for v in adj.get(u, {}) if v not in com
+        }
+        for v in sorted(shell):
+            intdeg = sum(w for y, w in adj[v].items() if y in com)
+            extdeg = sum(w for y, w in adj[v].items() if y not in com)
+            denom = cut - intdeg + extdeg
+            nq = (wint + intdeg) / denom if denom > 0 else 1e308
+            dq = nq - q
+            if dq > best_dq:
+                best, best_dq = v, dq
+        if best is None:
+            break
+        com.add(best)
+    return com
+
+
+def test_gce_matches_brute_force(spark):
+    from networkit_spark.operators.scd import gce
+
+    # two dense blobs joined by one bridge: expansion from 0 should absorb
+    # its blob and stop at the bridge
+    edges = [
+        (0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (0, 3),
+        (3, 4),  # bridge
+        (4, 5), (4, 6), (5, 6), (5, 7), (6, 7), (4, 7),
+    ]
+    g = from_edge_rows(spark, edges)
+    got = sorted(
+        r["node"]
+        for r in gce(g, [0], max_steps=20).collect()
+    )
+    want = sorted(_brute_gce_m(edges, 0))
+    assert got == want
+    assert set(got) == {0, 1, 2, 3}
+
+    # multi-seed batched run agrees with per-seed brute force
+    multi = gce(g, [0, 7], max_steps=20).collect()
+    by_seed = {}
+    for r in multi:
+        by_seed.setdefault(r["seed"], []).append(r["node"])
+    assert sorted(by_seed[0]) == sorted(_brute_gce_m(edges, 0))
+    assert sorted(by_seed[7]) == sorted(_brute_gce_m(edges, 7))
