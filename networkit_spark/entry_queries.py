@@ -999,6 +999,22 @@ def q_scd_clique_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_community_map_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-equation (Infomap objective) synchronous local moving,
+    4 pinned sweeps from singletons."""
+    from networkit_spark.operators.mapequation import louvain_map_equation
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return (
+        louvain_map_equation(g, max_sweeps=4, pinned=True)
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.col("label").cast("bigint").alias("label"),
+        )
+        .orderBy("id")
+    )
+
+
 GCE_SEEDS = [0, 1, 2, 3, 4, 5]
 GCE_STEPS = 5
 
@@ -1160,6 +1176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_cliques": q_graph_cliques,
     "scd_clique_detect": q_scd_clique_detect,
     "scd_gce": q_scd_gce,
+    "community_map_equation": q_community_map_equation,
     "centrality_group_degree": q_centrality_group_degree,
     "graph_edge_distances": q_graph_edge_distances,
     "graph_simple_paths": q_graph_simple_paths,
@@ -1251,6 +1268,7 @@ def build_oracles() -> dict[str, str]:
         "graph_cliques": L.sql_maximal_cliques(),
         "scd_clique_detect": L.sql_clique_detect(),
         "scd_gce": L.sql_gce(GCE_SEEDS, GCE_STEPS),
+        "community_map_equation": L.sql_map_equation(4),
         "centrality_group_degree": L.sql_group_degree(GROUP_DEGREE_K),
         "graph_edge_distances": L.sql_edge_distances(),
         "graph_simple_paths": L.sql_all_simple_paths(SP_SOURCE, SP_TARGET, SP_CUTOFF),

@@ -2470,6 +2470,105 @@ SELECT array_to_string(members, ',') AS clique, CAST(len(members) AS BIGINT) AS 
 FROM mx ORDER BY clique"""
 
 
+def sql_map_equation(sweeps: int) -> str:
+    """Unrolled synchronous map-equation local moving
+    (LouvainMapEquation.cpp fitnessChange :322-365, move rule :285-296):
+    per sweep every node scores staying vs each neighbor cluster against
+    sweep-start cluster stats, moves when the best change is strictly
+    below the stay change (ties to smallest cluster id), all moves apply
+    at once — identical schedule to the engine's one-subround sweeps."""
+
+    def plogp(x: str) -> str:
+        return (
+            f"CASE WHEN {x} > 0 THEN (({x}) / tvv) * LN(({x}) / tvv) "
+            f"ELSE 0.0 END"
+        )
+
+    cdc = "2 * w2c - vol + lp * 2"
+    stay_expr = (
+        f"{plogp('tot')} + ({plogp('cut_cur + vol_cur')} - "
+        f"{plogp(f'cut_cur + ({cdc}) + vol_cur - vol')}) - "
+        f"2 * ({plogp('cut_cur')} - {plogp(f'cut_cur + ({cdc})')})"
+    )
+    cdt = "vol - 2 * w2t - lp * 2"
+    move_expr = (
+        f"{plogp(f'tot + ({cdc}) + ({cdt})')} + "
+        f"({plogp(f'cut_t + ({cdt}) + vol_t + vol')} - {plogp('cut_t + vol_t')}) - "
+        f"2 * ({plogp(f'cut_t + ({cdt})')} - {plogp('cut_t')})"
+    )
+    ctes = [
+        "aw AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM edges)",
+        "ns AS MATERIALIZED (SELECT src AS id, "
+        "SUM(CASE WHEN src = dst THEN w * 2 ELSE w END) AS vol, "
+        "COALESCE(SUM(CASE WHEN src = dst THEN w END), 0.0) AS lp "
+        "FROM aw GROUP BY src)",
+        "tvc AS (SELECT SUM(CASE WHEN src = dst THEN w * 2 ELSE w END) AS tvv FROM aw)",
+        "lab0 AS (SELECT id, id AS label FROM ns)",
+    ]
+    for t in range(1, sweeps + 1):
+        p = f"lab{t-1}"
+        ctes.append(
+            f"""rows{t} AS (
+    SELECT e.src, e.dst, e.w, a.label AS lu, b.label AS lv
+    FROM aw e JOIN {p} a ON a.id = e.src JOIN {p} b ON b.id = e.dst
+),
+cvol{t} AS (
+    SELECT l.label, SUM(n.vol) AS cvol FROM {p} l JOIN ns n ON n.id = l.id
+    GROUP BY l.label
+),
+ccut{t} AS (
+    SELECT lu AS label, SUM(w) AS ccut FROM rows{t}
+    WHERE src <> dst AND lu <> lv GROUP BY lu
+),
+cs{t} AS (
+    SELECT c.label, c.cvol, COALESCE(u.ccut, 0.0) AS ccut
+    FROM cvol{t} c LEFT JOIN ccut{t} u USING (label)
+),
+tot{t} AS (SELECT SUM(ccut) AS tot FROM cs{t}),
+w2c{t} AS (
+    SELECT src AS id, SUM(w) AS w2c FROM rows{t}
+    WHERE src <> dst AND lu = lv GROUP BY src
+),
+w2tt{t} AS (
+    SELECT src AS id, lv AS tgt, SUM(w) AS w2t FROM rows{t}
+    WHERE src <> dst AND lu <> lv GROUP BY 1, 2
+),
+stay{t} AS (
+    SELECT l.id, l.label, n.vol, n.lp, COALESCE(c.w2c, 0.0) AS w2c,
+           s.cvol AS vol_cur, s.ccut AS cut_cur,
+           (SELECT tot FROM tot{t}) AS tot, (SELECT tvv FROM tvc) AS tvv
+    FROM {p} l JOIN ns n ON n.id = l.id
+    LEFT JOIN w2c{t} c ON c.id = l.id
+    JOIN cs{t} s ON s.label = l.label
+),
+cand{t} AS (
+    SELECT b.id, w.tgt, w.w2t, b.vol, b.lp, b.w2c, b.tot, b.tvv,
+           s2.cvol AS vol_t, s2.ccut AS cut_t,
+           {stay_expr} AS stay_change
+    FROM stay{t} b JOIN w2tt{t} w ON w.id = b.id
+    JOIN cs{t} s2 ON s2.label = w.tgt
+),
+best{t} AS (
+    SELECT id, tgt FROM (
+        SELECT id, tgt, stay_change, {move_expr} AS change,
+               ROW_NUMBER() OVER (
+                   PARTITION BY id ORDER BY {move_expr}, tgt
+               ) AS rn
+        FROM cand{t}
+    ) WHERE rn = 1 AND change < stay_change
+),
+lab{t} AS MATERIALIZED (
+    SELECT l.id, COALESCE(b.tgt, l.label) AS label
+    FROM {p} l LEFT JOIN best{t} b ON b.id = l.id
+)"""
+        )
+    body = (
+        ", ".join(ctes)
+        + f" SELECT id, label FROM lab{sweeps} ORDER BY id"
+    )
+    return _with_graph(body)
+
+
 def sql_gce(seeds: list[int], steps: int) -> str:
     """Unrolled Greedy Community Expansion, objective M (scd/GCE.cpp
     expandseedInternal<true>): per step, every seed admits its best
