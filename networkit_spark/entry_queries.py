@@ -999,6 +999,22 @@ def q_scd_clique_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centrality_kpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-path centrality: 64 hash-derandomized self-avoiding walks,
+    max length 4."""
+    from networkit_spark.operators.kpath import kpath_centrality
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return (
+        kpath_centrality(g, k=4, num_walks=64, seed=42)
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("id")
+    )
+
+
 def q_community_map_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-equation (Infomap objective) synchronous local moving,
     4 pinned sweeps from singletons."""
@@ -1177,6 +1193,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_clique_detect": q_scd_clique_detect,
     "scd_gce": q_scd_gce,
     "community_map_equation": q_community_map_equation,
+    "centrality_kpath": q_centrality_kpath,
     "centrality_group_degree": q_centrality_group_degree,
     "graph_edge_distances": q_graph_edge_distances,
     "graph_simple_paths": q_graph_simple_paths,
@@ -1269,6 +1286,7 @@ def build_oracles() -> dict[str, str]:
         "scd_clique_detect": L.sql_clique_detect(),
         "scd_gce": L.sql_gce(GCE_SEEDS, GCE_STEPS),
         "community_map_equation": L.sql_map_equation(4),
+        "centrality_kpath": L.sql_kpath(4, 64),
         "centrality_group_degree": L.sql_group_degree(GROUP_DEGREE_K),
         "graph_edge_distances": L.sql_edge_distances(),
         "graph_simple_paths": L.sql_all_simple_paths(SP_SOURCE, SP_TARGET, SP_CUTOFF),

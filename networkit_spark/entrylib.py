@@ -2470,6 +2470,73 @@ SELECT array_to_string(members, ',') AS clique, CAST(len(members) AS BIGINT) AS 
 FROM mx ORDER BY clique"""
 
 
+def sql_kpath(k: int, num_walks: int, seed: int = 42) -> str:
+    """Unrolled hash-derandomized k-path walks
+    (KPathCentrality.cpp:34-105): per walk, md5 start/length draws, then
+    k self-avoiding inverse-weight CDF steps with the same dst-ascending
+    cumulative windows as the engine; score = k * n * visits / t."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    unit = float(1 << 48)
+    hs = md5_long_sql(f"('{seed}:kps:' || CAST(wid AS STRING))")
+    hl = md5_long_sql(f"('{seed}:kpl:' || CAST(wid AS STRING))")
+    ctes = [
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vertices)",
+        "ue AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS w "
+        "FROM edges WHERE src <> dst)",
+        f"wids AS (SELECT CAST(unnest(range({num_walks})) AS BIGINT) AS wid)",
+        f"""st0 AS (
+    SELECT wid, cur, l, [cur] AS visited FROM (
+        SELECT wid,
+               CAST({hs} % (SELECT n FROM nn) AS BIGINT) AS cur,
+               CAST({hl} % {k} + 1 AS BIGINT) AS l
+        FROM wids
+    )
+)""",
+    ]
+    for j in range(1, k + 1):
+        hp = md5_long_sql(f"('{seed}:kpp:{j}:' || CAST(wid AS STRING))")
+        ctes.append(
+            f"""cand{j} AS (
+    SELECT s.wid, e.dst, 1.0 / e.w AS iw
+    FROM st{j-1} s JOIN ue e ON e.src = s.cur
+    WHERE s.l >= {j} AND NOT list_contains(s.visited, e.dst)
+),
+sc{j} AS (
+    SELECT wid, dst,
+           SUM(iw) OVER (PARTITION BY wid ORDER BY dst
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+           ({hp} / {unit!r}) * SUM(iw) OVER (PARTITION BY wid) AS r
+    FROM cand{j}
+),
+pk{j} AS (
+    SELECT wid, nxt FROM (
+        SELECT wid, dst AS nxt,
+               ROW_NUMBER() OVER (PARTITION BY wid ORDER BY dst) AS rn
+        FROM sc{j} WHERE cum > r
+    ) WHERE rn = 1
+),
+st{j} AS MATERIALIZED (
+    SELECT s.wid, COALESCE(p.nxt, s.cur) AS cur,
+           CASE WHEN s.l >= {j} AND p.nxt IS NULL THEN 0 ELSE s.l END AS l,
+           CASE WHEN p.nxt IS NOT NULL THEN list_append(s.visited, p.nxt)
+                ELSE s.visited END AS visited
+    FROM st{j-1} s LEFT JOIN pk{j} p ON p.wid = s.wid
+)"""
+        )
+    body = (
+        ", ".join(ctes)
+        + f""",
+vis AS (SELECT unnest(visited[2:]) AS id FROM st{k}),
+cnts AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS cnt FROM vis GROUP BY id)
+SELECT v.id,
+       ROUND({float(k)!r} * (SELECT n FROM nn) * COALESCE(c.cnt, 0)
+             / {float(num_walks)!r}, 6) + 0.0 AS score
+FROM vertices v LEFT JOIN cnts c ON c.id = v.id ORDER BY v.id"""
+    )
+    return _with_graph(body)
+
+
 def sql_map_equation(sweeps: int) -> str:
     """Unrolled synchronous map-equation local moving
     (LouvainMapEquation.cpp fitnessChange :322-365, move rule :285-296):
