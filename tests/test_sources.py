@@ -251,3 +251,42 @@ def test_hyperbolic_prunes_and_stays_exact_large_R(spark):
             if cd <= coshR + 1e-9:
                 may.add((u, v))
     assert must <= got <= may
+
+
+def test_lfr_mixing_partition_and_determinism(spark):
+    from networkit_spark.operators.coarsening import modularity
+    from networkit_spark.sources.generators import lfr
+
+    g, truth = lfr(spark, n=200, mu=0.15, seed=42)
+    n = g.num_nodes()
+    assert n == 200
+    m = g.num_edges()
+    assert m > 150  # power-law degrees with min 3 -> several hundred edges
+
+    la = truth.select(F.col("id").alias("src"), F.col("label").alias("la"))
+    lb = truth.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+    ce = g.edges.filter(F.col("src") < F.col("dst")).join(la, "src").join(lb, "dst")
+    inter = ce.filter(F.col("la") != F.col("lb")).count()
+    frac = inter / ce.count()
+    # realized mixing tracks mu (Chung-Lu realization, not exact)
+    assert 0.05 < frac < 0.30
+
+    # the planted partition is strongly modular at mu = 0.15
+    q = modularity(g, truth.select("id", "label"))
+    assert q > 0.45
+
+    # ground truth covers all nodes, community sizes within bounds
+    sizes = [
+        r["c"] for r in truth.groupBy("label").agg(F.count("*").alias("c")).collect()
+    ]
+    assert sum(sizes) == n
+    assert max(sizes) <= 40
+
+    # deterministic in seed
+    g2, _ = lfr(spark, n=200, mu=0.15, seed=42)
+    e1 = sorted(map(tuple, g.edges.select("src", "dst").collect()))
+    e2 = sorted(map(tuple, g2.edges.select("src", "dst").collect()))
+    assert e1 == e2
+    g3, _ = lfr(spark, n=200, mu=0.15, seed=7)
+    e3 = sorted(map(tuple, g3.edges.select("src", "dst").collect()))
+    assert e1 != e3
