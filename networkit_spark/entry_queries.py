@@ -889,6 +889,16 @@ def q_centrality_group_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_closeness(g, k=GROUP_CLOSENESS_K)
 
 
+def q_centrality_group_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy group-harmonic-closeness picks with cumulative score."""
+    from networkit_spark.operators.groups import group_harmonic_closeness
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return group_harmonic_closeness(g, k=GROUP_CLOSENESS_K).select(
+        "rank", "id", F.round("score", 6).alias("score")
+    )
+
+
 MAXFLOW_K, MAXFLOW_S, MAXFLOW_T = 16, 0, 1
 
 
@@ -1188,6 +1198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_randomize_invariants": q_graph_randomize_invariants,
     "graph_commute_time": q_graph_commute_time,
     "centrality_group_closeness": q_centrality_group_closeness,
+    "centrality_group_harmonic": q_centrality_group_harmonic,
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
     "scd_clique_detect": q_scd_clique_detect,
@@ -1281,6 +1292,7 @@ def build_oracles() -> dict[str, str]:
         "graph_randomize_invariants": L.sql_degree_histogram(),
         "graph_commute_time": L.sql_commute_time(CTD_PAIRS, CTD_ITERS, CTD_OMEGA),
         "centrality_group_closeness": L.sql_group_closeness(GROUP_CLOSENESS_K),
+        "centrality_group_harmonic": L.sql_group_harmonic(GROUP_CLOSENESS_K),
         "graph_reachable": L.sql_reachable_nodes(),
         "graph_cliques": L.sql_maximal_cliques(),
         "scd_clique_detect": L.sql_clique_detect(),

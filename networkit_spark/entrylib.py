@@ -3098,6 +3098,77 @@ l{t} AS MATERIALIZED (
     return _with_graph(", ".join(ctes) + " " + outs)
 
 
+def sql_group_harmonic(k: int) -> str:
+    """Unrolled k-step greedy group-harmonic-closeness over the same
+    recursive-ball APSP base as sql_group_closeness
+    (GroupHarmonicCloseness.cpp greedy semantics: maximize the marginal
+    gain of sum_{t not in S} 1/d(S,t), unreachable -> 0, gains quantized
+    to 9 decimals before the argmax, ties to smallest id)."""
+    base = """sedges AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vertices),
+ball(s, v, d) AS (
+    SELECT id, id, CAST(0 AS BIGINT) FROM vertices
+    UNION
+    SELECT b.s, e.dst, b.d + 1 FROM ball b JOIN sedges e ON e.src = b.v
+    WHERE b.d + 1 <= (SELECT n FROM nn)
+),
+apsp AS MATERIALIZED (SELECT s, v AS t, MIN(d) AS dist FROM ball GROUP BY s, v),
+ghd0 AS (SELECT id AS t, CAST(NULL AS DOUBLE) AS gd FROM vertices),
+sc0 AS (SELECT CAST(0.0 AS DOUBLE) AS sc)"""
+    ctes = [base]
+    for t in range(1, k + 1):
+        excl_t = (
+            " AND d.t NOT IN ("
+            + " UNION ALL ".join(f"SELECT id FROM pick{j}" for j in range(1, t))
+            + ")"
+            if t > 1
+            else ""
+        )
+        excl_v = (
+            " WHERE v.id NOT IN ("
+            + " UNION ALL ".join(f"SELECT id FROM pick{j}" for j in range(1, t))
+            + ")"
+            if t > 1
+            else ""
+        )
+        ctes.append(
+            f"""del{t} AS (
+    SELECT d.s AS id,
+           SUM(1.0 / LEAST(COALESCE(g.gd, 1e18), CAST(d.dist AS DOUBLE))
+               - CASE WHEN g.gd > 0 THEN 1.0 / g.gd ELSE 0.0 END) AS delta
+    FROM apsp d JOIN ghd{t-1} g ON g.t = d.t
+    WHERE d.dist > 0{excl_t}
+    GROUP BY d.s
+),
+own{t} AS (SELECT t AS id, CASE WHEN gd > 0 THEN 1.0 / gd ELSE 0.0 END AS own FROM ghd{t-1}),
+pick{t} AS MATERIALIZED (
+    SELECT v.id, COALESCE(dl.delta, 0.0) - COALESCE(o.own, 0.0) AS gain
+    FROM vertices v
+    LEFT JOIN del{t} dl ON dl.id = v.id
+    LEFT JOIN own{t} o ON o.id = v.id{excl_v}
+    ORDER BY ROUND(COALESCE(dl.delta, 0.0) - COALESCE(o.own, 0.0), 9) DESC, v.id
+    LIMIT 1
+),
+ghd{t} AS MATERIALIZED (
+    SELECT g.t,
+           COALESCE(LEAST(g.gd, d.dist), g.gd, d.dist) AS gd
+    FROM ghd{t-1} g LEFT JOIN (
+        SELECT t, CAST(dist AS DOUBLE) AS dist FROM apsp
+        WHERE s = (SELECT id FROM pick{t})
+    ) d ON d.t = g.t
+),
+sc{t} AS (SELECT (SELECT sc FROM sc{t-1}) + (SELECT gain FROM pick{t}) AS sc)"""
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, CAST(id AS BIGINT) AS id, "
+        f"ROUND((SELECT sc FROM sc{t}), 6) + 0.0 AS score FROM pick{t}"
+        for t in range(1, k + 1)
+    )
+    return f"WITH RECURSIVE {GRAPH_CTE.strip()}, " + ", ".join(ctes) + " " + outs
+
+
 def sql_group_closeness(k: int) -> str:
     """Unrolled k-step greedy farness minimization over a recursive-ball
     APSP, unreachable targets penalized at distance n — the same

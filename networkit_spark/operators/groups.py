@@ -149,3 +149,91 @@ def group_closeness(
             .localCheckpoint(eager=True)
         )
     return spark.createDataFrame(picks, "rank bigint, id bigint, farness bigint")
+
+
+def group_harmonic_closeness(
+    graph: Graph, k: int = 5, hops: DataFrame | None = None
+) -> DataFrame:
+    """(rank, id, score) — greedy group-harmonic-closeness group in pick
+    order (ref: networkit/cpp/centrality/GroupHarmonicCloseness.cpp —
+    greedily add the candidate maximizing the marginal gain of
+    score(S) = sum_{t not in S} 1 / d(S, t), unreachable targets
+    contributing 0; the reference's submodular upper-bound pruning is a
+    pure evaluation-order optimization over the same greedy).  Ties break
+    to the smallest id (same documented deviation as group_closeness).
+
+    Same plan shape as group_closeness: batched APSP once, then each
+    round is one join+agg over it — delta(v) = sum over v's reachable
+    non-member targets of 1/min(gd(t), d(v,t)) - 1/gd(t), minus v's own
+    previous contribution.  Marginal gains are quantized to 9 decimals
+    before the argmax so the DuckDB oracle's floating summation order
+    cannot flip exact-tie decisions."""
+    from networkit_spark.operators.distance import multi_source_hops
+
+    spark = graph.vertices.sparkSession
+    g = graph.to_undirected() if graph.directed else graph
+    D = hops if hops is not None else multi_source_hops(g)
+    D = materialize(D.select("s", F.col("id").alias("t"), "dist"))
+    n = graph.num_nodes()
+    BIG = 1e18
+
+    gd = graph.vertices.select(
+        F.col("id").alias("t"), F.lit(None).cast("double").alias("gd")
+    ).localCheckpoint(eager=True)
+    group = spark.createDataFrame([], "id long")
+    picks: list[tuple[int, int, float]] = []
+    score = 0.0
+    for rank in range(1, min(k, n) + 1):
+        # gd = 0 marks a member (its own pick row); 1/gd guarded for ANSI
+        contrib_old = F.when(F.col("gd") > 0, 1.0 / F.col("gd")).otherwise(
+            F.lit(0.0)
+        )
+        deltas = (
+            D.filter(F.col("dist") > 0)
+            .join(group.withColumnRenamed("id", "t"), "t", "anti")
+            .join(gd, "t")
+            .groupBy(F.col("s").alias("id"))
+            .agg(
+                F.sum(
+                    1.0
+                    / F.least(F.coalesce(F.col("gd"), F.lit(BIG)), F.col("dist"))
+                    - contrib_old
+                ).alias("delta")
+            )
+        )
+        own = gd.select(F.col("t").alias("id"), contrib_old.alias("own"))
+        cand = (
+            graph.vertices.join(group, "id", "anti")
+            .join(deltas, "id", "left")
+            .join(own, "id", "left")
+            .select(
+                "id",
+                (
+                    F.coalesce("delta", F.lit(0.0))
+                    - F.coalesce("own", F.lit(0.0))
+                ).alias("gain"),
+            )
+        )
+        best = (
+            cand.orderBy(F.desc(F.round(F.col("gain"), 9)), F.asc("id"))
+            .limit(1)
+            .first()
+        )
+        score += float(best["gain"])
+        picks.append((rank, int(best["id"]), float(score)))
+        picked = spark.createDataFrame([(int(best["id"]),)], "id long")
+        group = group.unionByName(picked).localCheckpoint(eager=True)
+        dbest = D.join(picked.withColumnRenamed("id", "s"), "s").select(
+            "t", F.col("dist").cast("double").alias("nd")
+        )
+        gd = (
+            gd.join(dbest, "t", "left")
+            .select(
+                "t",
+                F.coalesce(
+                    F.least("gd", "nd"), F.col("gd"), F.col("nd")
+                ).alias("gd"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(picks, "rank bigint, id bigint, score double")

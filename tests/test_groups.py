@@ -92,3 +92,62 @@ def test_group_closeness_penalty_on_fragments(spark):
     got = [r["id"] for r in group_closeness(g, k=2).collect()]
     assert got[0] == 1  # center of the larger component
     assert got[1] in (3, 4)  # second pick jumps to the other fragment
+
+
+def test_group_harmonic_matches_brute_force(spark):
+    from networkit_spark.operators.groups import group_harmonic_closeness
+
+    edges = [
+        (0, 1), (1, 2), (2, 3), (3, 4), (4, 5),
+        (1, 6), (6, 7), (2, 7), (7, 8),
+        (9, 10),  # separate component
+    ]
+    n = 11
+    g = from_edge_rows(spark, edges, num_nodes=n)
+
+    # brute-force greedy: argmax marginal harmonic gain, ties smallest id
+    import collections
+
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+
+    def hops(s):
+        d, q = {s: 0}, [s]
+        while q:
+            u = q.pop(0)
+            for w in adj[u]:
+                if w not in d:
+                    d[w] = d[u] + 1
+                    q.append(w)
+        return d
+
+    D = {s: hops(s) for s in range(n)}
+
+    def score(S):
+        tot = 0.0
+        for t in range(n):
+            if t in S:
+                continue
+            best = min((D[s].get(t) for s in S if t in D[s]), default=None)
+            if best and best > 0:
+                tot += 1.0 / best
+        return tot
+
+    S = []
+    expected = []
+    for rank in range(1, 4):
+        gains = {
+            v: score(S + [v]) - score(S) for v in range(n) if v not in S
+        }
+        best = max(sorted(gains), key=lambda v: (round(gains[v], 9), -v))
+        # ties to smallest id: sort ids ascending, take max by (gain, -id)
+        S.append(best)
+        expected.append((rank, best, round(score(S), 6)))
+
+    got = [
+        (r["rank"], r["id"], round(r["score"], 6))
+        for r in group_harmonic_closeness(g, k=3).orderBy("rank").collect()
+    ]
+    assert got == expected
