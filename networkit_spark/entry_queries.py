@@ -899,6 +899,24 @@ def q_centrality_group_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GEDWALK_K, GEDWALK_ALPHA, GEDWALK_LEVELS, GEDWALK_POOL = 3, 0.1, 4, 6
+
+
+def q_centrality_gedwalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy GedWalk group (pinned 4-level truncation, top-6-degree
+    candidate pool) with cumulative GED score per pick."""
+    from networkit_spark.operators.groups import ged_walk_group
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return ged_walk_group(
+        g,
+        k=GEDWALK_K,
+        alpha=GEDWALK_ALPHA,
+        levels=GEDWALK_LEVELS,
+        pool_size=GEDWALK_POOL,
+    ).select("rank", "id", F.round("ged_score", 6).alias("ged_score"))
+
+
 MAXFLOW_K, MAXFLOW_S, MAXFLOW_T = 16, 0, 1
 
 
@@ -1199,6 +1217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_commute_time": q_graph_commute_time,
     "centrality_group_closeness": q_centrality_group_closeness,
     "centrality_group_harmonic": q_centrality_group_harmonic,
+    "centrality_gedwalk": q_centrality_gedwalk,
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
     "scd_clique_detect": q_scd_clique_detect,
@@ -1293,6 +1312,9 @@ def build_oracles() -> dict[str, str]:
         "graph_commute_time": L.sql_commute_time(CTD_PAIRS, CTD_ITERS, CTD_OMEGA),
         "centrality_group_closeness": L.sql_group_closeness(GROUP_CLOSENESS_K),
         "centrality_group_harmonic": L.sql_group_harmonic(GROUP_CLOSENESS_K),
+        "centrality_gedwalk": L.sql_ged_walk(
+            GEDWALK_K, GEDWALK_ALPHA, GEDWALK_LEVELS, GEDWALK_POOL
+        ),
         "graph_reachable": L.sql_reachable_nodes(),
         "graph_cliques": L.sql_maximal_cliques(),
         "scd_clique_detect": L.sql_clique_detect(),

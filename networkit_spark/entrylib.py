@@ -3098,6 +3098,90 @@ l{t} AS MATERIALIZED (
     return _with_graph(", ".join(ctes) + " " + outs)
 
 
+def sql_ged_walk(k: int, alpha: float, levels: int, pool_size: int) -> str:
+    """Unrolled greedy GedWalk (GedWalk.cpp semantics, pinned
+    levels/pool): per round, per candidate slot, `levels` masked LONG
+    matvec supersteps count walks avoiding S + slot; damped totals are
+    fixed-order double sums of exact integers, so the greedy comparisons
+    are bit-identical to the engine."""
+    slots = list(range(1, pool_size + 1))
+    aL = [repr(alpha ** lvl) for lvl in range(1, levels + 1)]
+
+    def sid(j: int) -> str:
+        return f"(SELECT id FROM pool WHERE rn = {j})"
+
+    ctes = [
+        "ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "dg AS (SELECT src AS id, COUNT(*) AS d FROM ue GROUP BY src)",
+        "pool AS MATERIALIZED (SELECT id, ROW_NUMBER() OVER "
+        "(ORDER BY d DESC, id) AS rn FROM dg)",
+    ]
+    out_rows = []
+    wall = " + ".join(
+        f"{aL[lvl-1]} * (SELECT wg FROM w1_{lvl})" for lvl in range(1, levels + 1)
+    )
+    for r in range(1, k + 1):
+        picked = [f"(SELECT id FROM pick{p})" for p in range(1, r)]
+
+        def mask(j: int) -> str:
+            terms = [f"v.id = {sid(j)}"] + [f"v.id = {p}" for p in picked]
+            return " OR ".join(terms)
+
+        gcols = ", CAST(1 AS BIGINT) AS g" if r == 1 else ""
+        init = ", ".join(
+            f"CASE WHEN {mask(j)} THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) "
+            f"END AS x{j}"
+            for j in slots
+        )
+        ctes.append(f"st{r}_0 AS (SELECT v.id, {init}{gcols} FROM vertices v)")
+        for lvl in range(1, levels + 1):
+            vals = ", ".join(f"SUM(p.x{j}) AS v_x{j}" for j in slots)
+            gval = ", SUM(p.g) AS v_g" if r == 1 else ""
+            upd = ", ".join(
+                f"CASE WHEN {mask(j)} THEN CAST(0 AS BIGINT) "
+                f"ELSE COALESCE(n.v_x{j}, 0) END AS x{j}"
+                for j in slots
+            )
+            gupd = ", COALESCE(n.v_g, 0) AS g" if r == 1 else ""
+            gw = ", SUM(g) AS wg" if r == 1 else ""
+            ctes.append(
+                f"""n{r}_{lvl} AS (
+    SELECT e.src AS id, {vals}{gval}
+    FROM ue e JOIN st{r}_{lvl-1} p ON p.id = e.dst GROUP BY e.src
+),
+st{r}_{lvl} AS MATERIALIZED (
+    SELECT v.id, {upd}{gupd}
+    FROM vertices v LEFT JOIN n{r}_{lvl} n ON n.id = v.id
+),
+w{r}_{lvl} AS (SELECT {", ".join(f"SUM(x{j}) AS w{j}" for j in slots)}{gw} FROM st{r}_{lvl})"""
+            )
+
+        def total(j: int) -> str:
+            return " + ".join(
+                f"{aL[lvl-1]} * (SELECT w{j} FROM w{r}_{lvl})"
+                for lvl in range(1, levels + 1)
+            )
+
+        branches = " UNION ALL ".join(
+            f"SELECT {sid(j)} AS id, {total(j)} AS total" for j in slots
+        )
+        not_in = (
+            " AND c.id NOT IN (" + ", ".join(picked) + ")" if picked else ""
+        )
+        ctes.append(
+            f"""pick{r} AS MATERIALIZED (
+    SELECT c.id, c.total FROM ({branches}) c
+    WHERE c.id IS NOT NULL{not_in}
+    ORDER BY c.total, c.id LIMIT 1
+)"""
+        )
+        out_rows.append(
+            f"SELECT CAST({r} AS BIGINT) AS rank, CAST(id AS BIGINT) AS id, "
+            f"ROUND(({wall}) - total, 6) + 0.0 AS ged_score FROM pick{r}"
+        )
+    return _with_graph(", ".join(ctes) + " " + " UNION ALL ".join(out_rows))
+
+
 def sql_group_harmonic(k: int) -> str:
     """Unrolled k-step greedy group-harmonic-closeness over the same
     recursive-ball APSP base as sql_group_closeness

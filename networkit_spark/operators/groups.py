@@ -237,3 +237,111 @@ def group_harmonic_closeness(
             .localCheckpoint(eager=True)
         )
     return spark.createDataFrame(picks, "rank bigint, id bigint, score double")
+
+
+def ged_walk_group(
+    graph: Graph,
+    k: int = 3,
+    alpha: float = 0.1,
+    levels: int = 4,
+    pool_size: int = 6,
+) -> DataFrame:
+    """(rank, id, ged_score) — greedy GedWalk group centrality
+    (ref: networkit/cpp/centrality/GedWalk.cpp, GedWalk.hpp:94-126):
+    GED(S) = sum_{l >= 1} alpha^l * (# length-l walks that TOUCH S)
+           = sum_l alpha^l * (w_l(G) - w_l(G minus S)),
+    greedily adding the node with the largest marginal gain, i.e. the
+    smallest avoided-walk mass w(G minus S minus v).
+
+    Pinned-budget variant of the reference's adaptive machinery: the walk
+    sum truncates at ``levels`` (the reference truncates adaptively under
+    an epsilon bound) and greedy candidates come from the top
+    ``pool_size`` vertices by (degree desc, id) (the reference lazily
+    scores all nodes under upper bounds) — the same bounded-contract
+    trade documented for TopCloseness. Ties break to the smallest id.
+
+    Determinism across engines is exact, not approximate: per-level walk
+    counts stay LONG integers (order-independent sums), and the damped
+    total sum_l alpha^l * w_l is evaluated in fixed ascending-l order on
+    both sides, so the greedy comparisons are bit-identical. Each level
+    is one edge join + one aggregation with candidate columns riding
+    along (pool_size + 1 LONG columns); k * levels supersteps total.
+    Walks run over the simple undirected support (self-loops excluded).
+    """
+    spark = graph.vertices.sparkSession
+    g = graph.to_undirected() if graph.directed else graph
+    adj = materialize(
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = adj.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pool = [
+        int(r["id"])
+        for r in deg.orderBy(F.desc("d"), F.asc("id")).limit(pool_size).collect()
+    ]
+
+    def avoided_mass(masks: list[list[int]]) -> list[float]:
+        """For each mask (a node-id list), sum_l alpha^l * w_l(G minus mask),
+        all masks advanced simultaneously as LONG columns."""
+        cols = [f"x{j}" for j in range(len(masks))]
+        state = graph.vertices.select(
+            "id",
+            *[
+                F.when(F.col("id").isin([int(x) for x in m]), F.lit(0))
+                .otherwise(F.lit(1))
+                .cast("long")
+                .alias(c)
+                if m
+                else F.lit(1).cast("long").alias(c)
+                for m, c in zip(masks, cols)
+            ],
+        ).localCheckpoint(eager=True)
+        totals = [0.0] * len(masks)
+        for lvl in range(1, levels + 1):
+            nbr = (
+                adj.join(state.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(*[F.sum(c).alias(f"v_{c}") for c in cols])
+            )
+            state = (
+                graph.vertices.select("id")
+                .join(nbr, "id", "left")
+                .select(
+                    "id",
+                    *[
+                        F.when(
+                            F.col("id").isin([int(x) for x in m]), F.lit(0)
+                        )
+                        .otherwise(F.coalesce(F.col(f"v_{c}"), F.lit(0)))
+                        .cast("long")
+                        .alias(c)
+                        if m
+                        else F.coalesce(F.col(f"v_{c}"), F.lit(0))
+                        .cast("long")
+                        .alias(c)
+                        for m, c in zip(masks, cols)
+                    ],
+                )
+                .localCheckpoint(eager=True)
+            )
+            row = state.agg(*[F.sum(c).alias(c) for c in cols]).first()
+            for j in range(len(masks)):
+                # fixed ascending-l order; identical expression in the oracle
+                totals[j] = totals[j] + (alpha ** lvl) * float(row[cols[j]])
+        return totals
+
+    wall = avoided_mass([[]])[0]
+    picks: list[tuple[int, int, float]] = []
+    group: list[int] = []
+    for rank in range(1, k + 1):
+        cands = [v for v in pool if v not in group]
+        if not cands:
+            break
+        totals = avoided_mass([group + [v] for v in cands])
+        best_i = min(range(len(cands)), key=lambda i: (totals[i], cands[i]))
+        group.append(cands[best_i])
+        picks.append((rank, cands[best_i], float(wall - totals[best_i])))
+    return spark.createDataFrame(picks, "rank bigint, id bigint, ged_score double")

@@ -1,3 +1,4 @@
+import pytest
 """GroupDegree (centrality/GroupDegree.cpp) contract tests."""
 
 from networkit_spark.graph import from_edge_rows
@@ -151,3 +152,52 @@ def test_group_harmonic_matches_brute_force(spark):
         for r in group_harmonic_closeness(g, k=3).orderBy("rank").collect()
     ]
     assert got == expected
+
+
+def test_ged_walk_matches_numpy_brute_force(spark):
+    import numpy as np
+
+    from networkit_spark.operators.groups import ged_walk_group
+
+    edges = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (3, 4), (4, 5), (5, 6), (6, 3),
+        (2, 7), (7, 8), (8, 9), (9, 7), (1, 5),
+    ]
+    n, k, alpha, L, C = 10, 3, 0.1, 4, 6
+    g = from_edge_rows(spark, edges, num_nodes=n)
+    got = [
+        (r["rank"], r["id"], r["ged_score"])
+        for r in ged_walk_group(
+            g, k=k, alpha=alpha, levels=L, pool_size=C
+        ).collect()
+    ]
+
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[u, v] = 1
+        A[v, u] = 1
+    deg = A.sum(1)
+    pool = sorted(range(n), key=lambda i: (-deg[i], i))[:C]
+
+    def avoid(mask):
+        keep = np.ones(n)
+        keep[list(mask)] = 0
+        x = keep.copy()
+        tot = 0.0
+        for lvl in range(1, L + 1):
+            x = keep * (A @ x)
+            tot = tot + (alpha ** lvl) * float(x.sum())
+        return tot
+
+    wall = avoid([])
+    S, want = [], []
+    for rank in range(1, k + 1):
+        cands = [v for v in pool if v not in S]
+        ts = [avoid(S + [v]) for v in cands]
+        i = min(range(len(cands)), key=lambda i: (ts[i], cands[i]))
+        S.append(cands[i])
+        want.append((rank, cands[i], wall - ts[i]))
+
+    assert [(r, i) for r, i, _ in got] == [(r, i) for r, i, _ in want]
+    for (_, _, a), (_, _, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-9)
