@@ -1043,6 +1043,29 @@ def q_centrality_kpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best Jaccard/F1/precision/recall of each pinned-seed GCE community
+    against the 1-sweep LP partition viewed as ground truth."""
+    from networkit_spark.operators.scd import gce, scd_ground_truth_comparison
+
+    g, _ = L.events_graph(spark, sf_dir)
+    found = gce(g, GCE_SEEDS, max_steps=GCE_STEPS, pinned=True)
+    truth = label_propagation(g, theta=-1, max_iterations=1).select(
+        "id", F.col("label").alias("subset")
+    )
+    return (
+        scd_ground_truth_comparison(found, truth)
+        .select(
+            F.col("seed").cast("bigint").alias("seed"),
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("f1", 6).alias("f1"),
+            F.round("precision", 6).alias("precision"),
+            F.round("recall", 6).alias("recall"),
+        )
+        .orderBy("seed")
+    )
+
+
 def q_community_map_equation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-equation (Infomap objective) synchronous local moving,
     4 pinned sweeps from singletons."""
@@ -1222,6 +1245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_cliques": q_graph_cliques,
     "scd_clique_detect": q_scd_clique_detect,
     "scd_gce": q_scd_gce,
+    "scd_ground_truth": q_scd_ground_truth,
     "community_map_equation": q_community_map_equation,
     "centrality_kpath": q_centrality_kpath,
     "centrality_group_degree": q_centrality_group_degree,
@@ -1319,6 +1343,7 @@ def build_oracles() -> dict[str, str]:
         "graph_cliques": L.sql_maximal_cliques(),
         "scd_clique_detect": L.sql_clique_detect(),
         "scd_gce": L.sql_gce(GCE_SEEDS, GCE_STEPS),
+        "scd_ground_truth": L.sql_scd_ground_truth(GCE_SEEDS, GCE_STEPS, 1),
         "community_map_equation": L.sql_map_equation(4),
         "centrality_kpath": L.sql_kpath(4, 64),
         "centrality_group_degree": L.sql_group_degree(GROUP_DEGREE_K),

@@ -2642,6 +2642,12 @@ def sql_gce(seeds: list[int], steps: int) -> str:
     shell node by dQ = (W_int+intDeg)/(cut-intDeg+extDeg) - W_int/cut
     when positive, ties to smallest id — same pinned step count and
     tie-break as the engine."""
+    ctes, last = _gce_ctes(seeds, steps)
+    body = ", ".join(ctes) + f" SELECT seed, node FROM {last} ORDER BY seed, node"
+    return _with_graph(body)
+
+
+def _gce_ctes(seeds: list[int], steps: int) -> tuple[list[str], str]:
     seed_rows = ", ".join(f"({int(s)})" for s in seeds)
     ctes = [
         "wadj AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS w "
@@ -2688,11 +2694,55 @@ mem{t} AS MATERIALIZED (
     SELECT seed, dst FROM win{t}
 )"""
         )
-    body = (
-        ", ".join(ctes)
-        + f" SELECT seed, node FROM mem{steps} ORDER BY seed, node"
-    )
-    return _with_graph(body)
+    return ctes, f"mem{steps}"
+
+
+def sql_scd_ground_truth(
+    seeds: list[int], steps: int, lp_iters: int
+) -> str:
+    """SCDGroundTruthComparison.cpp:11-110 — per GCE seed community, the
+    best Jaccard / F1 / precision / recall against the ground-truth
+    subsets CONTAINING the seed (ignoreSeeds=false), each maximized
+    independently; 0 when the seed community overlaps no allowed subset.
+    Ground truth = the pinned lp{N} partition viewed as a cover."""
+    gce_ctes, mem = _gce_ctes(seeds, steps)
+    lp_inner, lp_last = _lp_inner(lp_iters)
+    return f"""WITH {lp_inner},
+{", ".join(gce_ctes)},
+truth AS (SELECT id, label AS subset FROM {lp_last}),
+fs AS (SELECT seed, CAST(COUNT(*) AS DOUBLE) AS fsz FROM {mem} GROUP BY seed),
+ts AS (SELECT subset, CAST(COUNT(*) AS DOUBLE) AS tsz FROM truth GROUP BY subset),
+allowed AS (SELECT m.seed, t.subset FROM (SELECT DISTINCT seed FROM {mem}) m
+            JOIN truth t ON t.id = m.seed),
+ov AS (
+    SELECT m.seed, t.subset, CAST(COUNT(*) AS DOUBLE) AS ov
+    FROM {mem} m JOIN truth t ON t.id = m.node
+    JOIN allowed a ON a.seed = m.seed AND a.subset = t.subset
+    GROUP BY m.seed, t.subset
+),
+metrics AS (
+    SELECT o.seed,
+           o.ov / (f.fsz + t.tsz - o.ov) AS j,
+           o.ov / t.tsz AS recall,
+           o.ov / f.fsz AS precision,
+           CASE WHEN o.ov > 0
+                THEN 2 * (o.ov / f.fsz) * (o.ov / t.tsz)
+                     / ((o.ov / f.fsz) + (o.ov / t.tsz))
+                ELSE 0.0 END AS f1
+    FROM ov o JOIN fs f ON f.seed = o.seed JOIN ts t ON t.subset = o.subset
+),
+best AS (
+    SELECT seed, MAX(j) AS j, MAX(f1) AS f1,
+           MAX(precision) AS precision, MAX(recall) AS recall
+    FROM metrics GROUP BY seed
+)
+SELECT f.seed,
+       ROUND(COALESCE(b.j, 0.0), 6) + 0.0 AS jaccard,
+       ROUND(COALESCE(b.f1, 0.0), 6) + 0.0 AS f1,
+       ROUND(COALESCE(b.precision, 0.0), 6) + 0.0 AS precision,
+       ROUND(COALESCE(b.recall, 0.0), 6) + 0.0 AS recall
+FROM fs f LEFT JOIN best b ON b.seed = f.seed
+ORDER BY f.seed"""
 
 
 def sql_clique_detect() -> str:

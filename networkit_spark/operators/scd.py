@@ -372,3 +372,72 @@ def gce(
             break
     state.close()
     return mem
+
+
+def scd_ground_truth_comparison(
+    found: DataFrame, truth: DataFrame, ignore_seeds: bool = False
+) -> DataFrame:
+    """(seed, jaccard, f1, precision, recall) — each metric is the BEST
+    value of the seed's found community against any ground-truth subset,
+    maximized independently (ref: scd/SCDGroundTruthComparison.cpp:11-110).
+    With ignore_seeds=False only truth subsets CONTAINING the seed are
+    allowed (:59-71); seeds whose community overlaps no allowed subset
+    score 0.
+
+    ``found`` is (seed, node); ``truth`` is a cover (id, subset) —
+    partitions are the single-membership special case.  Pure joins and
+    label-keyed aggregations on exact counts: no float summation, so the
+    DuckDB oracle is bit-identical.
+    """
+    fs = found.groupBy("seed").agg(
+        F.count(F.lit(1)).cast("double").alias("fsz")
+    )
+    ts = truth.groupBy("subset").agg(
+        F.count(F.lit(1)).cast("double").alias("tsz")
+    )
+    ov = found.join(
+        truth.select(F.col("id").alias("node"), "subset"), "node"
+    )
+    if not ignore_seeds:
+        allowed = (
+            found.select("seed")
+            .distinct()
+            .join(truth.select(F.col("id").alias("seed"), "subset"), "seed")
+        )
+        ov = ov.join(allowed, ["seed", "subset"], "semi")
+    ov = ov.groupBy("seed", "subset").agg(
+        F.count(F.lit(1)).cast("double").alias("ov")
+    )
+    o, f_, t_ = F.col("ov"), F.col("fsz"), F.col("tsz")
+    metrics = (
+        ov.join(fs, "seed")
+        .join(ts, "subset")
+        .select(
+            "seed",
+            (o / (f_ + t_ - o)).alias("j"),
+            (o / t_).alias("recall"),
+            (o / f_).alias("precision"),
+            F.when(
+                o > 0,
+                2 * (o / f_) * (o / t_) / ((o / f_) + (o / t_)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("f1"),
+        )
+    )
+    best = metrics.groupBy("seed").agg(
+        F.max("j").alias("j"),
+        F.max("f1").alias("f1"),
+        F.max("precision").alias("precision"),
+        F.max("recall").alias("recall"),
+    )
+    return (
+        fs.join(best, "seed", "left")
+        .select(
+            "seed",
+            F.coalesce("j", F.lit(0.0)).alias("jaccard"),
+            F.coalesce("f1", F.lit(0.0)).alias("f1"),
+            F.coalesce("precision", F.lit(0.0)).alias("precision"),
+            F.coalesce("recall", F.lit(0.0)).alias("recall"),
+        )
+    )

@@ -1,3 +1,4 @@
+import pytest
 """PageRankNibble / ApproximatePageRank (scd/) contract tests."""
 
 import itertools
@@ -164,3 +165,38 @@ def test_gce_matches_brute_force(spark):
         by_seed.setdefault(r["seed"], []).append(r["node"])
     assert sorted(by_seed[0]) == sorted(_brute_gce_m(edges, 0))
     assert sorted(by_seed[7]) == sorted(_brute_gce_m(edges, 7))
+
+
+def test_scd_ground_truth_comparison(spark):
+    from networkit_spark.operators.scd import scd_ground_truth_comparison
+
+    # found: seed 0 -> {0,1,2,5}; seed 9 -> {9,8}
+    found = spark.createDataFrame(
+        [(0, 0), (0, 1), (0, 2), (0, 5), (9, 9), (9, 8)], "seed long, node long"
+    )
+    # truth cover: subset 10 = {0,1,2,3}, subset 20 = {4,5,6}, subset 30 = {8,9}
+    truth = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (3, 10), (4, 20), (5, 20), (6, 20), (8, 30), (9, 30)],
+        "id long, subset long",
+    )
+    got = {
+        r["seed"]: (r["jaccard"], r["f1"], r["precision"], r["recall"])
+        for r in scd_ground_truth_comparison(found, truth).collect()
+    }
+    # seed 0: allowed subsets containing 0 -> {10}; ov=3, fsz=4, tsz=4
+    j = 3 / (4 + 4 - 3)
+    p, rcl = 3 / 4, 3 / 4
+    f1 = 2 * p * rcl / (p + rcl)
+    assert got[0] == pytest.approx((j, f1, p, rcl), abs=1e-12)
+    # seed 9: subset 30 exactly matches {8,9} -> all 1.0
+    assert got[9] == pytest.approx((1.0, 1.0, 1.0, 1.0), abs=1e-12)
+
+    # ignore_seeds=True lets seed 0 match subset 20 for precision if better
+    got2 = {
+        r["seed"]: (r["jaccard"], r["precision"])
+        for r in scd_ground_truth_comparison(
+            found, truth, ignore_seeds=True
+        ).collect()
+    }
+    # subset 20 overlap = {5}: j = 1/(4+3-1) -> worse; best stays subset 10
+    assert got2[0][0] == pytest.approx(j, abs=1e-12)
