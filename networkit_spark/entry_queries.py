@@ -1043,6 +1043,21 @@ def q_centrality_kpath(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd_gce_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCE under the boundary-normalized objective L, pinned seeds/steps."""
+    from networkit_spark.operators.scd import gce
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return (
+        gce(g, GCE_SEEDS, max_steps=GCE_STEPS, pinned=True, objective="L")
+        .select(
+            F.col("seed").cast("bigint").alias("seed"),
+            F.col("node").cast("bigint").alias("node"),
+        )
+        .orderBy("seed", "node")
+    )
+
+
 def q_scd_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best Jaccard/F1/precision/recall of each pinned-seed GCE community
     against the 1-sweep LP partition viewed as ground truth."""
@@ -1246,6 +1261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd_clique_detect": q_scd_clique_detect,
     "scd_gce": q_scd_gce,
     "scd_ground_truth": q_scd_ground_truth,
+    "scd_gce_l": q_scd_gce_l,
     "community_map_equation": q_community_map_equation,
     "centrality_kpath": q_centrality_kpath,
     "centrality_group_degree": q_centrality_group_degree,
@@ -1344,6 +1360,7 @@ def build_oracles() -> dict[str, str]:
         "scd_clique_detect": L.sql_clique_detect(),
         "scd_gce": L.sql_gce(GCE_SEEDS, GCE_STEPS),
         "scd_ground_truth": L.sql_scd_ground_truth(GCE_SEEDS, GCE_STEPS, 1),
+        "scd_gce_l": L.sql_gce_l(GCE_SEEDS, GCE_STEPS),
         "community_map_equation": L.sql_map_equation(4),
         "centrality_kpath": L.sql_kpath(4, 64),
         "centrality_group_degree": L.sql_group_degree(GROUP_DEGREE_K),

@@ -2647,20 +2647,32 @@ def sql_gce(seeds: list[int], steps: int) -> str:
     return _with_graph(body)
 
 
-def _gce_ctes(seeds: list[int], steps: int) -> tuple[list[str], str]:
+def sql_gce_l(seeds: list[int], steps: int) -> str:
+    """Unrolled GCE under objective L (GCE.cpp:56-68,82-86): boundary-
+    normalized quality with the boundaryChange correction — same pinned
+    step count and tie-break as the engine."""
+    ctes, last = _gce_ctes(seeds, steps, objective="L")
+    body = ", ".join(ctes) + f" SELECT seed, node FROM {last} ORDER BY seed, node"
+    return _with_graph(body)
+
+
+def _gce_ctes(
+    seeds: list[int], steps: int, objective: str = "M"
+) -> tuple[list[str], str]:
     seed_rows = ", ".join(f"({int(s)})" for s in seeds)
     ctes = [
         "wadj AS MATERIALIZED (SELECT src, dst, CAST(weight AS DOUBLE) AS w "
         "FROM edges WHERE src <> dst)",
         "gwd AS MATERIALIZED (SELECT src AS dst, SUM(w) AS wd FROM wadj GROUP BY src)",
+        "gnc AS MATERIALIZED (SELECT src AS dst, CAST(COUNT(*) AS BIGINT) AS nc "
+        "FROM wadj GROUP BY src)",
         f"mem0 AS (SELECT CAST(seed AS BIGINT) AS seed, CAST(seed AS BIGINT) AS node "
         f"FROM (VALUES {seed_rows}) s(seed))",
     ]
     for t in range(1, steps + 1):
         p = f"mem{t-1}"
-        ctes.append(
-            f"""rows{t} AS (
-    SELECT m.seed, e.dst, e.w, (mm.node IS NOT NULL) AS inm
+        base = f"""rows{t} AS (
+    SELECT m.seed, m.node AS src, e.dst, e.w, (mm.node IS NOT NULL) AS inm
     FROM {p} m JOIN wadj e ON e.src = m.node
     LEFT JOIN {p} mm ON mm.seed = m.seed AND mm.node = e.dst
 ),
@@ -2671,16 +2683,54 @@ agg{t} AS (
     FROM rows{t} GROUP BY seed
 ),
 cand{t} AS (
-    SELECT seed, dst, SUM(w) AS intdeg FROM rows{t} WHERE NOT inm GROUP BY 1, 2
-),
-sc{t} AS (
+    SELECT seed, dst, SUM(w) AS intdeg, CAST(COUNT(*) AS BIGINT) AS ic
+    FROM rows{t} WHERE NOT inm GROUP BY 1, 2
+)"""
+        if objective == "M":
+            score = f"""sc{t} AS (
     SELECT c.seed, c.dst,
            (CASE WHEN a.cut - c.intdeg + (d.wd - c.intdeg) > 0
                  THEN (a.wint + c.intdeg) / (a.cut - c.intdeg + (d.wd - c.intdeg))
                  ELSE 1e308 END) - a.wint / a.cut AS dq
     FROM cand{t} c JOIN agg{t} a USING (seed) JOIN gwd d ON d.dst = c.dst
     WHERE a.cut > 0
+)"""
+        else:
+            score = f"""extc{t} AS (
+    SELECT seed, src, SUM(CASE WHEN NOT inm THEN 1 ELSE 0 END) AS xc
+    FROM rows{t} GROUP BY 1, 2
 ),
+bsz{t} AS (
+    SELECT seed, CAST(COUNT(*) AS BIGINT) AS b FROM extc{t} WHERE xc > 0
+    GROUP BY seed
+),
+szs{t} AS (SELECT seed, CAST(COUNT(*) AS BIGINT) AS sz FROM {p} GROUP BY seed),
+lastc{t} AS (
+    SELECT r.seed, r.dst, CAST(COUNT(*) AS BIGINT) AS lc
+    FROM rows{t} r
+    JOIN extc{t} x ON x.seed = r.seed AND x.src = r.src AND x.xc = 1
+    WHERE NOT r.inm GROUP BY 1, 2
+),
+sc{t} AS (
+    SELECT c.seed, c.dst,
+           (CASE WHEN (s.sz + 1) * (a.cut - c.intdeg + (d.wd - c.intdeg)) > 0
+                 THEN 2.0 * (a.wint + c.intdeg)
+                      * (COALESCE(b.b, 0) + (CASE WHEN n.nc - c.ic > 0 THEN 1
+                                                  ELSE 0 END - COALESCE(l.lc, 0)))
+                      / ((s.sz + 1) * (a.cut - c.intdeg + (d.wd - c.intdeg)))
+                 ELSE 1e308 END)
+           - 2.0 * a.wint * COALESCE(b.b, 0) / (s.sz * a.cut) AS dq
+    FROM cand{t} c
+    JOIN agg{t} a USING (seed)
+    JOIN gwd d ON d.dst = c.dst
+    JOIN gnc n ON n.dst = c.dst
+    JOIN szs{t} s USING (seed)
+    LEFT JOIN bsz{t} b USING (seed)
+    LEFT JOIN lastc{t} l ON l.seed = c.seed AND l.dst = c.dst
+    WHERE a.cut > 0
+)"""
+        ctes.append(
+            base + ",\n" + score + f""",
 win{t} AS (
     SELECT seed, dst FROM (
         SELECT seed, dst,

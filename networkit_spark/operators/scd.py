@@ -291,18 +291,27 @@ def gce(
     seeds: list[int],
     max_steps: int = 20,
     pinned: bool = False,
+    objective: str = "M",
 ) -> DataFrame:
-    """(seed, node) — Greedy Community Expansion under objective M
-    (ref: scd/GCE.cpp:44-51,79-116 expandseedInternal<true>): starting
-    from each seed, repeatedly admit the shell node maximizing
-    dQ = (W_int + intDeg) / (cut - intDeg + extDeg) - W_int / cut, while
-    some dQ > 0.  The reference breaks dQ ties uniformly at random; here
-    ties go to the smallest node id so the DuckDB oracle replays the
-    identical expansion.  Self-loops are excluded (GCE.cpp:18-20 rejects
-    them outright).
+    """(seed, node) — Greedy Community Expansion (ref: scd/GCE.cpp:44-116
+    expandseedInternal): starting from each seed, repeatedly admit the
+    shell node maximizing dQ while some dQ > 0.
+
+    objective "M" (expandseedInternal<true>):
+        dQ = (W_int + intDeg) / (cut - intDeg + extDeg) - W_int / cut.
+    objective "L" (expandseedInternal<false>, GCE.cpp:56-68,82-86):
+        Q = 2 W_int B / (|S| cut) with B = # boundary members (members
+        with an external neighbor); admitting v changes the boundary by
+        boundaryChange(v) = [v has an external neighbor] - #{members whose
+        ONLY external neighbor is v}, giving
+        dQ = 2 (W_int+intDeg)(B+Δb) / ((|S|+1)(cut-intDeg+extDeg)) - Q.
+
+    The reference breaks dQ ties uniformly at random; here ties go to the
+    smallest node id so the DuckDB oracle replays the identical
+    expansion.  Self-loops are excluded (GCE.cpp:18-20 rejects them).
 
     ALL seed expansions advance simultaneously as one (seed, node)
-    membership table: each greedy step is one adjacency join + two
+    membership table: each greedy step is one adjacency join + a few
     seed-keyed aggregations + a per-seed top-1 window — the per-seed
     community is small (locality is the point of SCD), so the window
     partitions are tiny and the shuffle is bounded by
@@ -310,12 +319,17 @@ def gce(
     exactly max_steps rounds with no early-exit action, the
     oracle-checkable mode.
     """
+    if objective not in ("M", "L"):
+        raise ValueError("objective must be 'M' or 'L' (GCE.cpp:118-126)")
     adj = materialize(
         graph.edges.filter(F.col("src") != F.col("dst")).select(
             "src", "dst", F.col("weight").cast("double").alias("w")
         )
     )
     wdeg = adj.groupBy(F.col("src").alias("dst")).agg(F.sum("w").alias("wd"))
+    ncnt = adj.groupBy(F.col("src").alias("dst")).agg(
+        F.count(F.lit(1)).alias("nc")
+    )
     spark = graph.vertices.sparkSession
     mem = materialize(
         spark.createDataFrame(
@@ -333,7 +347,10 @@ def gce(
                 ["seed", "dst"],
                 "left",
             )
-            .select("seed", "dst", "w", F.coalesce("inm", F.lit(False)).alias("inm"))
+            .select(
+                "seed", "src", "dst", "w",
+                F.coalesce("inm", F.lit(False)).alias("inm"),
+            )
         )
         agg = rows.groupBy("seed").agg(
             (
@@ -346,21 +363,73 @@ def gce(
         cand = (
             rows.filter(~F.col("inm"))
             .groupBy("seed", "dst")
-            .agg(F.sum("w").alias("intdeg"))
+            .agg(F.sum("w").alias("intdeg"), F.count(F.lit(1)).alias("ic"))
         )
-        denom = F.col("cut") - F.col("intdeg") + (F.col("wd") - F.col("intdeg"))
-        dq = (
-            F.when(denom > 0, (F.col("wint") + F.col("intdeg")) / denom)
-            .otherwise(F.lit(1e308))
-            - F.col("wint") / F.col("cut")
-        )
-        scored = (
-            cand.join(agg, "seed")
-            .join(wdeg, "dst")
-            .filter(F.col("cut") > 0)
-            .select("seed", "dst", dq.alias("dq"))
-            .filter(F.col("dq") > 0)
-        )
+        if objective == "M":
+            denom = F.col("cut") - F.col("intdeg") + (F.col("wd") - F.col("intdeg"))
+            dq = (
+                F.when(denom > 0, (F.col("wint") + F.col("intdeg")) / denom)
+                .otherwise(F.lit(1e308))
+                - F.col("wint") / F.col("cut")
+            )
+            scored = (
+                cand.join(agg, "seed")
+                .join(wdeg, "dst")
+                .filter(F.col("cut") > 0)
+                .select("seed", "dst", dq.alias("dq"))
+            )
+        else:
+            extc = rows.groupBy("seed", "src").agg(
+                F.sum(F.when(~F.col("inm"), F.lit(1)).otherwise(F.lit(0))).alias("xc")
+            )
+            bsz = (
+                extc.filter(F.col("xc") > 0)
+                .groupBy("seed")
+                .agg(F.count(F.lit(1)).alias("b"))
+            )
+            szs = mem.groupBy("seed").agg(F.count(F.lit(1)).alias("sz"))
+            lastc = (
+                rows.filter(~F.col("inm"))
+                .join(
+                    extc.filter(F.col("xc") == 1).select("seed", "src"),
+                    ["seed", "src"],
+                    "semi",
+                )
+                .groupBy("seed", "dst")
+                .agg(F.count(F.lit(1)).alias("lc"))
+            )
+            db = (
+                F.when(F.col("nc") - F.col("ic") > 0, F.lit(1)).otherwise(F.lit(0))
+                - F.coalesce(F.col("lc"), F.lit(0))
+            )
+            denoml = (F.col("sz") + 1) * (
+                F.col("cut") - F.col("intdeg") + (F.col("wd") - F.col("intdeg"))
+            )
+            dq = (
+                F.when(
+                    denoml > 0,
+                    2.0 * (F.col("wint") + F.col("intdeg")) * (F.col("b") + db)
+                    / denoml,
+                ).otherwise(F.lit(1e308))
+                - 2.0 * F.col("wint") * F.col("b")
+                / (F.col("sz") * F.col("cut"))
+            )
+            scored = (
+                cand.join(agg, "seed")
+                .join(wdeg, "dst")
+                .join(ncnt, "dst")
+                .join(szs, "seed")
+                .join(bsz.withColumnRenamed("b", "b"), "seed", "left")
+                .join(lastc, ["seed", "dst"], "left")
+                .select(
+                    "seed", "dst",
+                    F.coalesce("b", F.lit(0)).alias("b"),
+                    "wint", "cut", "intdeg", "wd", "nc", "ic", "sz", "lc",
+                )
+                .filter(F.col("cut") > 0)
+                .select("seed", "dst", dq.alias("dq"))
+            )
+        scored = scored.filter(F.col("dq") > 0)
         w = Window.partitionBy("seed").orderBy(F.desc("dq"), F.asc("dst"))
         winners = (
             scored.withColumn("rn", F.row_number().over(w))

@@ -200,3 +200,69 @@ def test_scd_ground_truth_comparison(spark):
     }
     # subset 20 overlap = {5}: j = 1/(4+3-1) -> worse; best stays subset 10
     assert got2[0][0] == pytest.approx(j, abs=1e-12)
+
+
+def _brute_gce_l(edges, seed, max_steps=30):
+    """Direct GCE.cpp objective-L greedy (ties to smallest id)."""
+    adj = {}
+    for u, v, *wt in edges:
+        w = float(wt[0]) if wt else 1.0
+        if u == v:
+            continue
+        adj.setdefault(u, {})[v] = w
+        adj.setdefault(v, {})[u] = w
+    com = {seed}
+    for _ in range(max_steps):
+        wint = sum(
+            w for u in com for v, w in adj.get(u, {}).items() if v in com
+        ) / 2.0
+        cut = sum(
+            w for u in com for v, w in adj.get(u, {}).items() if v not in com
+        )
+        if cut <= 0:
+            break
+        bnd = sum(1 for u in com if any(v not in com for v in adj.get(u, {})))
+        size = len(com)
+        q = 2.0 * wint * bnd / (size * cut)
+        shell = {v for u in com for v in adj.get(u, {}) if v not in com}
+        best, best_dq = None, 0.0
+        for v in sorted(shell):
+            intdeg = sum(w for y, w in adj[v].items() if y in com)
+            extdeg = sum(w for y, w in adj[v].items() if y not in com)
+            hasext = 1 if any(y not in com for y in adj[v]) else 0
+            lastc = sum(
+                1
+                for u in com
+                if v in adj.get(u, {})
+                and sum(1 for y in adj[u] if y not in com) == 1
+            )
+            denom = (size + 1) * (cut - intdeg + extdeg)
+            nq = (
+                2.0 * (wint + intdeg) * (bnd + (hasext - lastc)) / denom
+                if denom > 0
+                else 1e308
+            )
+            if nq - q > best_dq:
+                best, best_dq = v, nq - q
+        if best is None:
+            break
+        com.add(best)
+    return com
+
+
+def test_gce_objective_l_matches_brute_force(spark):
+    from networkit_spark.operators.scd import gce
+
+    edges = [
+        (0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (0, 3),
+        (3, 4),
+        (4, 5), (4, 6), (5, 6), (5, 7), (6, 7), (4, 7),
+        (7, 8), (8, 9),
+    ]
+    g = from_edge_rows(spark, edges)
+    multi = gce(g, [0, 7], max_steps=20, objective="L").collect()
+    by = {}
+    for r in multi:
+        by.setdefault(r["seed"], []).append(r["node"])
+    assert sorted(by[0]) == sorted(_brute_gce_l(edges, 0))
+    assert sorted(by[7]) == sorted(_brute_gce_l(edges, 7))
