@@ -663,3 +663,41 @@ def lfr(
     )
     g = Graph(nodes.select("id"), sym, directed=False, weighted=False)
     return g, nodes.select("id", F.col("comm").alias("label"))
+
+
+def havel_hakimi(spark: SparkSession, sequence: list[int]) -> Graph:
+    """Havel-Hakimi realization of an exact degree sequence (ref:
+    generators/HavelHakimiGenerator.cpp — repeatedly connect the
+    highest-remaining-degree node to the next-highest ones; raises if the
+    sequence is not graphical, mirroring erdosGallai failure).
+
+    The algorithm is inherently sequential (each step depends on the
+    updated residual degrees), so like the reference it runs on the
+    DRIVER over the sequence — fixture-tier by design (the reference uses
+    it to realize LFR's intra-community sequences; fixtures here are the
+    same use).  The resulting edge list is parallelized into a normal
+    distributed Graph.  Deterministic: ties broken by node id.
+    """
+    import heapq
+
+    n = len(sequence)
+    heap = [(-int(d), i) for i, d in enumerate(sequence) if d > 0]
+    heapq.heapify(heap)
+    edges: list[tuple[int, int, float]] = []
+    while heap:
+        negd, u = heapq.heappop(heap)
+        d = -negd
+        if d > len(heap):
+            raise ValueError("degree sequence is not graphical")
+        taken = [heapq.heappop(heap) for _ in range(d)]
+        for negdv, v in taken:
+            edges.append((min(u, v), max(u, v), 1.0))
+        for negdv, v in taken:
+            if -negdv - 1 > 0:
+                heapq.heappush(heap, (negdv + 1, v))
+    e = spark.createDataFrame(edges, schema=EDGE_SCHEMA)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    v = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(v, sym, directed=False, weighted=False)

@@ -290,3 +290,23 @@ def test_lfr_mixing_partition_and_determinism(spark):
     g3, _ = lfr(spark, n=200, mu=0.15, seed=7)
     e3 = sorted(map(tuple, g3.edges.select("src", "dst").collect()))
     assert e1 != e3
+
+
+def test_havel_hakimi_realizes_sequence(spark):
+    from networkit_spark.sources.generators import havel_hakimi
+
+    seq = [3, 3, 2, 2, 2, 1, 1]  # graphical (sum even, Erdos-Gallai ok)
+    g = havel_hakimi(spark, seq)
+    deg = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    assert [deg[i] for i in range(len(seq))] == seq
+
+    # regular sequence
+    g2 = havel_hakimi(spark, [2] * 6)
+    deg2 = {r["id"]: r["degree"] for r in g2.degrees().collect()}
+    assert all(d == 2 for d in deg2.values())
+
+    # non-graphical raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        havel_hakimi(spark, [5, 1, 1, 1])
