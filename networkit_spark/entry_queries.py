@@ -363,6 +363,24 @@ def q_centrality_spanning_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centrality_local_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local partition coverage against the 1-sweep pinned LP
+    partition."""
+    from networkit_spark.operators.permanence import local_partition_coverage
+
+    g, _ = L.events_graph(spark, sf_dir)
+    labels = label_propagation(g, theta=-1, max_iterations=1)
+    labels = labels.localCheckpoint(eager=True)
+    return (
+        local_partition_coverage(g, labels)
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.round("coverage", 6).alias("coverage"),
+        )
+        .orderBy("id")
+    )
+
+
 def q_community_partition_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster local evaluation of the 4-sweep LP partition:
     intrapartition density, hub dominance, isolated conductance/expansion."""
@@ -1222,6 +1240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "community_measures": q_community_measures,
     "centrality_permanence": q_centrality_permanence,
     "centrality_spanning_edge": q_centrality_spanning_edge,
+    "centrality_local_coverage": q_centrality_local_coverage,
     "community_partition_eval": q_community_partition_eval,
     "community_adjusted_rand": q_community_adjusted_rand,
     "community_graph_rand": q_community_graph_rand,
@@ -1375,6 +1394,7 @@ def build_oracles() -> dict[str, str]:
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),
         "centrality_permanence": L.sql_permanence(1),
         "centrality_spanning_edge": L.sql_spanning_edge(4, 30, 0.5),
+        "centrality_local_coverage": L.sql_local_coverage(1),
         "community_partition_eval": L.sql_partition_eval(1),
         "community_adjusted_rand": L.sql_adjusted_rand(2, 1),
         "community_sampled_rand": L.sql_sampled_rand(2, 1, 40, 60),

@@ -2344,6 +2344,27 @@ SELECT
     AS sampled_graph_rand"""
 
 
+def sql_local_coverage(lp_iters: int) -> str:
+    """Per-vertex local partition coverage against the lp{N} partition
+    (LocalPartitionCoverage.cpp:12-30): same-cluster weighted degree over
+    weighted degree, loops once, isolated vertices 0."""
+    inner, last = _lp_inner(lp_iters)
+    return f"""WITH {inner},
+lbl AS (SELECT id, label FROM {last}),
+per AS (
+    SELECT e.src AS id,
+           COALESCE(SUM(CASE WHEN a.label = b.label THEN e.weight END), 0.0) AS num,
+           SUM(e.weight) AS den
+    FROM edges e JOIN lbl a ON a.id = e.src JOIN lbl b ON b.id = e.dst
+    GROUP BY e.src
+)
+SELECT v.id,
+       ROUND(CASE WHEN p.num > 0 THEN p.num / p.den ELSE 0.0 END, 6) + 0.0
+           AS coverage
+FROM vertices v LEFT JOIN per p ON p.id = v.id
+ORDER BY v.id"""
+
+
 def sql_permanence(lp_iters: int) -> str:
     """Per-vertex permanence against the lp{N} partition
     (PermanenceCentrality.cpp:139-160 getPermanence, :112-137

@@ -87,3 +87,37 @@ def permanence_centrality(graph: Graph, labels: DataFrame) -> DataFrame:
             (ideg / emax / F.col("deg") - (F.lit(1.0) - cc_in)).alias("permanence"),
         )
     )
+
+
+def local_partition_coverage(graph: Graph, labels: DataFrame) -> DataFrame:
+    """(id, coverage) — fraction of each vertex's weighted degree that
+    stays inside its own cluster (ref:
+    centrality/LocalPartitionCoverage.cpp:12-30: numerator sums edge
+    weights to same-cluster neighbors, self-loops included once;
+    denominator is weightedDegree with self-loops once; isolated vertices
+    score 0).  One label join + one per-vertex aggregation."""
+    lab_src = labels.select(F.col("id").alias("src"), F.col("label").alias("lsrc"))
+    lab_dst = labels.select(F.col("id").alias("dst"), F.col("label").alias("ldst"))
+    per = (
+        graph.edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+        .join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("lsrc") == F.col("ldst"), F.col("w"))),
+                F.lit(0.0),
+            ).alias("num"),
+            F.sum("w").alias("den"),
+        )
+    )
+    return (
+        graph.vertices.select("id")
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("num") > 0, F.col("num") / F.col("den"))
+            .otherwise(F.lit(0.0))
+            .alias("coverage"),
+        )
+    )

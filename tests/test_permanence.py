@@ -95,3 +95,28 @@ def test_permanence_matches_brute_force(spark):
     assert set(got) == set(want)
     for u, w in want.items():
         assert got[u] == pytest.approx(w, abs=1e-9), u
+
+
+def test_local_partition_coverage(spark):
+    from networkit_spark.operators.permanence import local_partition_coverage
+
+    # triangle {0,1,2} in cluster A, pair {3,4} in B, bridge 2-3,
+    # isolated 5, self-loop on 0
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (0, 0)]
+    g = from_edge_rows(spark, edges, num_nodes=6)
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 2)], "id long, label long"
+    )
+    got = {
+        r["id"]: r["coverage"]
+        for r in local_partition_coverage(g, labels).collect()
+    }
+    # node 0: nbrs 1,2 same + self-loop once -> num 3, den 3 -> 1.0
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(1.0)
+    # node 2: nbrs 0,1 same, 3 other -> 2/3
+    assert got[2] == pytest.approx(2 / 3)
+    # node 3: nbr 4 same, 2 other -> 1/2
+    assert got[3] == pytest.approx(0.5)
+    assert got[4] == pytest.approx(1.0)
+    assert got[5] == 0.0
