@@ -701,3 +701,94 @@ def havel_hakimi(spark: SparkSession, sequence: list[int]) -> Graph:
     )
     v = spark.range(n).select(F.col("id").cast("long"))
     return Graph(v, sym, directed=False, weighted=False)
+
+
+def stochastic_blockmodel(
+    spark: SparkSession,
+    membership: list[int],
+    affinity: list[list[float]],
+    seed: int = 42,
+) -> Graph:
+    """Stochastic blockmodel graph (ref:
+    generators/StochasticBlockmodel.cpp — each pair u < v is an edge with
+    probability affinity[block(u)][block(v)]).  The reference walks all
+    O(n^2) pairs; this generator uses the expected-count realization (the
+    same fast-sampler trade as chung_lu/lfr): per block pair it draws
+    round(p * #pairs) candidate edges with hash-uniform endpoints inside
+    each block, then dedupes — per-pair inclusion converges to p for
+    sparse blocks, and the block structure is exact.  Deterministic in
+    (seed, membership, affinity)."""
+    n = len(membership)
+    k = len(affinity)
+    if any(len(row) != k for row in affinity):
+        raise ValueError("affinity matrix must be square nBlocks x nBlocks")
+    if any(not (0 <= b < k) for b in membership):
+        raise ValueError("membership entries must be valid block indices")
+
+    mem = spark.createDataFrame(
+        [(i, int(b)) for i, b in enumerate(membership)], "id long, block long"
+    )
+    from pyspark.sql import Window
+
+    idx = mem.withColumn(
+        "idx", F.row_number().over(Window.partitionBy("block").orderBy("id")) - 1
+    )
+    sizes = [sum(1 for b in membership if b == a) for a in range(k)]
+
+    pair_rows = []
+    for a in range(k):
+        for b in range(a, k):
+            p = float(affinity[a][b])
+            npairs = (
+                sizes[a] * (sizes[a] - 1) // 2 if a == b else sizes[a] * sizes[b]
+            )
+            m = int(round(p * npairs))
+            if m > 0:
+                pair_rows.append((a, b, m))
+    if not pair_rows:
+        e = spark.createDataFrame([], EDGE_SCHEMA)
+        return Graph(mem.select("id"), e, directed=False, weighted=False)
+
+    draws = (
+        spark.createDataFrame(pair_rows, "ba long, bb long, m long")
+        .select("ba", "bb", F.explode(F.sequence(F.lit(0), F.col("m") - 1)).alias("i"))
+    )
+    sz = spark.createDataFrame(
+        [(a, s) for a, s in enumerate(sizes)], "block long, sz long"
+    )
+    d = (
+        draws.join(sz.withColumnRenamed("block", "ba").withColumnRenamed("sz", "sa"), "ba")
+        .join(sz.withColumnRenamed("block", "bb").withColumnRenamed("sz", "sb"), "bb")
+        .select(
+            "ba", "bb", "i",
+            (
+                F.abs(F.xxhash64(F.lit(seed * 31 + 21), "ba", "bb", "i"))
+                % F.col("sa")
+            ).alias("ia"),
+            (
+                F.abs(F.xxhash64(F.lit(seed * 31 + 22), "ba", "bb", "i"))
+                % F.col("sb")
+            ).alias("ib"),
+        )
+    )
+    ua = idx.select(
+        F.col("block").alias("ba"), F.col("idx").alias("ia"), F.col("id").alias("u")
+    )
+    ub = idx.select(
+        F.col("block").alias("bb"), F.col("idx").alias("ib"), F.col("id").alias("v")
+    )
+    half = (
+        d.join(ua, ["ba", "ia"])
+        .join(ub, ["bb", "ib"])
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("src"),
+            F.greatest("u", "v").alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0).cast("float"))
+    )
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    return Graph(mem.select("id"), sym, directed=False, weighted=False)

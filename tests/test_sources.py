@@ -310,3 +310,37 @@ def test_havel_hakimi_realizes_sequence(spark):
 
     with _pytest.raises(ValueError):
         havel_hakimi(spark, [5, 1, 1, 1])
+
+
+def test_stochastic_blockmodel_block_structure(spark):
+    from networkit_spark.sources.generators import stochastic_blockmodel
+
+    membership = [0] * 30 + [1] * 30 + [2] * 30
+    affinity = [
+        [0.4, 0.02, 0.0],
+        [0.02, 0.4, 0.02],
+        [0.0, 0.02, 0.4],
+    ]
+    g = stochastic_blockmodel(spark, membership, affinity, seed=42)
+    mem = {i: b for i, b in enumerate(membership)}
+    ce = [
+        (r["src"], r["dst"])
+        for r in g.edges.filter(F.col("src") < F.col("dst")).collect()
+    ]
+    intra = sum(1 for u, v in ce if mem[u] == mem[v])
+    inter02 = sum(1 for u, v in ce if {mem[u], mem[v]} == {0, 2})
+    # p=0 block pair yields NO edges; intra dominates
+    assert inter02 == 0
+    assert intra > len(ce) * 0.7
+    # per-block intra density tracks 0.4 (expected-count realization)
+    intra0 = sum(1 for u, v in ce if mem[u] == mem[v] == 0)
+    dens0 = intra0 / (30 * 29 / 2)
+    assert 0.25 < dens0 < 0.45
+
+    # determinism
+    g2 = stochastic_blockmodel(spark, membership, affinity, seed=42)
+    e2 = sorted(
+        (r["src"], r["dst"])
+        for r in g2.edges.filter(F.col("src") < F.col("dst")).collect()
+    )
+    assert sorted(ce) == e2
