@@ -3,7 +3,7 @@
 import pytest
 from pyspark.sql import functions as F
 
-from networkit_spark.graph import from_edge_rows
+from networkit_spark.graph import Graph, from_edge_rows
 from networkit_spark.operators.coarsening import (
     conductance_per_cluster,
     make_continuous_balanced_partition,
@@ -223,3 +223,34 @@ def test_sampled_rand_measures_match_hash_sample(spark):
     want_edge = 1.0 - sum(agree(u, v) for u, v in sample) / 5
     got_edge = sampled_graph_rand_distance(g, zeta, eta, 5)
     assert got_edge == pytest.approx(want_edge, abs=1e-12)
+
+
+def test_plm_vs_plp_nmi_on_planted_partition(spark):
+    """Quantitative community-recovery comparison (VERDICT r1 item 9):
+    on a planted partition both detectors should sit close to the ground
+    truth, measured by NMI distance, with PLM at least as good as a
+    bounded-sweep PLP."""
+    from networkit_spark.operators.labelprop import label_propagation
+    from networkit_spark.operators.measures import partition_measures
+    from networkit_spark.sources.generators import clustered_random_graph
+
+    g, truth = clustered_random_graph(spark, n=60, k=3, p_intra=0.7, p_inter=0.005)
+    g = Graph(
+        g.vertices.localCheckpoint(eager=True),
+        g.edges.localCheckpoint(eager=True),
+        g.directed,
+        g.weighted,
+    )
+    truth = truth.localCheckpoint(eager=True)
+
+    plm_labels = plm(g).localCheckpoint(eager=True)
+    plp_labels = label_propagation(g, theta=-1, max_iterations=4).localCheckpoint(
+        eager=True
+    )
+    d_plm = partition_measures(plm_labels, truth)["nmi_distance"]
+    d_plp = partition_measures(plp_labels, truth)["nmi_distance"]
+    # strongly separated planted clusters: PLM should nearly recover the
+    # truth; PLP is allowed to be worse but must not collapse
+    assert d_plm < 0.3, d_plm
+    assert d_plp < 0.9, d_plp
+    assert d_plm <= d_plp + 0.05, (d_plm, d_plp)
