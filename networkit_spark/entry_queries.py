@@ -639,6 +639,15 @@ def q_minhash_bands(spark, sf_dir):
     return dedup.minhash_bands(sh, num_hashes=16, bands=4)
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Canonical doc per near-dup cluster (minhash pairs -> pinned
+    min-label components -> lexicographic-min representative)."""
+    sh = dedup.shingles(_docs(spark, sf_dir))
+    bands = dedup.minhash_bands(sh, num_hashes=16, bands=4)
+    pairs = dedup.minhash_candidate_pairs(bands, max_bucket=50)
+    return dedup.canonical_docs(pairs, rounds=4).orderBy("id")
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=32)
 
@@ -1299,6 +1308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_topk": q_token_topk,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_bands": q_minhash_bands,
+    "dedup_canonical": q_dedup_canonical,
     "dedup_simhash": q_simhash,
     "dedup_jaccard_pairs": q_jaccard_pairs,
     "embed_cosine_topk": q_cosine_topk,
@@ -1414,6 +1424,7 @@ def build_oracles() -> dict[str, str]:
         "text_token_topk": L.sql_token_topk(20),
         "dedup_exact": L.sql_dedup_exact(),
         "dedup_minhash_bands": L.sql_minhash_bands(16, 4),
+        "dedup_canonical": L.sql_dedup_canonical(16, 4, 50, 4),
         "dedup_simhash": L.sql_simhash(32),
         "dedup_jaccard_pairs": L.sql_jaccard_pairs(0.5, 100),
         "embed_cosine_topk": L.sql_cosine_topk(5, 10),

@@ -688,6 +688,56 @@ mins AS (
 {' UNION ALL '.join(parts)}"""
 
 
+def sql_dedup_canonical(
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 50,
+    rounds: int = 4,
+) -> str:
+    """Canonical doc per near-dup cluster: the engine's minhash bands +
+    stop-bucket-capped candidate pairs, then ``rounds`` of min-label
+    propagation (pinned, exact for cluster diameter <= rounds)."""
+    rows = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    parts = []
+    for b in range(bands):
+        sig = ", ".join(f"h{b * rows + j}" for j in range(rows))
+        parts.append(
+            f"SELECT id, CAST({b} AS INT) AS band, "
+            f"md5(concat_ws('|', {sig})) AS bucket FROM mins"
+        )
+    ctes = [
+        f"mins AS (SELECT id, {mins} FROM sh GROUP BY id)",
+        "bandrows AS (" + " UNION ALL ".join(parts) + ")",
+        "sized AS (SELECT id, band, bucket, "
+        "COUNT(*) OVER (PARTITION BY band, bucket) AS sz FROM bandrows)",
+        f"kept AS (SELECT id, band, bucket FROM sized WHERE sz <= {max_bucket})",
+        "prs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM kept a "
+        "JOIN kept b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)",
+        "sym AS (SELECT id_a AS u, id_b AS v FROM prs "
+        "UNION ALL SELECT id_b, id_a FROM prs)",
+        "l0 AS (SELECT DISTINCT u AS id, u AS canonical FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""nm{r} AS (
+    SELECT s.u AS id, MIN(l.canonical) AS nmin
+    FROM sym s JOIN l{r-1} l ON l.id = s.v GROUP BY s.u
+),
+l{r} AS (
+    SELECT l.id, LEAST(l.canonical, COALESCE(n.nmin, l.canonical)) AS canonical
+    FROM l{r-1} l LEFT JOIN nm{r} n ON n.id = l.id
+)"""
+        )
+    return (
+        f"WITH {DOCS_CTE}, {SHINGLES_CTE.strip()},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT id, canonical FROM l{rounds} ORDER BY id"
+    )
+
+
 def sql_simhash(bits: int = 32) -> str:
     from networkit_spark.functions.hashing import md5_long_sql
 

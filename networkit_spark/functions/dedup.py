@@ -159,3 +159,40 @@ def jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def canonical_docs(pairs: DataFrame, rounds: int = 4) -> DataFrame:
+    """(id, canonical) — elect one canonical document per near-duplicate
+    CLUSTER: connected components over the candidate-pair graph with the
+    lexicographically smallest member id as the representative (the
+    "cluster duplicates, keep one" step a dedup pipeline runs after LSH).
+
+    Min-label propagation with a PINNED round count: each round every
+    paired doc takes the min of its own label and its neighbors' labels —
+    converged once ``rounds`` reaches the cluster diameter.  Near-dup
+    clusters are short chains of band-bucket collisions (the stop-bucket
+    cap bounds their size), so a handful of rounds is exact; a production
+    run would iterate to fixpoint with the same superstep.  Pinned rounds
+    keep the DuckDB oracle an exact replay.  Only docs appearing in some
+    pair are returned (everything else is trivially its own canonical).
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    lab = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("canonical"))
+    )
+    for _ in range(rounds):
+        nbr_min = (
+            sym.join(lab.select(F.col("id").alias("v"), "canonical"), "v")
+            .groupBy(F.col("u").alias("id"))
+            .agg(F.min("canonical").alias("nmin"))
+        )
+        lab = lab.join(nbr_min, "id", "left").select(
+            "id", F.least("canonical", F.coalesce("nmin", "canonical")).alias("canonical")
+        )
+    return lab

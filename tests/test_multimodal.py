@@ -71,3 +71,16 @@ def test_sample_frames_grid_and_hash_determinism(spark):
         assert [f["ts_sec"] for f in fr] == [i / 2.0 for i in range(6)]
     again = sample_frames(attach_binary(_docs(spark)), fps=2.0, duration_s=3.0)
     assert rows == again.orderBy("doc_id", "frame_idx").collect()
+
+
+def test_canonical_docs_elects_min_per_cluster(spark):
+    from networkit_spark.functions.dedup import canonical_docs
+
+    # two chains: {a,b,c} via a-b, b-c; {x,y}; singleton pairs absent
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {
+        r["id"]: r["canonical"] for r in canonical_docs(pairs, rounds=4).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
