@@ -363,6 +363,22 @@ def q_centrality_spanning_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centrality_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eppstein-Wang sampled closeness from 8 md5-pinned pivots — the
+    scale path for closeness."""
+    from networkit_spark.operators.distance import sampled_closeness
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return (
+        sampled_closeness(g, num_samples=8, seed=42)
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.round("closeness_est", 6).alias("closeness_est"),
+        )
+        .orderBy("id")
+    )
+
+
 def q_centrality_local_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local partition coverage against the 1-sweep pinned LP
     partition."""
@@ -1250,6 +1266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centrality_permanence": q_centrality_permanence,
     "centrality_spanning_edge": q_centrality_spanning_edge,
     "centrality_local_coverage": q_centrality_local_coverage,
+    "centrality_closeness_sampled": q_centrality_closeness_sampled,
     "community_partition_eval": q_community_partition_eval,
     "community_adjusted_rand": q_community_adjusted_rand,
     "community_graph_rand": q_community_graph_rand,
@@ -1405,6 +1422,7 @@ def build_oracles() -> dict[str, str]:
         "centrality_permanence": L.sql_permanence(1),
         "centrality_spanning_edge": L.sql_spanning_edge(4, 30, 0.5),
         "centrality_local_coverage": L.sql_local_coverage(1),
+        "centrality_closeness_sampled": L.sql_sampled_closeness(8),
         "community_partition_eval": L.sql_partition_eval(1),
         "community_adjusted_rand": L.sql_adjusted_rand(2, 1),
         "community_sampled_rand": L.sql_sampled_rand(2, 1, 40, 60),

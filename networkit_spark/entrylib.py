@@ -2394,6 +2394,40 @@ SELECT
     AS sampled_graph_rand"""
 
 
+def sql_sampled_closeness(num_samples: int, seed: int = 42) -> str:
+    """Eppstein-Wang sampled closeness with the same md5-ranked pivots
+    and recursive-ball BFS distances as the engine
+    (ApproxCloseness.cpp's sampling-estimator role)."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(f"('{seed}:acl:' || CAST(id AS STRING))")
+    return f"""WITH RECURSIVE {GRAPH_CTE.strip()},
+sedges AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vertices),
+pv AS MATERIALIZED (
+    SELECT id FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY {h}, id) AS r FROM vertices
+    ) WHERE r <= {num_samples}
+),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM pv),
+ball(s, v, d) AS (
+    SELECT id, id, CAST(0 AS BIGINT) FROM pv
+    UNION
+    SELECT b.s, e.dst, b.d + 1 FROM ball b JOIN sedges e ON e.src = b.v
+    WHERE b.d + 1 <= (SELECT n FROM nn)
+),
+dists AS (SELECT s, v AS id, MIN(d) AS dist FROM ball GROUP BY s, v),
+agg AS (SELECT id, CAST(SUM(dist) AS DOUBLE) AS sum_d FROM dists GROUP BY id)
+SELECT v.id,
+       ROUND(CASE WHEN a.sum_d > 0
+                  THEN 1.0 / ((CAST((SELECT n FROM nn) AS DOUBLE)
+                               / ((SELECT k FROM kk) * ((SELECT n FROM nn) - 1.0)))
+                              * a.sum_d)
+                  ELSE 0.0 END, 6) + 0.0 AS closeness_est
+FROM vertices v LEFT JOIN agg a ON a.id = v.id
+ORDER BY v.id"""
+
+
 def sql_local_coverage(lp_iters: int) -> str:
     """Per-vertex local partition coverage against the lp{N} partition
     (LocalPartitionCoverage.cpp:12-30): same-cluster weighted degree over

@@ -315,3 +315,53 @@ def volume(
         .groupBy("r")
         .agg((F.count(F.lit(1)) / F.lit(float(n_src))).alias("volume"))
     )
+
+
+def sampled_closeness(
+    graph: Graph, num_samples: int = 8, seed: int = 42
+) -> DataFrame:
+    """(id, closeness_est) — Eppstein-Wang sampled closeness estimate:
+    with k hash-picked pivot sources, farness_est(u) =
+    n / (k * (n-1)) * sum over pivots of d(pivot, u), and
+    closeness_est(u) = 1 / farness_est (0 when no pivot reaches u).
+
+    This is the sampling estimator role of
+    centrality/ApproxCloseness.cpp (which layers variance-reduction
+    pivoting on the same idea); pivots here are md5-ranked
+    (hash-derandomized) so the DuckDB oracle replays the identical
+    sample, and unreachable (pivot, u) pairs simply contribute nothing —
+    the estimator's connected-graph assumption degrades gracefully on
+    fragments. Cost: one batched k-source BFS (k frontier supersteps
+    over shared scans) + one aggregation — independent of n beyond the
+    BFS itself, which is why this is the 10^9-vertex closeness path.
+    """
+    from pyspark.sql import Window
+
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    n = graph.num_nodes()
+    h = F.expr(md5_long_sql(f"('{seed}:acl:' || CAST(id AS STRING))"))
+    w = Window.orderBy(h, F.col("id"))
+    pivots = [
+        int(r["id"])
+        for r in graph.vertices.select("id")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= num_samples)
+        .collect()
+    ]
+    k = len(pivots)
+    hops = multi_source_hops(graph, sources=pivots)
+    agg = hops.groupBy("id").agg(F.sum("dist").cast("double").alias("sum_d"))
+    scale = float(n) / (k * (n - 1.0))
+    return (
+        graph.vertices.select("id")
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("sum_d") > 0, 1.0 / (F.lit(scale) * F.col("sum_d"))
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness_est"),
+        )
+    )

@@ -165,3 +165,31 @@ def test_neighborhood_function_shape(spark):
     nf = [r["nf"] for r in rows]
     assert all(a <= b + 1e-9 for a, b in zip(nf, nf[1:]))
     assert all(0.0 < r["hop_plot"] <= 1.0 for r in rows)
+
+
+def test_sampled_closeness_estimator(spark):
+    """On a connected fixture: all-pivot sampling equals exact normalized
+    closeness; partial sampling is an unbiased-form estimate close to it."""
+    from networkit_spark.operators.distance import closeness, sampled_closeness
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 4), (2, 0)]
+    n = 5
+    g = from_edge_rows(spark, edges, num_nodes=n)
+    # k = n pivots -> the estimator degenerates to exact normalized closeness
+    est = {
+        r["id"]: r["closeness_est"]
+        for r in sampled_closeness(g, num_samples=n).collect()
+    }
+    exact = {
+        r["id"]: r["score"]
+        for r in closeness(g, normalized=True).collect()
+    }
+    for u in range(n):
+        assert est[u] == pytest.approx(exact[u], abs=1e-12), u
+    # small sample: positive everywhere on a connected graph, same scale
+    est3 = {
+        r["id"]: r["closeness_est"]
+        for r in sampled_closeness(g, num_samples=3).collect()
+    }
+    for u in range(n):
+        assert 0.2 < est3[u] <= 1.5, (u, est3[u])
