@@ -363,6 +363,22 @@ def q_centrality_spanning_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centrality_betweenness_rk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Riondato-Kornaropoulos sampled-path betweenness estimate,
+    32 md5-pinned (s,t) pairs, depth horizon 8."""
+    from networkit_spark.operators.betweenness import approx_betweenness_rk
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return (
+        approx_betweenness_rk(g, num_samples=32, max_depth=8, seed=42)
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("id")
+    )
+
+
 def q_centrality_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eppstein-Wang sampled closeness from 8 md5-pinned pivots — the
     scale path for closeness."""
@@ -1267,6 +1283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centrality_spanning_edge": q_centrality_spanning_edge,
     "centrality_local_coverage": q_centrality_local_coverage,
     "centrality_closeness_sampled": q_centrality_closeness_sampled,
+    "centrality_betweenness_rk": q_centrality_betweenness_rk,
     "community_partition_eval": q_community_partition_eval,
     "community_adjusted_rand": q_community_adjusted_rand,
     "community_graph_rand": q_community_graph_rand,
@@ -1423,6 +1440,7 @@ def build_oracles() -> dict[str, str]:
         "centrality_spanning_edge": L.sql_spanning_edge(4, 30, 0.5),
         "centrality_local_coverage": L.sql_local_coverage(1),
         "centrality_closeness_sampled": L.sql_sampled_closeness(8),
+        "centrality_betweenness_rk": L.sql_approx_betweenness_rk(32, 8),
         "community_partition_eval": L.sql_partition_eval(1),
         "community_adjusted_rand": L.sql_adjusted_rand(2, 1),
         "community_sampled_rand": L.sql_sampled_rand(2, 1, 40, 60),

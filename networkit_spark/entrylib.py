@@ -1191,6 +1191,103 @@ FROM vertices ver LEFT JOIN bsc b ON b.id = ver.id ORDER BY ver.id"""
     return _with_graph(body)
 
 
+def sql_approx_betweenness_rk(
+    num_samples: int, max_depth: int, seed: int = 42
+) -> str:
+    """Riondato-Kornaropoulos sampled-path betweenness
+    (ApproxBetweenness.cpp semantics, md5-derandomized): unrolled
+    forward BFS with path counts from the sampled sources, then
+    max_depth-1 unrolled backward-walk steps with sigma-weighted
+    inverse-CDF predecessor picks — identical draws and cumulative
+    order as the engine."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    unit = float(1 << 48)
+    hs = md5_long_sql(f"('{seed}:abs:' || CAST(i AS STRING))")
+    ht = md5_long_sql(f"('{seed}:abt:' || CAST(i AS STRING))")
+    ctes = [
+        "uadj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vertices)",
+        f"""smp AS MATERIALIZED (
+    SELECT i, s, CAST((s + off) % (SELECT n FROM nn) AS BIGINT) AS t FROM (
+        SELECT CAST(unnest(range({num_samples})) AS BIGINT) AS i
+    ) w, LATERAL (
+        SELECT CAST({hs} % (SELECT n FROM nn) AS BIGINT) AS s,
+               CAST({ht} % ((SELECT n FROM nn) - 1) + 1 AS BIGINT) AS off
+    ) d
+)""",
+        """bw0 AS (
+    SELECT s, s AS v, CAST(0 AS BIGINT) AS dist, CAST(1 AS DOUBLE) AS sigma
+    FROM (SELECT DISTINCT s FROM smp)
+)""",
+    ]
+    for k in range(1, max_depth + 1):
+        ctes.append(
+            f"""bwn{k} AS (
+    SELECT p.s, e.dst AS v, CAST({k} AS BIGINT) AS dist, SUM(p.sigma) AS sigma
+    FROM bw{k-1} p JOIN uadj e ON e.src = p.v
+    WHERE p.dist = {k-1}
+    GROUP BY p.s, e.dst
+),
+bw{k} AS MATERIALIZED (
+    SELECT s, v, dist, sigma FROM bw{k-1}
+    UNION ALL
+    SELECT n.s, n.v, n.dist, n.sigma FROM bwn{k} n
+    WHERE NOT EXISTS (SELECT 1 FROM bw{k-1} o WHERE o.s = n.s AND o.v = n.v)
+)"""
+        )
+    D = f"bw{max_depth}"
+    ctes.append(
+        f"""wk0 AS (
+    SELECT m.i, m.s, m.t AS cur, b.dist AS dd
+    FROM smp m JOIN {D} b ON b.s = m.s AND b.v = m.t
+    WHERE b.dist >= 1
+)"""
+    )
+    for j in range(1, max_depth):
+        hp = md5_long_sql(f"('{seed}:abp:{j}:' || CAST(i AS STRING))")
+        ctes.append(
+            f"""pr{j} AS (
+    SELECT w.i, e.src AS p, b.sigma
+    FROM wk{j-1} w
+    JOIN uadj e ON e.dst = w.cur
+    JOIN {D} b ON b.s = w.s AND b.v = e.src AND b.dist = w.dd - 1
+    WHERE w.dd > 1
+),
+pk{j} AS (
+    SELECT i, p FROM (
+        SELECT i, p, ROW_NUMBER() OVER (PARTITION BY i ORDER BY p) AS rn
+        FROM (
+            SELECT i, p,
+                   SUM(sigma) OVER (PARTITION BY i ORDER BY p
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                   ({hp} / {unit!r}) * SUM(sigma) OVER (PARTITION BY i) AS rd
+            FROM pr{j}
+        ) WHERE cum > rd
+    ) WHERE rn = 1
+),
+wk{j} AS MATERIALIZED (
+    SELECT w.i, w.s, COALESCE(k.p, w.cur) AS cur,
+           CASE WHEN k.p IS NOT NULL THEN w.dd - 1 ELSE w.dd END AS dd
+    FROM wk{j-1} w LEFT JOIN pk{j} k ON k.i = w.i
+)"""
+        )
+    credit_union = " UNION ALL ".join(
+        f"SELECT i, p FROM pk{j}" for j in range(1, max_depth)
+    )
+    body = (
+        ", ".join(ctes)
+        + f""",
+cr AS ({credit_union}),
+cnt AS (SELECT p AS id, CAST(COUNT(*) AS BIGINT) AS c FROM cr GROUP BY p)
+SELECT v.id,
+       ROUND(COALESCE(c.c, 0) / {float(num_samples)!r}, 6) + 0.0 AS score
+FROM vertices v LEFT JOIN cnt c ON c.id = v.id
+ORDER BY v.id"""
+    )
+    return _with_graph(body)
+
+
 def sql_plm_pinned(sweeps: int, gamma: float = 1.0) -> str:
     """Unrolled synchronous Louvain move phase, sweep-for-sweep the shape of
     operators/louvain.py _move_phase(exact_sweeps=True): per sweep, each

@@ -186,3 +186,160 @@ def estimate_betweenness(
         scale_to_n=True,
         max_depth=max_depth,
     )
+
+
+def approx_betweenness_rk(
+    graph: Graph,
+    num_samples: int = 32,
+    max_depth: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, score) — Riondato-Kornaropoulos approximate betweenness
+    (ref: centrality/ApproxBetweenness.cpp: sample r (s,t) pairs, walk ONE
+    shortest path per pair backwards choosing each predecessor with
+    probability sigma(pred)/sum sigma, credit every internal node 1/r;
+    score estimates betweenness normalized by the number of pairs, with
+    the RK eps-delta guarantee governing r).
+
+    Derandomization: pairs and every predecessor choice are md5 draws
+    ((seed, sample) / (seed, sample, step)), predecessors inverse-CDF'd
+    in id-ascending cumulative order — the DuckDB oracle replays walks
+    exactly. The path-length horizon is PINNED at ``max_depth`` (the
+    reference samples from the true diameter; pairs farther apart than
+    the horizon contribute nothing on either engine — set it >= the
+    graph diameter for the reference semantics).
+
+    Plan shape: one source-batched forward BFS with path counts (shared
+    with betweenness()), then max_depth-1 backward-walk supersteps where
+    ALL sample walks advance at once: state is one row per live walk, a
+    step is a join against the (dist, sigma) table plus two per-walk
+    windows. Cost independent of n beyond the BFS."""
+    from networkit_spark.functions.hashing import md5_long_sql
+    from pyspark.sql import Window
+
+    UNIT = float(1 << 48)
+    spark = graph.vertices.sparkSession
+    n = graph.num_nodes()
+    r = num_samples
+
+    s_draw = F.expr(md5_long_sql(f"('{seed}:abs:' || CAST(i AS STRING))")) % F.lit(n)
+    t_off = F.expr(md5_long_sql(f"('{seed}:abt:' || CAST(i AS STRING))")) % F.lit(
+        n - 1
+    ) + 1
+    samples = materialize(
+        spark.range(r)
+        .select(F.col("id").alias("i"))
+        .select(
+            "i",
+            s_draw.cast("long").alias("s"),
+            ((s_draw + t_off) % F.lit(n)).cast("long").alias("t"),
+        )
+    )
+
+    edges = materialize(
+        graph.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    sources = samples.select("s").distinct()
+
+    # forward multi-source BFS with path counts, horizon max_depth
+    state = IterationState(None, "abrk-fwd")
+    frontier = sources.select("s", F.col("s").alias("id"), F.lit(1.0).alias("sigma"))
+    frontier = state.advance(0, frontier)
+    visited = frontier.select("s", "id").localCheckpoint(eager=True)
+    dist_sigma = frontier.select(
+        "s", "id", F.lit(0).cast("long").alias("dist"), "sigma"
+    ).localCheckpoint(eager=True)
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.withColumnRenamed("id", "src")
+            .join(edges, "src")
+            .groupBy("s", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["s", "id"], "anti")
+        )
+        nxt = state.advance(depth, nxt)
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt.select("s", "id")).localCheckpoint(eager=True)
+        dist_sigma = dist_sigma.unionByName(
+            nxt.select("s", "id", F.lit(depth).cast("long").alias("dist"), "sigma")
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    state.close()
+
+    # backward hash walks, all samples at once
+    walks = materialize(
+        samples.join(
+            dist_sigma.select(
+                "s", F.col("id").alias("t"), F.col("dist").alias("dd")
+            ),
+            ["s", "t"],
+        )
+        .filter(F.col("dd") >= 1)
+        .select("i", "s", F.col("t").alias("cur"), "dd")
+    )
+    credits = None
+    wstate = IterationState(None, "abrk-bwd")
+    for j in range(1, max_depth):
+        live = walks.filter(F.col("dd") > 1)
+        preds = (
+            live.join(edges.withColumnRenamed("dst", "cur"), "cur")
+            .join(
+                dist_sigma.select(
+                    "s", F.col("id").alias("src"), "dist", "sigma"
+                ),
+                ["s", "src"],
+            )
+            .filter(F.col("dist") == F.col("dd") - 1)
+            .select("i", F.col("src").alias("p"), "sigma")
+        )
+        w_all = Window.partitionBy("i")
+        w_cum = (
+            Window.partitionBy("i")
+            .orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        rdraw = (
+            F.expr(md5_long_sql(f"('{seed}:abp:{j}:' || CAST(i AS STRING))"))
+            / F.lit(UNIT)
+        ) * F.sum("sigma").over(w_all)
+        pick = (
+            preds.select(
+                "i", "p", F.sum("sigma").over(w_cum).alias("cum"), rdraw.alias("rd")
+            )
+            .filter(F.col("cum") > F.col("rd"))
+            .withColumn("rn", F.row_number().over(Window.partitionBy("i").orderBy("p")))
+            .filter(F.col("rn") == 1)
+            .select("i", "p")
+        )
+        credits = (
+            pick if credits is None else credits.unionByName(pick)
+        ).localCheckpoint(eager=True)
+        walks = wstate.advance(
+            j,
+            walks.join(pick, "i", "left").select(
+                "i",
+                "s",
+                F.coalesce("p", F.col("cur")).alias("cur"),
+                F.when(F.col("p").isNotNull(), F.col("dd") - 1)
+                .otherwise(F.col("dd"))
+                .alias("dd"),
+            ),
+        )
+    wstate.close()
+
+    counts = (
+        (credits if credits is not None else spark.createDataFrame([], "i long, p long"))
+        .groupBy(F.col("p").alias("id"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        graph.vertices.select("id")
+        .join(counts, "id", "left")
+        .select(
+            "id",
+            (F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.lit(float(r))).alias(
+                "score"
+            ),
+        )
+    )

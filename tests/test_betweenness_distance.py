@@ -193,3 +193,85 @@ def test_sampled_closeness_estimator(spark):
     }
     for u in range(n):
         assert 0.2 < est3[u] <= 1.5, (u, est3[u])
+
+
+def test_approx_betweenness_rk_matches_hash_replica(spark):
+    """Engine RK sampled-path betweenness equals a hashlib/BFS
+    transliteration of the identical derandomized sampling."""
+    import hashlib
+    from collections import defaultdict, deque
+
+    from networkit_spark.operators.betweenness import approx_betweenness_rk
+
+    UNIT = float(1 << 48)
+
+    def h(sx):
+        return int(hashlib.md5(sx.encode()).hexdigest()[:12], 16)
+
+    edges = [
+        (0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0),
+        (0, 6), (6, 3), (1, 7), (7, 4), (2, 8), (8, 9), (9, 5),
+    ]
+    n, r, D, seed = 10, 24, 6, 42
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+
+    def bfs(s):
+        dist, sig = {s: 0}, {s: 1.0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= D:
+                continue
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sig[w] = 0.0
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sig[w] += sig[u]
+        return dist, sig
+
+    credits = defaultdict(int)
+    cache = {}
+    for i in range(r):
+        s = h(f"{seed}:abs:{i}") % n
+        t = (s + h(f"{seed}:abt:{i}") % (n - 1) + 1) % n
+        if s not in cache:
+            cache[s] = bfs(s)
+        dist, sig = cache[s]
+        if t not in dist or dist[t] < 1:
+            continue
+        cur, dd = t, dist[t]
+        step = 0
+        while dd > 1:
+            step += 1
+            preds = sorted(
+                p for p in adj[cur] if dist.get(p) == dd - 1
+            )
+            tot = sum(sig[p] for p in preds)
+            rd = h(f"{seed}:abp:{step}:{i}") / UNIT * tot
+            cum = 0.0
+            pick = None
+            for p in preds:
+                cum += sig[p]
+                if cum > rd:
+                    pick = p
+                    break
+            if pick is None:
+                break
+            credits[pick] += 1
+            cur, dd = pick, dd - 1
+
+    g = from_edge_rows(spark, edges, num_nodes=n)
+    got = {
+        row["id"]: row["score"]
+        for row in approx_betweenness_rk(
+            g, num_samples=r, max_depth=D, seed=seed
+        ).collect()
+    }
+    for v in range(n):
+        assert got[v] == pytest.approx(credits.get(v, 0) / r, abs=1e-12), v
+    assert sum(got.values()) > 0
