@@ -961,6 +961,32 @@ def q_centrality_group_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 GEDWALK_K, GEDWALK_ALPHA, GEDWALK_LEVELS, GEDWALK_POOL = 3, 0.1, 4, 6
 
 
+SWAPS_K, SWAPS_ROUNDS = 4, 3
+
+
+def q_centrality_group_swaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grow-shrink local swaps refining an md5-ranked (effectively
+    random) initial group: one best strictly-improving swap per round."""
+    from pyspark.sql import Window
+
+    from networkit_spark.functions.hashing import md5_long_sql
+    from networkit_spark.operators.groups import group_closeness_local_swaps
+
+    g, _ = L.events_graph(spark, sf_dir)
+    h = F.expr(md5_long_sql("('42:gsw:' || CAST(id AS STRING))"))
+    w = Window.orderBy(h, F.col("id"))
+    group = [
+        int(r["id"])
+        for r in g.vertices.select("id")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= SWAPS_K)
+        .collect()
+    ]
+    return group_closeness_local_swaps(
+        g, group, max_rounds=SWAPS_ROUNDS
+    ).orderBy("round")
+
+
 def q_centrality_gedwalk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy GedWalk group (pinned 4-level truncation, top-6-degree
     candidate pool) with cumulative GED score per pick."""
@@ -1318,6 +1344,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centrality_group_closeness": q_centrality_group_closeness,
     "centrality_group_harmonic": q_centrality_group_harmonic,
     "centrality_gedwalk": q_centrality_gedwalk,
+    "centrality_group_swaps": q_centrality_group_swaps,
     "graph_reachable": q_graph_reachable,
     "graph_cliques": q_graph_cliques,
     "scd_clique_detect": q_scd_clique_detect,
@@ -1415,6 +1442,7 @@ def build_oracles() -> dict[str, str]:
         "graph_commute_time": L.sql_commute_time(CTD_PAIRS, CTD_ITERS, CTD_OMEGA),
         "centrality_group_closeness": L.sql_group_closeness(GROUP_CLOSENESS_K),
         "centrality_group_harmonic": L.sql_group_harmonic(GROUP_CLOSENESS_K),
+        "centrality_group_swaps": L.sql_group_swaps(SWAPS_K, SWAPS_ROUNDS),
         "centrality_gedwalk": L.sql_ged_walk(
             GEDWALK_K, GEDWALK_ALPHA, GEDWALK_LEVELS, GEDWALK_POOL
         ),

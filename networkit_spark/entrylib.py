@@ -3484,6 +3484,92 @@ w{r}_{lvl} AS (SELECT {", ".join(f"SUM(x{j}) AS w{j}" for j in slots)}{gw} FROM 
     return _with_graph(", ".join(ctes) + " " + " UNION ALL ".join(out_rows))
 
 
+def sql_group_swaps(k: int, rounds: int, seed: int = 42) -> str:
+    """Unrolled deterministic grow-shrink local swaps
+    (GroupClosenessGrowShrink.cpp / GroupClosenessLocalSwaps.cpp role):
+    per round, the single best strictly-improving (out, in) swap over the
+    recursive-ball APSP, ties (out, in) ascending — same md5-ranked
+    initial group, top-2 removal trick and penalty-n convention as the
+    engine."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(f"('{seed}:gsw:' || CAST(id AS STRING))")
+    base = f"""sedges AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vertices),
+ball(s, v, d) AS (
+    SELECT id, id, CAST(0 AS BIGINT) FROM vertices
+    UNION
+    SELECT b.s, e.dst, b.d + 1 FROM ball b JOIN sedges e ON e.src = b.v
+    WHERE b.d + 1 <= (SELECT n FROM nn)
+),
+apsp AS MATERIALIZED (SELECT s, v AS t, MIN(d) AS dist FROM ball GROUP BY s, v),
+gmem0 AS (
+    SELECT id AS s FROM (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY {h}, id) AS r FROM vertices
+    ) WHERE r <= {k}
+)"""
+    ctes = [base]
+    for r in range(1, rounds + 1):
+        p = f"gmem{r-1}"
+        ctes.append(
+            f"""t2_{r} AS (
+    SELECT t,
+           MIN(CASE WHEN rn = 1 THEN dist END) AS gd1,
+           MIN(CASE WHEN rn = 1 THEN s END) AS arg1,
+           MIN(CASE WHEN rn = 2 THEN dist END) AS gd2
+    FROM (
+        SELECT d.t, d.s, d.dist,
+               ROW_NUMBER() OVER (PARTITION BY d.t ORDER BY d.dist, d.s) AS rn
+        FROM apsp d JOIN {p} m ON m.s = d.s
+    ) WHERE rn <= 2 GROUP BY t
+),
+ex{r} AS (
+    SELECT m.s AS x, v.id AS t,
+           COALESCE(CASE WHEN w.arg1 = m.s THEN w.gd2 ELSE w.gd1 END,
+                    (SELECT n FROM nn)) AS ex
+    FROM {p} m CROSS JOIN vertices v
+    LEFT JOIN t2_{r} w ON w.t = v.id
+),
+bs{r} AS (SELECT x, SUM(ex) AS base FROM ex{r} GROUP BY x),
+cf{r} AS (
+    SELECT SUM(COALESCE(w.gd1, (SELECT n FROM nn))) AS far
+    FROM vertices v LEFT JOIN t2_{r} w ON w.t = v.id
+),
+dl{r} AS (
+    SELECT e.x, d.s AS y, SUM(d.dist - e.ex) AS delta
+    FROM apsp d JOIN ex{r} e ON e.t = d.t
+    WHERE d.dist < e.ex AND d.s NOT IN (SELECT s FROM {p})
+    GROUP BY e.x, d.s
+),
+pk{r} AS MATERIALIZED (
+    SELECT x, y, nf FROM (
+        SELECT l.x, l.y, b.base + l.delta AS nf
+        FROM dl{r} l JOIN bs{r} b ON b.x = l.x
+    ) WHERE nf < (SELECT far FROM cf{r})
+    ORDER BY nf, x, y LIMIT 1
+),
+gmem{r} AS MATERIALIZED (
+    SELECT s FROM {p}
+    WHERE NOT EXISTS (SELECT 1 FROM pk{r} k WHERE k.x = {p}.s)
+    UNION ALL
+    SELECT y FROM pk{r}
+)"""
+        )
+    outs = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, CAST(x AS BIGINT) AS out_id, "
+        f"CAST(y AS BIGINT) AS in_id, CAST(nf AS BIGINT) AS farness FROM pk{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH RECURSIVE {GRAPH_CTE.strip()}, "
+        + ", ".join(ctes)
+        + " "
+        + outs
+    )
+
+
 def sql_group_harmonic(k: int) -> str:
     """Unrolled k-step greedy group-harmonic-closeness over the same
     recursive-ball APSP base as sql_group_closeness

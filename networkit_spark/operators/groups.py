@@ -345,3 +345,103 @@ def ged_walk_group(
         group.append(cands[best_i])
         picks.append((rank, cands[best_i], float(wall - totals[best_i])))
     return spark.createDataFrame(picks, "rank bigint, id bigint, ged_score double")
+
+
+def group_closeness_local_swaps(
+    graph: Graph,
+    group: list[int],
+    max_rounds: int = 3,
+    hops: DataFrame | None = None,
+) -> DataFrame:
+    """(round, out_id, in_id, farness) — local-search refinement of a
+    group-closeness group by single swaps (ref:
+    centrality/GroupClosenessGrowShrink.cpp + ...LocalSwaps.cpp: exchange
+    a member with a non-member while the group farness decreases).
+
+    Deterministic pinned variant of the reference's randomized
+    grow-shrink: each round evaluates EVERY (member out, candidate in)
+    swap exactly against the batched APSP table and applies the single
+    best strictly-improving one (ties: smallest out id, then in id); a
+    round with no improving swap applies nothing, so extra pinned rounds
+    are no-ops — the oracle-checkable mode.  Unreachable targets count
+    distance n (the group_closeness penalty convention).
+
+    Removal is O(1) per target via the top-2 member distances (gd1, gd2
+    + argmin): excluding member x leaves gd1 unless x IS the argmin, in
+    which case gd2.  Each round is then one window over the member
+    distances, one member-keyed base sum, and one (out, in, t) delta
+    aggregation bounded by |S| x Σ_y |reach(y)| rows — no per-candidate
+    BFS.  Emits one row per APPLIED swap.
+    """
+    from pyspark.sql import Window
+
+    from networkit_spark.operators.distance import multi_source_hops
+
+    spark = graph.vertices.sparkSession
+    g = graph.to_undirected() if graph.directed else graph
+    D = hops if hops is not None else multi_source_hops(g)
+    D = materialize(D.select("s", F.col("id").alias("t"), "dist"))
+    n = graph.num_nodes()
+
+    members = [int(x) for x in group]
+    out_rows: list[tuple[int, int, int, int]] = []
+    for rnd in range(1, max_rounds + 1):
+        mem_df = spark.createDataFrame([(m,) for m in members], "s long")
+        md = D.join(mem_df, "s")
+        w = Window.partitionBy("t").orderBy(F.asc("dist"), F.asc("s"))
+        top2 = (
+            md.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .groupBy("t")
+            .agg(
+                F.min(F.when(F.col("rn") == 1, F.col("dist"))).alias("gd1"),
+                F.min(F.when(F.col("rn") == 1, F.col("s"))).alias("arg1"),
+                F.min(F.when(F.col("rn") == 2, F.col("dist"))).alias("gd2"),
+            )
+        )
+        # excl(x, t) for every member x over ALL targets, penalty n
+        excl = (
+            spark.createDataFrame([(m,) for m in members], "x long")
+            .crossJoin(graph.vertices.select(F.col("id").alias("t")))
+            .join(top2, "t", "left")
+            .select(
+                "x",
+                "t",
+                F.coalesce(
+                    F.when(F.col("arg1") == F.col("x"), F.col("gd2")).otherwise(
+                        F.col("gd1")
+                    ),
+                    F.lit(n).cast("long"),
+                ).alias("ex"),
+            )
+        )
+        excl = materialize(excl)
+        base = excl.groupBy("x").agg(F.sum("ex").alias("base"))
+        cur_far = int(
+            graph.vertices.select(F.col("id").alias("t"))
+            .join(top2, "t", "left")
+            .agg(F.sum(F.coalesce("gd1", F.lit(n).cast("long")))).first()[0]
+        )
+        ydist = D.join(mem_df.withColumnRenamed("s", "s"), "s", "anti").select(
+            F.col("s").alias("y"), "t", F.col("dist").alias("dy")
+        )
+        deltas = (
+            ydist.join(excl, "t")
+            .filter(F.col("dy") < F.col("ex"))
+            .groupBy("x", "y")
+            .agg(F.sum(F.col("dy") - F.col("ex")).alias("delta"))
+        )
+        best = (
+            deltas.join(base, "x")
+            .select("x", "y", (F.col("base") + F.col("delta")).alias("nf"))
+            .orderBy(F.asc("nf"), F.asc("x"), F.asc("y"))
+            .limit(1)
+            .first()
+        )
+        if best is None or int(best["nf"]) >= cur_far:
+            break
+        members = [m for m in members if m != int(best["x"])] + [int(best["y"])]
+        out_rows.append((rnd, int(best["x"]), int(best["y"]), int(best["nf"])))
+    return spark.createDataFrame(
+        out_rows, "round bigint, out_id bigint, in_id bigint, farness bigint"
+    )

@@ -201,3 +201,67 @@ def test_ged_walk_matches_numpy_brute_force(spark):
     assert [(r, i) for r, i, _ in got] == [(r, i) for r, i, _ in want]
     for (_, _, a), (_, _, b) in zip(got, want):
         assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_group_swaps_matches_brute_force(spark):
+    import collections
+
+    from networkit_spark.operators.groups import group_closeness_local_swaps
+
+    # star-ish: center 0 and hub 5; a bad initial group in the periphery
+    edges = [
+        (0, 1), (0, 2), (0, 3), (0, 4),
+        (5, 6), (5, 7), (5, 8), (0, 5),
+        (4, 9), (9, 10),
+    ]
+    n = 11
+    g = from_edge_rows(spark, edges, num_nodes=n)
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+
+    def hops(s):
+        d, q = {s: 0}, [s]
+        while q:
+            u = q.pop(0)
+            for w in adj[u]:
+                if w not in d:
+                    d[w] = d[u] + 1
+                    q.append(w)
+        return d
+
+    D = {s: hops(s) for s in range(n)}
+
+    def farness(S):
+        tot = 0
+        for t in range(n):
+            best = min((D[s].get(t) for s in S if t in D[s]), default=None)
+            tot += best if best is not None else n
+        return tot
+
+    group = [9, 10]
+    S = list(group)
+    expected = []
+    for rnd in range(1, 4):
+        best = None
+        for x in sorted(S):
+            for y in sorted(set(range(n)) - set(S)):
+                nf = farness([m for m in S if m != x] + [y])
+                if best is None or nf < best[2] or (
+                    nf == best[2] and (x, y) < (best[0], best[1])
+                ):
+                    best = (x, y, nf)
+        if best is None or best[2] >= farness(S):
+            break
+        S = [m for m in S if m != best[0]] + [best[1]]
+        expected.append((rnd, best[0], best[1], best[2]))
+
+    got = [
+        (r["round"], r["out_id"], r["in_id"], r["farness"])
+        for r in group_closeness_local_swaps(g, group, max_rounds=3)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == expected
+    assert len(got) >= 1  # the bad initial group must improve
