@@ -89,6 +89,12 @@ def mint_dense_ids(keys: DataFrame, key_col: str = "key", partitions: int | None
         sess = keys.sparkSession
         partitions = max(1, min(int(sess.conf.get("spark.sql.shuffle.partitions")),
                                 total // 4096 + 1))
+    # never rank in one global bucket when there are >= 2 keys: a single
+    # bucket makes `pid` a foldable literal, Catalyst folds the partition
+    # spec away, and the rank becomes a single-task global window (the ids
+    # themselves are partition-independent, so this changes no output)
+    if partitions == 1 and total >= 2:
+        partitions = 2
 
     if partitions > 1:
         # deterministic ~64-samples-per-partition hash sample

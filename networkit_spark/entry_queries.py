@@ -276,11 +276,45 @@ def q_graph_core_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_graph_plm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle: multilevel Louvain's sweep count is data-dependent
+    """Free-running multilevel Louvain, checked through CLOSED-FORM
+    INVARIANTS (the gen_rmat_invariants pattern — VERDICT r2 task 7): the
+    raw partition has no SQL oracle (sweep/level counts are
+    data-dependent), but (a) every vertex carries exactly one label,
+    (b) the modularity sequence [singleton baseline, accepted level 1,
+    ...] projected to the original graph is finite, inside the
+    mathematical [-0.5, 1] range, and non-decreasing (plm accepts levels
+    monotonically, restoring the reference's never-worse-than-start
+    guarantee). The oracle recomputes n_nodes from the edge derivation
+    and pins the booleans to TRUE."""
     from networkit_spark.operators.louvain import plm
 
     g, _ = L.events_graph(spark, sf_dir)
-    return plm(g).select("id", "label")
+    qs: list[float] = []
+    labels = plm(g, level_modularities=qs)
+    n = g.num_nodes()
+    assigned = labels.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("id").alias("ids"),
+        F.count(F.when(F.col("label").isNull(), 1)).alias("nulls"),
+    ).first()
+    import math
+
+    row = [
+        (
+            int(n),
+            int(assigned["rows"]),
+            int(assigned["ids"]),
+            int(assigned["nulls"]),
+            bool(len(qs) >= 1),
+            bool(all(math.isfinite(q) and -0.5 <= q <= 1.0 for q in qs)),
+            bool(all(qs[i] <= qs[i + 1] + 1e-12 for i in range(len(qs) - 1))),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_nodes bigint, n_rows bigint, n_ids bigint, null_labels bigint, "
+        "has_levels boolean, q_in_range boolean, q_nondecreasing boolean",
+    )
 
 
 def q_graph_plm_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,6 +828,15 @@ def q_graph_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_suitor_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from networkit_spark.operators.matching import suitor_matching
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return suitor_matching(g).select(
+        "u", "v", F.col("weight").cast("double").alias("weight")
+    )
+
+
 def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.mis import maximal_independent_set
 
@@ -967,19 +1010,17 @@ SWAPS_K, SWAPS_ROUNDS = 4, 3
 def q_centrality_group_swaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grow-shrink local swaps refining an md5-ranked (effectively
     random) initial group: one best strictly-improving swap per round."""
-    from pyspark.sql import Window
-
     from networkit_spark.functions.hashing import md5_long_sql
     from networkit_spark.operators.groups import group_closeness_local_swaps
 
     g, _ = L.events_graph(spark, sf_dir)
     h = F.expr(md5_long_sql("('42:gsw:' || CAST(id AS STRING))"))
-    w = Window.orderBy(h, F.col("id"))
+    # distributed top-k (TakeOrderedAndProject), not a global window rank
     group = [
         int(r["id"])
-        for r in g.vertices.select("id")
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= SWAPS_K)
+        for r in g.vertices.select("id", h.alias("_h"))
+        .orderBy("_h", "id")
+        .limit(SWAPS_K)
         .collect()
     ]
     return group_closeness_local_swaps(
@@ -1269,57 +1310,15 @@ def q_embed_ivf_ann(spark, sf_dir):
 
 # ---- registry -------------------------------------------------------------
 
+# Driver-gate rotation (VERDICT r2 task 1): the driver's correctness gate
+# checks the FIRST ~50 keys in insertion order, so queries that have never
+# been driver-checked come first.  Block 1 = the 56 queries registered in r2
+# but outside r2's 50-query window (all judge-verified green in r2); block 2
+# = queries new or re-oracled in r3; block 3 = the queries already hash-green
+# in CORRECTNESS_r02.json.  Everything is additionally full-sweep-verified by
+# tools/check_correctness.py (tests/test_entry_contract.py runs a sample).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "graph_edges": q_graph_edges,
-    "graph_degrees": q_graph_degrees,
-    "graph_pagerank": q_graph_pagerank,
-    "graph_components": q_graph_components,
-    "graph_labelprop": q_graph_labelprop,
-    "graph_triangles_per_node": q_graph_triangles,
-    "graph_triangle_count": q_graph_triangle_global,
-    "graph_lcc": q_graph_lcc,
-    "graph_transitivity": q_graph_transitivity,
-    "graph_transitivity_approx": q_graph_transitivity_approx,
-    "graph_triangle_edge_scores": q_graph_triangle_edge_scores,
-    "graph_top_entities": q_graph_top_entities,
-    "graph_coarsen_by_community": q_graph_coarsen,
-    "graph_modularity_lp": q_graph_modularity,
-    "graph_pagerank_csr": q_graph_pagerank_csr,
-    "graph_components_csr": q_graph_components_csr,
-    "graph_labelprop_csr": q_graph_labelprop_csr,
-    "centrality_degree": q_centrality_degree,
-    "centrality_eigenvector": q_centrality_eigenvector,
-    "centrality_katz": q_centrality_katz,
-    "centrality_betweenness": q_centrality_betweenness,
-    "centrality_harmonic": q_centrality_harmonic,
-    "centrality_closeness": q_centrality_closeness,
-    "graph_diameter": q_graph_diameter,
-    "graph_sample_nodes": q_graph_sample_nodes,
-    "graph_sample_edges": q_graph_sample_edges,
-    "graph_scc": q_graph_scc,
-    "graph_digraph_edges": q_graph_digraph_edges,
-    "graph_bfs": q_graph_bfs,
-    "graph_sssp": q_graph_sssp,
-    "graph_core_decomposition": q_graph_core_decomposition,
-    "graph_linkpred": q_graph_linkpred,
-    "graph_plm": q_graph_plm,
-    "graph_plm_pinned": q_graph_plm_pinned,
-    "community_measures": q_community_measures,
-    "centrality_permanence": q_centrality_permanence,
-    "centrality_spanning_edge": q_centrality_spanning_edge,
-    "centrality_local_coverage": q_centrality_local_coverage,
-    "centrality_closeness_sampled": q_centrality_closeness_sampled,
-    "centrality_betweenness_rk": q_centrality_betweenness_rk,
-    "community_partition_eval": q_community_partition_eval,
-    "community_adjusted_rand": q_community_adjusted_rand,
-    "community_graph_rand": q_community_graph_rand,
-    "community_sampled_rand": q_community_sampled_rand,
-    "community_cover_hub_dominance": q_community_cover_hub_dominance,
-    "community_fragmentation": q_community_fragmentation,
-    "community_overlapping_nmi": q_community_overlapping_nmi,
-    "community_cover_f1": q_community_cover_f1,
-    "community_coverage": q_community_coverage,
-    "community_edgecut": q_community_edgecut,
+    # ---- block 1: registered in r2, never driver-checked ------------------
     "community_conductance": q_community_conductance,
     "community_stability": q_community_stability,
     "gen_rmat_invariants": q_gen_rmat_invariants,
@@ -1376,6 +1375,59 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_lsh_ann": q_lsh_ann,
     "multimodal_decode_meta": q_multimodal_meta,
     "events_sessionize": q_sessionize,
+    # ---- block 2: new or re-oracled in r3 ---------------------------------
+    "graph_plm": q_graph_plm,
+    "graph_suitor_matching": q_graph_suitor_matching,
+    # ---- block 3: hash-green in CORRECTNESS_r02.json ----------------------
+    "graph_edges": q_graph_edges,
+    "graph_degrees": q_graph_degrees,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_components": q_graph_components,
+    "graph_labelprop": q_graph_labelprop,
+    "graph_triangles_per_node": q_graph_triangles,
+    "graph_triangle_count": q_graph_triangle_global,
+    "graph_lcc": q_graph_lcc,
+    "graph_transitivity": q_graph_transitivity,
+    "graph_transitivity_approx": q_graph_transitivity_approx,
+    "graph_triangle_edge_scores": q_graph_triangle_edge_scores,
+    "graph_top_entities": q_graph_top_entities,
+    "graph_coarsen_by_community": q_graph_coarsen,
+    "graph_modularity_lp": q_graph_modularity,
+    "graph_pagerank_csr": q_graph_pagerank_csr,
+    "graph_components_csr": q_graph_components_csr,
+    "graph_labelprop_csr": q_graph_labelprop_csr,
+    "centrality_degree": q_centrality_degree,
+    "centrality_eigenvector": q_centrality_eigenvector,
+    "centrality_katz": q_centrality_katz,
+    "centrality_betweenness": q_centrality_betweenness,
+    "centrality_harmonic": q_centrality_harmonic,
+    "centrality_closeness": q_centrality_closeness,
+    "graph_diameter": q_graph_diameter,
+    "graph_sample_nodes": q_graph_sample_nodes,
+    "graph_sample_edges": q_graph_sample_edges,
+    "graph_scc": q_graph_scc,
+    "graph_digraph_edges": q_graph_digraph_edges,
+    "graph_bfs": q_graph_bfs,
+    "graph_sssp": q_graph_sssp,
+    "graph_core_decomposition": q_graph_core_decomposition,
+    "graph_linkpred": q_graph_linkpred,
+    "graph_plm_pinned": q_graph_plm_pinned,
+    "community_measures": q_community_measures,
+    "centrality_permanence": q_centrality_permanence,
+    "centrality_spanning_edge": q_centrality_spanning_edge,
+    "centrality_local_coverage": q_centrality_local_coverage,
+    "centrality_closeness_sampled": q_centrality_closeness_sampled,
+    "centrality_betweenness_rk": q_centrality_betweenness_rk,
+    "community_partition_eval": q_community_partition_eval,
+    "community_adjusted_rand": q_community_adjusted_rand,
+    "community_graph_rand": q_community_graph_rand,
+    "community_sampled_rand": q_community_sampled_rand,
+    "community_cover_hub_dominance": q_community_cover_hub_dominance,
+    "community_fragmentation": q_community_fragmentation,
+    "community_overlapping_nmi": q_community_overlapping_nmi,
+    "community_cover_f1": q_community_cover_f1,
+    "community_coverage": q_community_coverage,
+    "community_edgecut": q_community_edgecut,
 }
 
 
@@ -1414,8 +1466,9 @@ def build_oracles() -> dict[str, str]:
         "graph_sssp": L.sql_sssp(SSSP_ITERS),
         "graph_core_decomposition": L.sql_core_decomposition(KCORE_ITERS),
         "graph_plm_pinned": L.sql_plm_pinned(PLM_PINNED_SWEEPS),
-        # graph_plm stays oracle-free (free-running multilevel Louvain);
-        # graph_plm_pinned below carries the full unrolled-sweep oracle
+        # graph_plm: the free-running multilevel Louvain partition itself is
+        # not SQL-expressible, but its closed-form invariant row is (r3)
+        "graph_plm": L.sql_plm_invariants(),
         "gen_rmat_invariants": (
             f"SELECT CAST({1 << RMAT_SCALE} AS BIGINT) AS n_vertices, "
             f"CAST({(1 << RMAT_SCALE) * RMAT_EF} AS BIGINT) AS n_edges, "
@@ -1425,6 +1478,7 @@ def build_oracles() -> dict[str, str]:
         "graph_sparsify_scores": L.sql_sparsify_scores(42),
         "graph_assortativity": L.sql_assortativity(),
         "graph_matching": L.sql_matching(16),
+        "graph_suitor_matching": L.sql_suitor_matching(16),
         "graph_effective_diameter": L.sql_effective_diameter(APSP_ITERS, 0.9),
         "centrality_top_closeness": L.sql_top_closeness(APSP_ITERS, 10),
         "graph_mis": L.sql_mis(12, 42),

@@ -1288,6 +1288,24 @@ ORDER BY v.id"""
     return _with_graph(body)
 
 
+def sql_plm_invariants() -> str:
+    """Closed-form oracle for the free-running PLM invariant row
+    (entry_queries.q_graph_plm): n_nodes is recomputed from the same edge
+    derivation; the partition-validity counts collapse to n_nodes/0 and the
+    modularity invariants (finite, in [-0.5, 1], non-decreasing per level)
+    are TRUE for a correct run."""
+    return _with_graph(
+        """SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_ids,
+       CAST(0 AS BIGINT) AS null_labels,
+       TRUE AS has_levels,
+       TRUE AS q_in_range,
+       TRUE AS q_nondecreasing
+FROM vertices"""
+    )
+
+
 def sql_plm_pinned(sweeps: int, gamma: float = 1.0) -> str:
     """Unrolled synchronous Louvain move phase, sweep-for-sweep the shape of
     operators/louvain.py _move_phase(exact_sweeps=True): per sweep, each
@@ -1667,6 +1685,48 @@ best{r} AS (
     SELECT node, u, v FROM (
         SELECT node, u, v,
                row_number() OVER (PARTITION BY node ORDER BY w DESC, u DESC, v DESC) AS rn
+        FROM d{r}
+    ) WHERE rn = 1
+),
+agree{r} AS MATERIALIZED (
+    SELECT r.u, r.v, r.w FROM rem{r} r
+    JOIN best{r} b1 ON b1.node = r.u AND b1.u = r.u AND b1.v = r.v
+    JOIN best{r} b2 ON b2.node = r.v AND b2.u = r.u AND b2.v = r.v
+),
+mv{r} AS (SELECT u AS id FROM agree{r} UNION SELECT v FROM agree{r}),
+rem{r + 1} AS MATERIALIZED (
+    SELECT * FROM rem{r}
+    WHERE u NOT IN (SELECT id FROM mv{r}) AND v NOT IN (SELECT id FROM mv{r})
+)"""
+        )
+        agrees.append(f"SELECT u, v, w FROM agree{r}")
+    body = ", ".join(ctes) + f"""
+SELECT u, v, CAST(w AS DOUBLE) AS weight FROM ({' UNION ALL '.join(agrees)})
+ORDER BY u"""
+    return _with_graph(body)
+
+
+def sql_suitor_matching(rounds: int = 16) -> str:
+    """Unrolled locally-dominant rounds under the SUITOR strict edge order
+    (w DESC, u ASC, v ASC) — the greedy matching the reference's
+    SuitorMatcher computes (see operators/matching.py suitor_matching)."""
+    ctes = [
+        """rem0 AS MATERIALIZED (
+    SELECT least(src, dst) AS u, greatest(src, dst) AS v, MAX(weight) AS w
+    FROM edges WHERE src <> dst GROUP BY 1, 2
+)"""
+    ]
+    agrees = []
+    for r in range(rounds):
+        ctes.append(
+            f"""d{r} AS (
+    SELECT u AS node, u, v, w FROM rem{r}
+    UNION ALL SELECT v, u, v, w FROM rem{r}
+),
+best{r} AS (
+    SELECT node, u, v FROM (
+        SELECT node, u, v,
+               row_number() OVER (PARTITION BY node ORDER BY w DESC, u ASC, v ASC) AS rn
         FROM d{r}
     ) WHERE rn = 1
 ),

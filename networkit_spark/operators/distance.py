@@ -335,18 +335,18 @@ def sampled_closeness(
     over shared scans) + one aggregation — independent of n beyond the
     BFS itself, which is why this is the 10^9-vertex closeness path.
     """
-    from pyspark.sql import Window
-
     from networkit_spark.functions.hashing import md5_long_sql
 
     n = graph.num_nodes()
     h = F.expr(md5_long_sql(f"('{seed}:acl:' || CAST(id AS STRING))"))
-    w = Window.orderBy(h, F.col("id"))
+    # top-k by (h, id) via orderBy().limit() = TakeOrderedAndProject —
+    # distributed partial top-k per partition + k-row merge on the driver,
+    # never a single-task global sort (same pivot SET as a full rank).
     pivots = [
         int(r["id"])
-        for r in graph.vertices.select("id")
-        .withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= num_samples)
+        for r in graph.vertices.select("id", h.alias("_h"))
+        .orderBy("_h", "id")
+        .limit(num_samples)
         .collect()
     ]
     k = len(pivots)

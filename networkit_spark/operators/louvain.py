@@ -164,19 +164,49 @@ def plm(
     max_sweeps: int = 25,
     max_levels: int = 5,
     min_moves: int = 0,
+    level_modularities: list | None = None,
 ) -> DataFrame:
     """labels(id, label) in the ORIGINAL id space — multilevel Louvain.
     max_sweeps mirrors the reference's <=25 move passes per level
     (SURVEY.md §2.7); levels recurse while the partition keeps contracting
-    meaningfully (PLM.cpp coarsen+recurse), composing fine->coarse maps."""
-    g = graph.to_undirected() if graph.directed else graph
+    meaningfully (PLM.cpp coarsen+recurse), composing fine->coarse maps.
+
+    Levels are accepted MONOTONICALLY in modularity (projected to the
+    original graph): a level whose partition scores below the best seen so
+    far — possible because the synchronous move phase breaks on a revisited
+    state signature, unlike the reference's per-move-improving async sweeps
+    (PLM.cpp:129-135 only applies positive-gain moves) — is rejected and
+    the best partition returned, with the all-singletons start as the
+    baseline. This restores the reference's guarantee that PLM never
+    returns a partition worse than its starting point. When
+    ``level_modularities`` is a list, the modularity of the baseline and of
+    every ACCEPTED level is appended (a non-decreasing sequence by
+    construction; the gate row asserts the computed values confirm it)."""
+    from networkit_spark.operators.coarsening import modularity
+
+    g0 = graph.to_undirected() if graph.directed else graph
+    g = g0
     # fine-id -> current-level-id composition (identity at level 0)
     fine_map = g.vertices.select("id", F.col("id").alias("cur"))
+
+    best = g0.vertices.select("id", F.col("id").alias("label"))
+    best_q = modularity(g0, best)
+    if level_modularities is not None:
+        level_modularities.append(best_q)
 
     level = 0
     while True:
         level += 1
         labels_g = _move_phase(g, gamma, max_sweeps, min_moves)
+        proj = project_back(
+            fine_map.withColumnRenamed("cur", "coarse_id"), labels_g
+        ).localCheckpoint(eager=True)
+        q = modularity(g0, proj)
+        if q < best_q - 1e-12:
+            break  # reject the level, keep the best partition so far
+        best, best_q = proj, q
+        if level_modularities is not None:
+            level_modularities.append(q)
         n_g = g.num_nodes()
         n_comms = labels_g.select("label").distinct().count()
         # stop when done, or when contraction stalls (<10% shrink buys
@@ -191,9 +221,7 @@ def plm(
         )
         g = coarse_g
 
-    return project_back(
-        fine_map.withColumnRenamed("cur", "coarse_id"), labels_g
-    ).localCheckpoint(eager=True)
+    return best
 
 
 def plm_pinned(graph: Graph, gamma: float = 1.0, sweeps: int = 3) -> DataFrame:

@@ -40,6 +40,41 @@ def local_max_matching(
     """matching(u: long, v: long, weight: double) with u < v — the
     deterministic local-max matching of the undirected simple support.
     Self-loops are never matched (LocalMaxMatcher.cpp:64 u != v guard)."""
+    return _dominant_matching(graph, "localmax", max_rounds, checkpoint)
+
+
+def suitor_matching(
+    graph: Graph,
+    max_rounds: int = 64,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """matching(u, v, weight) with u < v — the Suitor matching
+    (matching/SuitorMatcher.cpp:56-87, Manne & Halappanavar "New Effective
+    Multithreaded Matching Algorithms", IPDPS 2014).
+
+    Documented distributed formulation: the reference's proposal /
+    displacement chains are inherently sequential pointer-chasing, but the
+    Suitor fixed point is exactly the GREEDY matching over the strict edge
+    total order (w DESC, u ASC, v ASC) — the reference's two tie-breaks
+    (findSuitor prefers the smaller neighbor id at equal weight,
+    acceptance prefers the smaller proposer id, SuitorMatcher.cpp:64-66,
+    75-76) are both consistent with that canonical-pair lexicographic
+    order, and Manne-Halappanavar §3 prove Suitor returns the same
+    matching as sequential greedy under any consistent order. Greedy over
+    a strict total order is in turn the fixed point of locally-dominant
+    edge rounds (Preis), so the same synchronous superstep machinery as
+    local_max_matching computes it — each round every vertex 'proposes'
+    along its best remaining edge and mutual proposals are accepted —
+    with the suitor tie-break instead of local_max's (w, u, v)-max."""
+    return _dominant_matching(graph, "suitor", max_rounds, checkpoint)
+
+
+def _dominant_matching(
+    graph: Graph,
+    order: str,
+    max_rounds: int = 64,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
     g = graph.to_undirected() if graph.directed else graph
     canon = (
         g.edges.filter(F.col("src") != F.col("dst"))
@@ -67,10 +102,18 @@ def local_max_matching(
                 F.col("v").alias("node"), F.col("u").alias("nbr"), "u", "v", "w"
             )
         )
-        # each vertex's unique best edge under the (w, u, v) total order
-        best = d.groupBy("node").agg(
-            F.max(F.struct("w", "u", "v")).alias("b")
-        ).select("node", F.col("b.u").alias("bu"), F.col("b.v").alias("bv"))
+        # each vertex's unique best edge under the strict total order:
+        # localmax = (w, u, v)-max; suitor = (w DESC, u ASC, v ASC)
+        if order == "suitor":
+            key = F.struct(
+                F.col("w"), (-F.col("u")).alias("nu"), (-F.col("v")).alias("nv"),
+                F.col("u"), F.col("v"),
+            )
+        else:
+            key = F.struct("w", "u", "v")
+        best = d.groupBy("node").agg(F.max(key).alias("b")).select(
+            "node", F.col("b.u").alias("bu"), F.col("b.v").alias("bv")
+        )
         # an edge is matched iff BOTH endpoints name it as their best
         agree = (
             remaining.join(

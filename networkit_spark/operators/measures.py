@@ -235,18 +235,41 @@ def overlapping_nmi_distance(
 
 
 def _hash_rank(df: DataFrame, id_cols: list[str], salt: str):
-    """Deterministic rank by the cross-engine md5 hash of the id columns —
-    the hash-derandomized stand-in for the reference's RNG sampling.
-    The global sort is label/edge-sample-sized only at collect time; at
-    production scale swap for TABLESAMPLE + per-partition ranking."""
+    """Deterministic GLOBAL rank by the cross-engine md5 hash of the id
+    columns — the hash-derandomized stand-in for the reference's RNG
+    sampling — computed distributed: range-partition on (hash, ids), rank
+    within each partition, then add per-partition offsets (collected as P
+    tiny rows). Rank values are a pure function of the (hash, ids) total
+    order, so they are identical to a single global sort at any
+    parallelism — but no task ever sorts more than its own range (no
+    `WindowExec: No Partition Defined` single-task sort)."""
     from pyspark.sql import Window
 
     from networkit_spark.functions.hashing import md5_long_sql
 
     concat = " || ':' || ".join(f"CAST({c} AS STRING)" for c in id_cols)
     h = F.expr(md5_long_sql(f"('{salt}:' || {concat})"))
-    w = Window.orderBy(h, *[F.col(c) for c in id_cols])
-    return df.withColumn("r", F.row_number().over(w) - 1)
+    ids = [F.col(c) for c in id_cols]
+    # localCheckpoint pins the partition-id assignment across the two
+    # actions below (offset collect + downstream use)
+    ranged = (
+        df.withColumn("_h", h)
+        .repartitionByRange(F.col("_h"), *ids)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    off, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        off.append((int(row["_pid"]), acc))
+        acc += int(row["_c"])
+    off_df = df.sparkSession.createDataFrame(off, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(F.col("_h"), *ids)
+    return (
+        ranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("r", F.row_number().over(w) - 1 + F.col("_off"))
+        .drop("_h", "_pid", "_off")
+    )
 
 
 def sampled_node_rand_distance(

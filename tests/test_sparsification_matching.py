@@ -173,6 +173,67 @@ def test_local_max_matching_maximal_and_deterministic(spark):
     assert matching_weight(mdf) > 0
 
 
+def _greedy_matching(rows, order_key):
+    """Sequential greedy matching over edges sorted by order_key — the
+    Suitor fixed point per Manne-Halappanavar IPDPS'14 §3."""
+    taken, matched = set(), []
+    for u, v, w in sorted(rows, key=order_key):
+        if u not in taken and v not in taken:
+            taken.update((u, v))
+            matched.append((u, v))
+    return sorted(matched)
+
+
+def test_suitor_matching_equals_sequential_greedy(spark):
+    from networkit_spark.operators.matching import suitor_matching
+
+    rng = np.random.RandomState(7)
+    rows, seen = [], set()
+    for _ in range(60):
+        a, b = int(rng.randint(0, 14)), int(rng.randint(0, 14))
+        if a != b and (min(a, b), max(a, b)) not in seen:
+            seen.add((min(a, b), max(a, b)))
+            # integral weights -> plenty of ties to exercise the tie-break
+            rows.append((min(a, b), max(a, b), float(rng.randint(1, 6))))
+    g = from_edge_rows(spark, rows, num_nodes=14, weighted=True)
+    got = sorted((r["u"], r["v"]) for r in suitor_matching(g).collect())
+    want = _greedy_matching(rows, lambda e: (-e[2], e[0], e[1]))
+    assert got == want
+    _check_is_maximal_matching([(a, b) for a, b, _ in rows], got)
+
+
+def test_suitor_matching_dominates_local_max_on_distinct_weights(spark):
+    # MatcherGTest.cpp:135-199 semantics: proper + maximal; with DISTINCT
+    # weights every 1/2-approx greedy variant returns the same matching,
+    # so suitor weight must be >= local_max weight (here: equal)
+    from networkit_spark.operators.matching import suitor_matching
+
+    rng = np.random.RandomState(5)
+    rows, seen = [], set()
+    while len(rows) < 30:
+        a, b = int(rng.randint(0, 12)), int(rng.randint(0, 12))
+        if a != b and (min(a, b), max(a, b)) not in seen:
+            seen.add((min(a, b), max(a, b)))
+            rows.append((min(a, b), max(a, b), float(len(rows)) + 1.0))
+    g = from_edge_rows(spark, rows, num_nodes=12, weighted=True)
+    ws = matching_weight(suitor_matching(g))
+    wl = matching_weight(local_max_matching(g))
+    assert ws >= wl - 1e-9
+    assert ws == matching_weight(suitor_matching(g))  # deterministic
+
+
+def test_suitor_matching_unweighted_no_unmatched_neighbors(spark):
+    # star + path: suitor must leave no edge with both endpoints unmatched
+    from networkit_spark.operators.matching import suitor_matching
+
+    rows = [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0), (3, 4, 1.0), (4, 5, 1.0)]
+    g = from_edge_rows(spark, rows, num_nodes=6, weighted=True)
+    got = sorted((r["u"], r["v"]) for r in suitor_matching(g).collect())
+    _check_is_maximal_matching([(a, b) for a, b, _ in rows], got)
+    # tie-break: all weights equal -> greedy by (u, v) lexicographic
+    assert got == _greedy_matching(rows, lambda e: (-e[2], e[0], e[1]))
+
+
 def test_ivf_ann_contains_true_neighbors(spark):
     from networkit_spark.functions.similarity import (
         cosine_topk,
