@@ -837,6 +837,52 @@ def q_graph_suitor_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_biconnected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node biconnected-block count + articulation flag. The oracle
+    recomputes both from first principles: v's blocks biject with the
+    connected components of G - v that contain a neighbor of v."""
+    from networkit_spark.operators.biconnected import biconnected_node_summary
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return biconnected_node_summary(g).select("id", "n_comps", "is_articulation")
+
+
+LINKPRED_TEST_PM, LINKPRED_EVAL_CAP, LINKPRED_TOPK = 300, LINKPRED_HINGE_CAP, 50
+KATZ_BETA_IDX = 0.005
+
+
+def q_linkpred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout split + distance-2 candidates + common-neighbor scores +
+    exact ROC-AUC / precision@k (linkprediction/ evaluation pipeline)."""
+    from networkit_spark.operators.linkpred_eval import (
+        candidate_scores,
+        holdout_split,
+        roc_auc_summary,
+    )
+
+    g, _ = L.events_graph(spark, sf_dir)
+    train, test = holdout_split(g, test_per_mille=LINKPRED_TEST_PM)
+    preds = candidate_scores(train, max_hinge_degree=LINKPRED_EVAL_CAP)
+    return roc_auc_summary(preds, test, train, k=LINKPRED_TOPK)
+
+
+def q_linkpred_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KatzIndex (maxPathLength=3) damped walk counts on the holdout
+    distance-2 candidate pairs."""
+    from networkit_spark.operators.linkpred_eval import (
+        candidate_scores,
+        holdout_split,
+        katz_scores,
+    )
+
+    g, _ = L.events_graph(spark, sf_dir)
+    train, _test = holdout_split(g, test_per_mille=LINKPRED_TEST_PM)
+    cand = candidate_scores(train, max_hinge_degree=LINKPRED_EVAL_CAP)
+    return katz_scores(train, cand, beta=KATZ_BETA_IDX).select(
+        "u", "v", "walks2", "walks3", "score"
+    )
+
+
 def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.mis import maximal_independent_set
 
@@ -1378,6 +1424,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block 2: new or re-oracled in r3 ---------------------------------
     "graph_plm": q_graph_plm,
     "graph_suitor_matching": q_graph_suitor_matching,
+    "graph_biconnected": q_graph_biconnected,
+    "linkpred_eval": q_linkpred_eval,
+    "linkpred_katz": q_linkpred_katz,
     # ---- block 3: hash-green in CORRECTNESS_r02.json ----------------------
     "graph_edges": q_graph_edges,
     "graph_degrees": q_graph_degrees,
@@ -1479,6 +1528,13 @@ def build_oracles() -> dict[str, str]:
         "graph_assortativity": L.sql_assortativity(),
         "graph_matching": L.sql_matching(16),
         "graph_suitor_matching": L.sql_suitor_matching(16),
+        "graph_biconnected": L.sql_biconnected_summary(),
+        "linkpred_eval": L.sql_linkpred_eval(
+            LINKPRED_TEST_PM, LINKPRED_EVAL_CAP, LINKPRED_TOPK
+        ),
+        "linkpred_katz": L.sql_linkpred_katz(
+            LINKPRED_TEST_PM, LINKPRED_EVAL_CAP, KATZ_BETA_IDX
+        ),
         "graph_effective_diameter": L.sql_effective_diameter(APSP_ITERS, 0.9),
         "centrality_top_closeness": L.sql_top_closeness(APSP_ITERS, 10),
         "graph_mis": L.sql_mis(12, 42),

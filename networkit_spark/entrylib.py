@@ -1706,6 +1706,158 @@ ORDER BY u"""
     return _with_graph(body)
 
 
+def _linkpred_split_ctes(test_per_mille: int, cap: int, seed: int) -> str:
+    """Shared CTE chain for the link-prediction harness: hash-bucket
+    holdout split, capped-hinge distance-2 candidates with
+    common-neighbor scores (operators/linkpred_eval.py)."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(
+        f"('{seed}:lps:' || CAST(u AS STRING) || ':' || CAST(v AS STRING))"
+    )
+    return f"""canon AS MATERIALIZED (
+    SELECT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+marked AS (SELECT u, v, {h} % 1000 AS bkt FROM canon),
+train AS MATERIALIZED (SELECT u, v FROM marked WHERE bkt >= {test_per_mille}),
+test AS MATERIALIZED (SELECT u, v FROM marked WHERE bkt < {test_per_mille}),
+tsym AS MATERIALIZED (
+    SELECT u AS a, v AS b FROM train UNION ALL SELECT v, u FROM train
+),
+tdeg AS (SELECT a, count(*) AS d FROM tsym GROUP BY a),
+hinge AS (
+    SELECT t.a, t.b FROM tsym t JOIN tdeg d ON d.a = t.a WHERE d.d <= {cap}
+),
+cand0 AS (
+    SELECT h1.b AS u, h2.b AS v, CAST(count(*) AS BIGINT) AS score
+    FROM hinge h1 JOIN hinge h2 ON h1.a = h2.a AND h1.b < h2.b
+    GROUP BY 1, 2
+),
+cand AS MATERIALIZED (
+    SELECT c.u, c.v, c.score FROM cand0 c
+    WHERE NOT EXISTS (SELECT 1 FROM train t WHERE t.u = c.u AND t.v = c.v)
+)"""
+
+
+def sql_linkpred_eval(
+    test_per_mille: int, cap: int, k: int, seed: int = 42
+) -> str:
+    """One-row ROC-AUC summary: the exact Mann-Whitney AUC over the full
+    distinct-score curve (integer numerator/denominator — see
+    operators/linkpred_eval.py for the trapezoid-equivalence note) plus
+    precision@k under the (score DESC, u, v) tie-break."""
+    return _with_graph(f"""{_linkpred_split_ctes(test_per_mille, cap, seed)},
+preds AS MATERIALIZED (
+    SELECT c.u, c.v, c.score,
+           CASE WHEN t.u IS NOT NULL THEN 1 ELSE 0 END AS pos
+    FROM cand c LEFT JOIN test t ON t.u = c.u AND t.v = c.v
+),
+stab AS (
+    SELECT score, SUM(pos) AS pos_c, SUM(1 - pos) AS neg_c
+    FROM preds GROUP BY score
+),
+cums AS (
+    SELECT score, pos_c, neg_c,
+           SUM(neg_c) OVER (ORDER BY score) AS cum_neg
+    FROM stab
+),
+aggr AS (
+    SELECT SUM(pos_c) AS p, SUM(neg_c) AS n,
+           SUM(pos_c * (2 * (cum_neg - neg_c) + neg_c)) AS num
+    FROM cums
+),
+tk AS (
+    SELECT COALESCE(SUM(pos), 0) AS tp
+    FROM (SELECT pos FROM preds ORDER BY score DESC, u, v LIMIT {k})
+),
+counts AS (
+    SELECT (SELECT count(*) FROM train) AS n_train,
+           (SELECT count(*) FROM test) AS n_test,
+           (SELECT count(*) FROM preds) AS n_cand
+)
+SELECT CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_test AS BIGINT) AS n_test,
+       CAST(n_cand AS BIGINT) AS n_candidates,
+       CAST(p AS BIGINT) AS n_positives,
+       CAST(num AS BIGINT) AS auc_num,
+       CAST(2 * p * n AS BIGINT) AS auc_den,
+       CASE WHEN p * n > 0
+            THEN CAST(num AS DOUBLE) / CAST(2 * p * n AS DOUBLE) END AS auc,
+       CAST(tp AS BIGINT) AS tp_at_k,
+       CASE WHEN n_cand > 0
+            THEN CAST(tp AS DOUBLE) / CAST(LEAST({k}, n_cand) AS DOUBLE)
+       END AS precision_at_k
+FROM counts, aggr, tk""")
+
+
+def sql_linkpred_katz(
+    test_per_mille: int, cap: int, beta: float, seed: int = 42
+) -> str:
+    """KatzIndex (maxPathLength=3) damped walk counts on the distance-2
+    candidates; walks1 = 0 for non-adjacent pairs, so
+    score = beta^2*walks2 + beta^3*walks3 (same literal multiply chain as
+    the Spark side for bit-equal doubles)."""
+    return _with_graph(f"""{_linkpred_split_ctes(test_per_mille, cap, seed)},
+w2 AS (
+    SELECT c.u, c.v, CAST(count(*) AS BIGINT) AS walks2
+    FROM cand c
+    JOIN tsym e1 ON e1.a = c.u
+    JOIN tsym e2 ON e2.a = c.v AND e2.b = e1.b
+    GROUP BY c.u, c.v
+),
+w3 AS (
+    SELECT c.u, c.v, CAST(count(*) AS BIGINT) AS walks3
+    FROM cand c
+    JOIN tsym e1 ON e1.a = c.u
+    JOIN tsym e2 ON e2.a = e1.b
+    JOIN tsym e3 ON e3.a = e2.b AND e3.b = c.v
+    GROUP BY c.u, c.v
+)
+SELECT c.u, c.v,
+       COALESCE(w2.walks2, 0) AS walks2,
+       COALESCE(w3.walks3, 0) AS walks3,
+       {beta} * {beta} * CAST(COALESCE(w2.walks2, 0) AS DOUBLE)
+       + {beta} * {beta} * {beta} * CAST(COALESCE(w3.walks3, 0) AS DOUBLE)
+           AS score
+FROM cand c
+LEFT JOIN w2 ON w2.u = c.u AND w2.v = c.v
+LEFT JOIN w3 ON w3.u = c.u AND w3.v = c.v
+ORDER BY c.u, c.v""")
+
+
+def sql_biconnected_summary() -> str:
+    """Per-node block count from first principles (no Tarjan-Vishkin, no
+    DFS): the biconnected blocks containing v biject with the connected
+    components of G - v that contain a neighbor of v, so a recursive
+    closure seeded at v's neighbors and forbidden from entering v counts
+    them directly (min reachable vertex = component label)."""
+    return f"""WITH RECURSIVE {GRAPH_CTE.strip()},
+cedges AS MATERIALIZED (
+    SELECT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+csym AS MATERIALIZED (
+    SELECT u AS a, v AS b FROM cedges UNION ALL SELECT v, u FROM cedges
+),
+reach(ex, s, x) AS (
+    SELECT a, b, b FROM csym
+    UNION
+    SELECT r.ex, r.s, e.b FROM reach r
+    JOIN csym e ON e.a = r.x AND e.b <> r.ex
+),
+ncomp AS (
+    SELECT ex, s, MIN(x) AS lbl FROM reach GROUP BY ex, s
+),
+summary AS (
+    SELECT ex AS id, COUNT(DISTINCT lbl) AS n FROM ncomp GROUP BY ex
+)
+SELECT v.id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_comps,
+       COALESCE(s.n, 0) > 1 AS is_articulation
+FROM vertices v LEFT JOIN summary s ON s.id = v.id
+ORDER BY v.id"""
+
+
 def sql_suitor_matching(rounds: int = 16) -> str:
     """Unrolled locally-dominant rounds under the SUITOR strict edge order
     (w DESC, u ASC, v ASC) — the greedy matching the reference's

@@ -122,3 +122,71 @@ def test_graphml_reads_foreign_namespaced_file(spark, tmp_path):
     p.write_text(xml)
     g = read_graphml(spark, str(p))
     assert g.num_nodes() == 3 and g.num_edges() == 2 and not g.directed
+
+
+def test_konect_reader_sym_weighted(spark, tmp_path):
+    from networkit_spark.sources.io import read_konect
+
+    p = tmp_path / "g.konect"
+    p.write_text(
+        "% sym posweighted\n% 3 4 4\n1 2 2.5\n2 3 1.0\n1 4 0.5\n1 2 1.5\n"
+    )
+    g = read_konect(spark, str(p))
+    assert not g.directed and g.weighted
+    e = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    # duplicate 1-2 rows summed (SUM_WEIGHTS_UP handling), symmetrized
+    assert e[(0, 1)] == 4.0 and e[(1, 0)] == 4.0
+    assert e[(0, 3)] == 0.5 and g.num_nodes() == 4
+
+
+def test_konect_reader_asym_unweighted(spark, tmp_path):
+    from networkit_spark.sources.io import read_konect
+
+    p = tmp_path / "d.konect"
+    p.write_text("% asym unweighted\n1 2\n2 3\n3 1\n")
+    g = read_konect(spark, str(p))
+    assert g.directed and not g.weighted
+    assert {(r["src"], r["dst"]) for r in g.edges.collect()} == {
+        (0, 1), (1, 2), (2, 0)
+    }
+
+
+def test_matrix_market_symmetric_pattern(spark, tmp_path):
+    from networkit_spark.sources.io import read_matrix_market
+
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern symmetric\n"
+        "% a comment\n4 4 3\n2 1\n3 1\n4 3\n"
+    )
+    g = read_matrix_market(spark, str(p))
+    assert not g.directed and g.num_nodes() == 4
+    e = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    assert e == {(1, 0), (0, 1), (2, 0), (0, 2), (3, 2), (2, 3)}
+
+
+def test_matrix_market_general_real(spark, tmp_path):
+    from networkit_spark.sources.io import read_matrix_market
+
+    p = tmp_path / "m.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n3 3 2\n1 2 0.5\n3 1 2.0\n"
+    )
+    g = read_matrix_market(spark, str(p))
+    assert g.directed and g.weighted
+    e = {(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()}
+    assert e == {(0, 1, 0.5), (2, 0, 2.0)}
+
+
+def test_dot_writer(spark, tmp_path):
+    from networkit_spark.sources.io import write_dot
+
+    g = from_edge_rows(spark, [(0, 1), (1, 2)])
+    p = tmp_path / "g.dot"
+    write_dot(g, str(p))
+    txt = p.read_text()
+    assert txt.startswith("graph G {") and "0 -- 1;" in txt and "1 -- 2;" in txt
+    gd = from_edge_rows(spark, [(0, 1)], directed=True)
+    pd = tmp_path / "d.dot"
+    write_dot(gd, str(pd))
+    assert "digraph" in pd.read_text() and "0 -> 1;" in pd.read_text()
