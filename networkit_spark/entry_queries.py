@@ -847,6 +847,53 @@ def q_graph_biconnected(spark: SparkSession, sf_dir: str) -> DataFrame:
     return biconnected_node_summary(g).select("id", "n_comps", "is_articulation")
 
 
+def _triangle_score_table(spark: SparkSession, sf_dir: str):
+    from networkit_spark.operators.triangles import triangle_edge_scores
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return triangle_edge_scores(g).select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("score").cast("double").alias("score"),
+    )
+
+
+def q_graph_edge_score_utils(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-score combinators over the triangle edge scores: geometric
+    mean, [0,1] normalization, multiscale-backbone probability."""
+    from networkit_spark.operators.edgescores import (
+        edge_score_normalizer,
+        geometric_mean_score,
+        multiscale_score,
+    )
+
+    sc = _triangle_score_table(spark, sf_dir)
+    gm = geometric_mean_score(sc)
+    nm = edge_score_normalizer(sc).select("u", "v", "norm_score")
+    ms = multiscale_score(sc)
+    return (
+        sc.join(gm, ["u", "v"]).join(nm, ["u", "v"]).join(ms, ["u", "v"])
+        .select(
+            "u",
+            "v",
+            F.col("score").cast("bigint").alias("raw"),
+            F.round("gm_score", 6).alias("gm_score"),
+            F.round("norm_score", 6).alias("norm_score"),
+            F.round("ms_score", 6).alias("ms_score"),
+        )
+    )
+
+
+def q_graph_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixJaccardScore over the triangle edge scores."""
+    from networkit_spark.operators.edgescores import prefix_jaccard_score
+
+    sc = _triangle_score_table(spark, sf_dir)
+    return prefix_jaccard_score(sc).select(
+        "u", "v", F.round("pj_score", 6).alias("pj_score")
+    )
+
+
 LINKPRED_TEST_PM, LINKPRED_EVAL_CAP, LINKPRED_TOPK = 300, LINKPRED_HINGE_CAP, 50
 KATZ_BETA_IDX = 0.005
 
@@ -1427,6 +1474,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_biconnected": q_graph_biconnected,
     "linkpred_eval": q_linkpred_eval,
     "linkpred_katz": q_linkpred_katz,
+    "graph_edge_score_utils": q_graph_edge_score_utils,
+    "graph_prefix_jaccard": q_graph_prefix_jaccard,
     # ---- block 3: hash-green in CORRECTNESS_r02.json ----------------------
     "graph_edges": q_graph_edges,
     "graph_degrees": q_graph_degrees,
@@ -1535,6 +1584,8 @@ def build_oracles() -> dict[str, str]:
         "linkpred_katz": L.sql_linkpred_katz(
             LINKPRED_TEST_PM, LINKPRED_EVAL_CAP, KATZ_BETA_IDX
         ),
+        "graph_edge_score_utils": L.sql_edge_score_utils(),
+        "graph_prefix_jaccard": L.sql_prefix_jaccard(),
         "graph_effective_diameter": L.sql_effective_diameter(APSP_ITERS, 0.9),
         "centrality_top_closeness": L.sql_top_closeness(APSP_ITERS, 10),
         "graph_mis": L.sql_mis(12, 42),

@@ -1826,6 +1826,107 @@ LEFT JOIN w3 ON w3.u = c.u AND w3.v = c.v
 ORDER BY c.u, c.v""")
 
 
+def _triangle_score_cte() -> str:
+    """Canonical per-edge triangle counts as a double attribute (the input
+    table for the edge-score combinator oracles)."""
+    return f"""{TRI_CTE.strip()},
+tri_edges AS (
+    SELECT least(a, b) AS u, greatest(a, b) AS v FROM tri
+    UNION ALL SELECT least(a, c), greatest(a, c) FROM tri
+    UNION ALL SELECT least(b, c), greatest(b, c) FROM tri
+),
+tsc AS MATERIALIZED (
+    SELECT c.u, c.v, CAST(COALESCE(t.cnt, 0) AS DOUBLE) AS score
+    FROM simple c
+    LEFT JOIN (SELECT u, v, count(*) AS cnt FROM tri_edges GROUP BY u, v) t
+           ON t.u = c.u AND t.v = c.v
+)"""
+
+
+def sql_edge_score_utils() -> str:
+    """Geometric-mean / min-max-normalized / multiscale-backbone scores
+    over the triangle edge scores (operators/edgescores.py)."""
+    return _with_graph(f"""{_triangle_score_cte()},
+ns AS (
+    SELECT id, SUM(score) AS nsum, count(*) AS ndeg FROM (
+        SELECT u AS id, score FROM tsc UNION ALL SELECT v, score FROM tsc
+    ) GROUP BY id
+),
+mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM tsc)
+SELECT t.u, t.v, CAST(t.score AS BIGINT) AS raw,
+       ROUND(CASE WHEN t.score > 0
+                  THEN t.score / sqrt(nu.nsum * nv.nsum) ELSE 0.0 END, 6)
+           AS gm_score,
+       ROUND(CASE WHEN mm.hi > mm.lo
+                  THEN (t.score - mm.lo) / (mm.hi - mm.lo) ELSE 0.0 END, 6)
+           AS norm_score,
+       ROUND(GREATEST(
+           CASE WHEN nu.nsum > 0
+                THEN 1.0 - POW(1.0 - t.score / nu.nsum, CAST(nu.ndeg AS DOUBLE) - 1.0)
+                ELSE 0.0 END,
+           CASE WHEN nv.nsum > 0
+                THEN 1.0 - POW(1.0 - t.score / nv.nsum, CAST(nv.ndeg AS DOUBLE) - 1.0)
+                ELSE 0.0 END), 6) AS ms_score
+FROM tsc t
+JOIN ns nu ON nu.id = t.u
+JOIN ns nv ON nv.id = t.v
+CROSS JOIN mm
+ORDER BY t.u, t.v""")
+
+
+def sql_prefix_jaccard() -> str:
+    """PrefixJaccardScore.cpp:20-120 over the triangle edge scores: per
+    node, neighbors ranked by attribute DESC with rank = #strictly-greater
+    (SQL rank()-1); per edge, max over rank prefixes of
+    |A_r intersect B_r| / |A_r union B_r| with the endpoints excluded."""
+    return _with_graph(f"""{_triangle_score_cte()},
+dview AS (
+    SELECT u AS node, v AS nbr, score AS a FROM tsc
+    UNION ALL SELECT v, u, score FROM tsc
+),
+rankedn AS (
+    SELECT node, nbr, rank() OVER (PARTITION BY node ORDER BY a DESC) - 1 AS rk
+    FROM dview
+),
+aside AS (
+    SELECT e.u, e.v, r.nbr, r.rk AS ru FROM tsc e
+    JOIN rankedn r ON r.node = e.u AND r.nbr <> e.v
+),
+bside AS (
+    SELECT e.u, e.v, r.nbr, r.rk AS rv FROM tsc e
+    JOIN rankedn r ON r.node = e.v AND r.nbr <> e.u
+),
+cmn AS (
+    SELECT a.u, a.v, GREATEST(a.ru, b.rv) AS rc
+    FROM aside a JOIN bside b ON b.u = a.u AND b.v = a.v AND b.nbr = a.nbr
+),
+ga AS (SELECT u, v, ru AS r, count(*) AS na FROM aside GROUP BY 1, 2, 3),
+gb AS (SELECT u, v, rv AS r, count(*) AS nb FROM bside GROUP BY 1, 2, 3),
+gc AS (SELECT u, v, rc AS r, count(*) AS nc FROM cmn GROUP BY 1, 2, 3),
+allr AS (
+    SELECT COALESCE(ga.u, gb.u, gc.u) AS u,
+           COALESCE(ga.v, gb.v, gc.v) AS v,
+           COALESCE(ga.r, gb.r, gc.r) AS r,
+           COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb, COALESCE(nc, 0) AS nc
+    FROM ga
+    FULL OUTER JOIN gb ON gb.u = ga.u AND gb.v = ga.v AND gb.r = ga.r
+    FULL OUTER JOIN gc ON gc.u = COALESCE(ga.u, gb.u)
+                      AND gc.v = COALESCE(ga.v, gb.v)
+                      AND gc.r = COALESCE(ga.r, gb.r)
+),
+jac AS (
+    SELECT u, v,
+           SUM(nc) OVER w / CAST(SUM(na) OVER w + SUM(nb) OVER w - SUM(nc) OVER w AS DOUBLE) AS j
+    FROM allr
+    WINDOW w AS (PARTITION BY u, v ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+best AS (SELECT u, v, MAX(j) AS pj FROM jac GROUP BY u, v)
+SELECT e.u, e.v, ROUND(COALESCE(b.pj, 0.0), 6) AS pj_score
+FROM tsc e LEFT JOIN best b ON b.u = e.u AND b.v = e.v
+ORDER BY e.u, e.v""")
+
+
 def sql_biconnected_summary() -> str:
     """Per-node block count from first principles (no Tarjan-Vishkin, no
     DFS): the biconnected blocks containing v biject with the connected

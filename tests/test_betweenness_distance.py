@@ -275,3 +275,38 @@ def test_approx_betweenness_rk_matches_hash_replica(spark):
     for v in range(n):
         assert got[v] == pytest.approx(credits.get(v, 0) / r, abs=1e-12), v
     assert sum(got.values()) > 0
+
+
+def test_kadabra_adaptive_certifies_star(spark):
+    # star: center lies on every (leaf, leaf) shortest path; normalized
+    # betweenness of the center = (k-1)k/(n(n-1)) over ordered pairs
+    from networkit_spark.operators.betweenness import kadabra_betweenness
+
+    k = 6
+    rows = [(0, i, 1.0) for i in range(1, k + 1)]
+    g = from_edge_rows(spark, rows, num_nodes=k + 1, weighted=True)
+    out = kadabra_betweenness(g, eps=0.2, delta=0.1, batch=64, max_batches=8)
+    got = {r["id"]: (r["score"], r["err"]) for r in out.collect()}
+    n = k + 1
+    exact_center = (k * (k - 1)) / (n * (n - 1))
+    s, e = got[0]
+    assert abs(s - exact_center) <= e + 1e-12  # certificate holds
+    for leaf in range(1, k + 1):
+        assert got[leaf][0] <= got[0][0]  # center dominates
+    # deterministic: rerun identical
+    out2 = kadabra_betweenness(g, eps=0.2, delta=0.1, batch=64, max_batches=8)
+    assert {r["id"]: r["score"] for r in out2.collect()} == {
+        i: s for i, (s, _) in got.items()
+    }
+
+
+def test_kadabra_err_shrinks_with_more_batches(spark):
+    from networkit_spark.operators.betweenness import kadabra_betweenness
+
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)]
+    g = from_edge_rows(spark, rows, num_nodes=5, weighted=True)
+    loose = kadabra_betweenness(g, eps=10.0, delta=0.1, batch=16, max_batches=1)
+    tight = kadabra_betweenness(g, eps=0.0, delta=0.1, batch=16, max_batches=6)
+    e1 = max(r["err"] for r in loose.collect())
+    e2 = max(r["err"] for r in tight.collect())
+    assert e2 < e1
