@@ -510,3 +510,108 @@ def scd_ground_truth_comparison(
             F.coalesce("recall", F.lit(0.0)).alias("recall"),
         )
     )
+
+
+def set_conductance(graph: Graph, community: list[int]) -> float:
+    """scd/SetConductance.cpp:10-47: phi = cut / min(vol(C), vol(rest)),
+    volumes from the symmetrized incident weights (self-loops doubled),
+    1.0 when either side is empty. One filtered aggregation."""
+    cset = [int(x) for x in community]
+    g = graph.to_undirected() if graph.directed else graph
+    spark = g.vertices.sparkSession
+    cdf = spark.createDataFrame([(c,) for c in cset], "id long")
+    e = g.edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    inc = e.join(cdf.withColumnRenamed("id", "src"), "src")
+    row = (
+        inc.join(
+            cdf.select(F.col("id").alias("dst"), F.lit(1).alias("in_c")),
+            "dst",
+            "left",
+        )
+        .agg(
+            F.sum(F.when(F.col("in_c").isNull(), F.col("w")).otherwise(0.0)).alias(
+                "cut"
+            ),
+            F.sum(
+                F.when(F.col("src") == F.col("dst"), 2 * F.col("w")).otherwise(
+                    F.col("w")
+                )
+            ).alias("vol"),
+        )
+        .first()
+    )
+    cut = float(row["cut"] or 0.0)
+    vol = float(row["vol"] or 0.0)
+    total = 2.0 * g.total_edge_weight()
+    rest = total - vol
+    if vol > 0 and rest > 0:
+        return cut / min(vol, rest)
+    return 1.0
+
+
+def random_bfs_community(graph: Graph, seed_node: int, size: int, seed: int = 42) -> list[int]:
+    """scd/RandomBFS.cpp:28-78 — grow a community of ``size`` nodes by BFS
+    levels from the seed; the partially-admitted last level is a uniform
+    draw, hash-derandomized here (md5 rank instead of std::shuffle) so the
+    result is a pure function of (seed, graph). Level expansion is the
+    standard frontier superstep; the partial level is a distributed
+    top-k (orderBy + limit)."""
+    from networkit_spark.functions.hashing import md5_long_sql
+    from networkit_spark.plans.checkpoint import materialize
+
+    g = graph.to_undirected() if graph.directed else graph
+    spark = g.vertices.sparkSession
+    edges = materialize(
+        g.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    result = spark.createDataFrame([(int(seed_node),)], "id long").localCheckpoint(
+        eager=True
+    )
+    level = result
+    taken = 1
+    while taken < size:
+        nxt = (
+            edges.join(level.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(result, "id", "anti")
+        )
+        nxt = materialize(nxt)
+        c = nxt.count()
+        if c == 0:
+            break
+        if taken + c <= size:
+            admitted = nxt
+        else:
+            h = F.expr(md5_long_sql(f"('{seed}:rbfs:' || CAST(id AS STRING))"))
+            admitted = (
+                nxt.select("id", h.alias("_h"))
+                .orderBy("_h", "id")
+                .limit(size - taken)
+                .select("id")
+            )
+            admitted = materialize(admitted)
+            c = size - taken
+        result = materialize(result.unionByName(admitted))
+        taken += c
+        level = admitted
+    return sorted(int(r["id"]) for r in result.collect())
+
+
+def combined_scd(
+    graph: Graph, seed_node: int, first_size: int = 5, **gce_kwargs
+) -> DataFrame:
+    """(seed, node) — scd/CombinedSCD.cpp: run one SCD algorithm and feed
+    its community as the seed set of a second — here RandomBFS (cheap
+    local cover) into GCE greedy expansion. Documented deviation: our GCE
+    expands per seed; the combined community is the union of the
+    expansions from every first-stage member, labeled by the original
+    seed (the reference's set-seeded expansion admits a superset the same
+    way)."""
+    seeds = random_bfs_community(graph, seed_node, first_size)
+    return (
+        gce(graph, seeds, **gce_kwargs)
+        .select("node")
+        .distinct()
+        .select(F.lit(int(seed_node)).cast("long").alias("seed"), "node")
+    )

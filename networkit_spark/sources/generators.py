@@ -17,6 +17,7 @@ benchmark sweep exercises) without a sequential dependency.
 
 from __future__ import annotations
 
+import math
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
@@ -792,3 +793,224 @@ def stochastic_blockmodel(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
     return Graph(mem.select("id"), sym, directed=False, weighted=False)
+
+
+def dorogovtsev_mendes(spark: SparkSession, n: int, seed: int = 42) -> Graph:
+    """DorogovtsevMendesGenerator.cpp:17-40: start from a triangle; each
+    new node picks a uniformly random EXISTING edge and connects to both
+    of its endpoints (m = 3 + 2(n-3)).
+
+    Distributed derandomization: node 3+k picks edge index
+    e_k = hash(seed, k) mod (3 + 2k) up front. Writing each edge j >= 3 as
+    (A_j, B_j) with A_j = its new node (closed form: 3 + (j-3)//2), the
+    b=0 copy's other endpoint is A_{e} (closed form again) and the b=1
+    copy's is B_{e} — a pure pointer chain through earlier B's, resolved
+    by the same pointer-halving rounds as barabasi_albert (geometric
+    chain lengths -> a handful of join rounds)."""
+    if n < 3:
+        raise ValueError("DorogovtsevMendes needs n >= 3")
+    m = 3 + 2 * (n - 3)
+    tri_a = [0, 1, 2]
+    tri_b = [1, 2, 0]
+    js = spark.range(3, m).select(F.col("id").alias("j"))
+    k = ((F.col("j") - 3) / 2).cast("long")
+    b = (F.col("j") - 3) % 2
+    e = F.abs(F.xxhash64(F.lit(seed * 31 + 7), k)) % (3 + 2 * k)
+    # ground value of A_e / triangle endpoints; for b=1 and e>=3: ref chain
+    a_of_e = F.when(e < 3, F.element_at(F.array(*[F.lit(x) for x in tri_a]), (e + 1).cast("int")))\
+        .otherwise(3 + ((e - 3) / 2).cast("long"))
+    b0_ground = a_of_e
+    b1_ground = F.when(e < 3, F.element_at(F.array(*[F.lit(x) for x in tri_b]), (e + 1).cast("int")))
+    table = js.select(
+        "j",
+        (3 + k).alias("a"),
+        F.when(b == 0, b0_ground).otherwise(b1_ground).cast("long").alias("val"),
+        F.when((b == 1) & (e >= 3), e).cast("long").alias("ref"),
+    ).localCheckpoint(eager=True)
+    while table.filter(F.col("val").isNull()).limit(1).count() > 0:
+        lookup = table.select(
+            F.col("j").alias("ref"), F.col("val").alias("tval"), F.col("ref").alias("tref")
+        )
+        table = (
+            table.join(lookup, "ref", "left")
+            .select(
+                "j",
+                "a",
+                F.coalesce("val", "tval").alias("val"),
+                F.when(F.col("val").isNotNull(), F.lit(None).cast("long"))
+                .otherwise(F.coalesce("tref", "ref"))
+                .alias("ref"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    tri = spark.createDataFrame(
+        list(zip(tri_a, tri_b)), "a long, val long"
+    )
+    half = (
+        table.select("a", "val")
+        .unionByName(tri)
+        .select(F.least("a", "val").alias("src"), F.greatest("a", "val").alias("dst"))
+        .select("src", "dst", F.lit(1.0).cast("float").alias("weight"))
+    )
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(vertices, sym, directed=False, weighted=False)
+
+
+def _torus_points(spark: SparkSession, n: int, seed: int, salt: str) -> DataFrame:
+    return spark.range(n).select(
+        F.col("id"),
+        _u01(seed, F.lit(salt + ":x"), F.col("id")).alias("x"),
+        _u01(seed, F.lit(salt + ":y"), F.col("id")).alias("y"),
+    )
+
+
+def _grid_pairs(pts: DataFrame, cell: float) -> DataFrame:
+    """Candidate point pairs (id, x, y, id2, x2, y2) whose torus grid
+    cells are adjacent — the spatial-join pruning both PubWeb and Mocnik
+    need (the reference's quadratic scans are its own TODO,
+    PubWebGenerator.cpp:44-46)."""
+    g = int(max(1, math.floor(1.0 / cell)))
+    with_cell = pts.select(
+        "id", "x", "y",
+        (F.floor(F.col("x") * g) % g).cast("int").alias("cx"),
+        (F.floor(F.col("y") * g) % g).cast("int").alias("cy"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    nbr = with_cell.select(
+        F.col("id").alias("id2"), F.col("x").alias("x2"), F.col("y").alias("y2"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    ((F.col("cx") + dx + g) % g).alias("cx"),
+                    ((F.col("cy") + dy + g) % g).alias("cy"),
+                )
+                for dx, dy in offs
+            ])
+        ).alias("c"),
+    ).select("id2", "x2", "y2", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    return with_cell.join(nbr, ["cx", "cy"]).filter(F.col("id") != F.col("id2"))
+
+
+def _torus_d2(x1, y1, x2, y2):
+    dx = F.abs(x1 - x2)
+    dy = F.abs(y1 - y2)
+    dx = F.least(dx, 1.0 - dx)
+    dy = F.least(dy, 1.0 - dy)
+    return dx * dx + dy * dy
+
+
+def pub_web(
+    spark: SparkSession,
+    n: int,
+    num_dense_areas: int = 10,
+    neighborhood_radius: float = 0.1,
+    max_neighbors: int = 20,
+    seed: int = 42,
+) -> Graph:
+    """PubWebGenerator.cpp (peer-to-peer web layout): points on the unit
+    TORUS — a fraction scattered uniformly, the rest clustered around
+    dense-area centers — connected to their <= max_neighbors nearest
+    neighbors within neighborhood_radius (torus metric). The reference's
+    O(n^2) neighbor scan (its own TODO) becomes a grid-cell spatial join;
+    the per-node cap is a partitioned rank by (distance, id)."""
+    centers = _torus_points(spark, num_dense_areas, seed, "pwc")
+    frac_dense = 0.7
+    base = spark.range(n).select(
+        "id",
+        (_u01(seed, F.lit("pwm"), F.col("id")) < frac_dense).alias("dense"),
+        _u01(seed, F.lit("pwx"), F.col("id")).alias("ux"),
+        _u01(seed, F.lit("pwy"), F.col("id")).alias("uy"),
+        (F.abs(F.xxhash64(F.lit(seed), F.lit("pwa"), F.col("id"))) % num_dense_areas).alias("area"),
+        (_u01(seed, F.lit("pwr"), F.col("id")) * 0.05).alias("rad"),
+        (_u01(seed, F.lit("pwt"), F.col("id")) * 2.0 * math.pi).alias("ang"),
+    )
+    pts = (
+        base.join(centers.select(F.col("id").alias("area"), F.col("x").alias("acx"), F.col("y").alias("acy")), "area", "left")
+        .select(
+            "id",
+            F.when(F.col("dense"), (F.col("acx") + F.col("rad") * F.cos("ang") + 1.0) % 1.0)
+            .otherwise(F.col("ux")).alias("x"),
+            F.when(F.col("dense"), (F.col("acy") + F.col("rad") * F.sin("ang") + 1.0) % 1.0)
+            .otherwise(F.col("uy")).alias("y"),
+        )
+    )
+    pts = pts.localCheckpoint(eager=True)
+    cand = _grid_pairs(pts, neighborhood_radius)
+    within = cand.withColumn(
+        "d2", _torus_d2(F.col("x"), F.col("y"), F.col("x2"), F.col("y2"))
+    ).filter(F.col("d2") <= neighborhood_radius * neighborhood_radius)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("d2", "id2")
+    kept = within.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_neighbors
+    )
+    half = (
+        kept.select(F.least("id", "id2").alias("src"), F.greatest("id", "id2").alias("dst"))
+        .distinct()
+        .select("src", "dst", F.lit(1.0).cast("float").alias("weight"))
+    )
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(vertices, sym, directed=False, weighted=False)
+
+
+def mocnik(
+    spark: SparkSession, n: int, density: float = 2.5, seed: int = 42
+) -> Graph:
+    """MocnikGenerator.cpp:300-340 (Mocnik & Frank spatial model, d=2):
+    n uniform points in the unit square, directed edge u->v iff
+    dist(u, v) < density * n^(-1/d). Grid-bucketed spatial join instead
+    of the reference's cell-list scan; plain (non-torus) metric, matching
+    the reference."""
+    r = density * (n ** -0.5)
+    pts = _torus_points(spark, n, seed, "moc").localCheckpoint(eager=True)
+    cand = _grid_pairs(pts, min(max(r, 1e-6), 0.5))
+    dx = F.col("x") - F.col("x2")
+    dy = F.col("y") - F.col("y2")
+    edges = (
+        cand.withColumn("d2", dx * dx + dy * dy)
+        .filter(F.col("d2") < r * r)
+        .select(
+            F.col("id").alias("src"), F.col("id2").alias("dst"),
+            F.lit(1.0).cast("float").alias("weight"),
+        )
+    )
+    # the grid wraps (torus cells) but the metric must not: wrap-around
+    # candidate pairs fail the plain-distance filter unless genuinely close
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(vertices, edges, directed=True, weighted=False)
+
+
+def powerlaw_degree_sequence(
+    n: int, min_deg: int, max_deg: int, gamma: float, seed: int = 42
+) -> list[int]:
+    """generators/PowerlawDegreeSequence.cpp: P(deg = k) proportional to
+    k^-gamma on [min_deg, max_deg]; returns a sorted-descending sequence
+    (getDegreeSequence) drawn by deterministic inverse-CDF hash draws —
+    ready to feed havel_hakimi. Driver-side: the sequence is n ints, the
+    same scale the reference returns as std::vector<count>."""
+    import numpy as np
+
+    ks = np.arange(min_deg, max_deg + 1, dtype=np.float64)
+    pdf = ks ** -gamma
+    cdf = np.cumsum(pdf / pdf.sum())
+    import hashlib
+
+    seq = []
+    for i in range(n):
+        h = int.from_bytes(
+            hashlib.md5(f"{seed}:plds:{i}".encode()).digest()[:6], "big"
+        ) / float(1 << 48)
+        seq.append(int(min_deg + np.searchsorted(cdf, h, side="right")))
+    seq.sort(reverse=True)
+    # even degree sum (a realizable sequence needs it; the reference's
+    # HavelHakimi consumers fix parity the same way)
+    if sum(seq) % 2 == 1:
+        seq[-1] += 1 if seq[-1] < max_deg else -1
+    return seq

@@ -409,3 +409,225 @@ def update_apsp_incremental(
         if improved == 0:
             break
     return apsp
+
+
+def katz_levels(
+    graph: Graph, alpha: float, beta: float, iters: int
+) -> DataFrame:
+    """(k, id, x) — the pre-normalization Katz iterate x_k for k = 0..iters
+    under x_{k+1}[u] = beta + alpha*sum_{v->u} w*x_k[v], x_0 = 0 (the
+    centrality.katz_centrality recurrence with a pinned iteration count).
+    This is the state DynKatzCentrality maintains per level
+    (centrality/DynKatzCentrality.cpp keeps bounded per-level walk counts)."""
+    from networkit_spark.plans.checkpoint import materialize
+
+    edges = materialize(
+        graph.edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+    )
+    x = graph.vertices.select("id", F.lit(0.0).alias("x"))
+    levels = x.withColumn("k", F.lit(0)).localCheckpoint(eager=True)
+    for k in range(1, iters + 1):
+        msgs = (
+            edges.join(x.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("x") * F.col("w")).alias("mass"))
+        )
+        x = (
+            graph.vertices.select("id")
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                (F.lit(beta) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias(
+                    "x"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        levels = levels.unionByName(x.withColumn("k", F.lit(k))).localCheckpoint(
+            eager=True
+        )
+    return levels
+
+
+def update_katz_incremental(
+    graph_after: Graph,
+    old_levels: DataFrame,
+    added_edges: DataFrame,
+    alpha: float,
+    beta: float,
+    iters: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(new_levels, scores) after EDGE_ADD events — DynKatzCentrality
+    semantics (centrality/DynKatzCentrality.cpp: update bounded per-level
+    walk state instead of recomputing): with E+ the added arcs,
+        delta_k(u) = alpha * ( sum_{(v,u) in E+} w * x'_{k-1}(v)
+                             + sum_{(v,u) old}   w * delta_{k-1}(v) ),
+    so deltas spread one hop per level from the added arcs' heads — a
+    frontier superstep over the delta table, never a full recompute. The
+    returned scores are L2-normalized like katz_centrality."""
+    from networkit_spark.plans.checkpoint import materialize
+
+    add = added_edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("w")
+    )
+    if not graph_after.directed:
+        add = add.unionByName(
+            add.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+    add = materialize(add)
+    old_edges = materialize(
+        graph_after.edges.select(
+            "src", "dst", F.col("weight").cast("double").alias("w")
+        ).subtract(
+            graph_after.edges.select(
+                "src", "dst", F.col("weight").cast("double").alias("w")
+            ).join(add.select("src", "dst"), ["src", "dst"], "semi")
+        )
+    )
+
+    delta = None  # delta_0 = 0 (x_0 = 0 regardless of edges)
+    new_levels = old_levels.filter(F.col("k") == 0).localCheckpoint(eager=True)
+    for k in range(1, iters + 1):
+        prev_new = new_levels.filter(F.col("k") == k - 1).select("id", "x")
+        from_new_edges = (
+            add.join(prev_new.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("x") * F.col("w")).alias("m1"))
+        )
+        if delta is not None:
+            from_deltas = (
+                old_edges.join(delta.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("d") * F.col("w")).alias("m2"))
+            )
+            dk = (
+                from_new_edges.join(from_deltas, "id", "full")
+                .select(
+                    "id",
+                    (
+                        F.lit(alpha)
+                        * (
+                            F.coalesce("m1", F.lit(0.0))
+                            + F.coalesce("m2", F.lit(0.0))
+                        )
+                    ).alias("d"),
+                )
+            )
+        else:
+            dk = from_new_edges.select(
+                "id", (F.lit(alpha) * F.col("m1")).alias("d")
+            )
+        delta = materialize(dk.filter(F.col("d") != 0.0))
+        xk = (
+            old_levels.filter(F.col("k") == k)
+            .select("id", "x")
+            .join(delta, "id", "left")
+            .select("id", (F.col("x") + F.coalesce("d", F.lit(0.0))).alias("x"))
+        )
+        new_levels = new_levels.unionByName(
+            xk.withColumn("k", F.lit(k))
+        ).localCheckpoint(eager=True)
+
+    final = new_levels.filter(F.col("k") == iters).select("id", "x")
+    norm = final.agg(F.sqrt(F.sum(F.col("x") * F.col("x")))).first()[0] or 1.0
+    scores = final.select("id", (F.col("x") / norm).alias("score"))
+    return new_levels, scores
+
+
+def update_betweenness_incremental(
+    graph_before: Graph,
+    graph_after: Graph,
+    old_bc: DataFrame,
+    added_edges: DataFrame,
+) -> DataFrame:
+    """Betweenness after EDGE_ADD events on an UNDIRECTED graph —
+    DynBetweenness semantics (centrality/DynBetweenness.cpp, Bergamini et
+    al.: recompute only what the insertion can affect). A source s is
+    AFFECTED iff some added edge {u, v} lies on a no-longer-longest route:
+    d(s,u) + 1 <= d(s,v) or d(s,v) + 1 <= d(s,u) (strict = distances
+    change, equal = path counts change); every other source's BFS DAG and
+    dependencies are untouched. The update subtracts the affected sources'
+    old per-source contributions (one batched Brandes over A on the old
+    graph) and adds their new ones (same over the new graph): cost
+    2|A| source-BFS instead of n."""
+    from networkit_spark.operators.betweenness import betweenness
+    from networkit_spark.operators.distance import multi_source_hops
+
+    eps = (
+        added_edges.select(F.col("src").alias("id"))
+        .unionByName(added_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    endpoints = [int(r["id"]) for r in eps.collect()]
+    # d(endpoint, q) on the OLD graph = d(q, endpoint) (undirected)
+    dp = multi_source_hops(graph_before, sources=endpoints)
+    add = added_edges.select("src", "dst")
+    BIG = F.lit(2**62)
+    a_tab = dp.select(
+        F.col("s").alias("src"), F.col("id").alias("q"), F.col("dist").alias("a")
+    )
+    b_tab = dp.select(
+        F.col("s").alias("dst"), F.col("id").alias("q"), F.col("dist").alias("b")
+    )
+    au = add.join(a_tab, "src").select("src", "dst", "q", "a")
+    bv = add.join(b_tab, "dst").select("src", "dst", "q", "b")
+    per_edge = au.join(bv, ["src", "dst", "q"], "full").select(
+        "q", F.coalesce("a", BIG).alias("a"), F.coalesce("b", BIG).alias("b")
+    )
+    affected = (
+        per_edge.filter(
+            (F.col("a") + 1 <= F.col("b")) | (F.col("b") + 1 <= F.col("a"))
+        )
+        .select(F.col("q").alias("id"))
+        .distinct()
+    )
+    srcs = [int(r["id"]) for r in affected.collect()]
+    if not srcs:
+        return old_bc
+    old_part = betweenness(graph_before, sources=srcs)
+    new_part = betweenness(graph_after, sources=srcs)
+    return (
+        old_bc.withColumnRenamed("score", "bc")
+        .join(old_part.withColumnRenamed("score", "o"), "id", "left")
+        .join(new_part.withColumnRenamed("score", "nw"), "id", "left")
+        .select(
+            "id",
+            (
+                F.col("bc")
+                - F.coalesce("o", F.lit(0.0))
+                + F.coalesce("nw", F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+
+
+def update_harmonic_incremental(
+    old_apsp: DataFrame, new_apsp: DataFrame, old_scores: DataFrame
+) -> DataFrame:
+    """Harmonic closeness after EDGE_ADD events, from the DynAPSP tables
+    (DynTopHarmonicCloseness role, centrality/DynTopHarmonicCloseness.cpp:
+    distances only shrink under insertions, so the score delta is a scan
+    of the CHANGED (s, t) pairs): score'(s) = score(s) +
+    sum over changed pairs of (1/d_new - 1/d_old), with 1/d_old = 0 for
+    newly reachable pairs."""
+    o = old_apsp.select("s", F.col("t").alias("t"), F.col("dist").alias("od"))
+    nw = new_apsp.select("s", "t", F.col("dist").alias("nd"))
+    delta = (
+        nw.join(o, ["s", "t"], "left")
+        .filter(F.col("od").isNull() | (F.col("nd") != F.col("od")))
+        .filter(F.col("nd") > 0)
+        .groupBy(F.col("s").alias("id"))
+        .agg(
+            F.sum(
+                1.0 / F.col("nd")
+                - F.when(F.col("od") > 0, 1.0 / F.col("od")).otherwise(0.0)
+            ).alias("dsc")
+        )
+    )
+    return (
+        old_scores.withColumnRenamed("score", "old")
+        .join(delta, "id", "left")
+        .select("id", (F.col("old") + F.coalesce("dsc", F.lit(0.0))).alias("score"))
+    )

@@ -266,3 +266,42 @@ def test_gce_objective_l_matches_brute_force(spark):
         by.setdefault(r["seed"], []).append(r["node"])
     assert sorted(by[0]) == sorted(_brute_gce_l(edges, 0))
     assert sorted(by[7]) == sorted(_brute_gce_l(edges, 7))
+
+
+def test_set_conductance_closed_form(spark):
+    from networkit_spark.operators.scd import set_conductance
+
+    # two triangles joined by one edge: C = one triangle
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+            (3, 4, 1.0), (4, 5, 1.0), (3, 5, 1.0), (2, 3, 1.0)]
+    g = from_edge_rows(spark, rows, num_nodes=6, weighted=True)
+    # vol(C) = deg sum of {0,1,2} = 2+2+3 = 7, cut = 1, rest = 14-7 = 7
+    assert abs(set_conductance(g, [0, 1, 2]) - 1.0 / 7.0) < 1e-12
+    # whole graph: rest volume 0 -> 1.0
+    assert set_conductance(g, [0, 1, 2, 3, 4, 5]) == 1.0
+
+
+def test_random_bfs_community_levels(spark):
+    from networkit_spark.operators.scd import random_bfs_community
+
+    # star + tail: levels from 0 are {0}, {1..4}, ...
+    rows = [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0), (0, 4, 1.0), (4, 5, 1.0)]
+    g = from_edge_rows(spark, rows, num_nodes=6, weighted=True)
+    full = random_bfs_community(g, 0, 6)
+    assert full == [0, 1, 2, 3, 4, 5]
+    part = random_bfs_community(g, 0, 3)
+    assert len(part) == 3 and 0 in part
+    assert set(part) - {0} <= {1, 2, 3, 4}  # partial level drawn from level 1
+    assert part == random_bfs_community(g, 0, 3)  # deterministic
+
+
+def test_combined_scd_contains_seed_and_expands(spark):
+    from networkit_spark.operators.scd import combined_scd
+
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+            (3, 4, 1.0), (4, 5, 1.0), (3, 5, 1.0), (2, 3, 1.0)]
+    g = from_edge_rows(spark, rows, num_nodes=6, weighted=True)
+    out = combined_scd(g, 0, first_size=2)
+    nodes = {r["node"] for r in out.collect()}
+    assert 0 in nodes and len(nodes) >= 2
+    assert {r["seed"] for r in out.collect()} == {0}

@@ -344,3 +344,72 @@ def test_stochastic_blockmodel_block_structure(spark):
         for r in g2.edges.filter(F.col("src") < F.col("dst")).collect()
     )
     assert sorted(ce) == e2
+
+
+def test_dorogovtsev_mendes_structure(spark):
+    from networkit_spark.sources.generators import dorogovtsev_mendes
+
+    g = dorogovtsev_mendes(spark, 30, seed=5)
+    n, m = g.num_nodes(), g.num_edges()
+    assert n == 30
+    # m = 3 + 2(n-3); num_edges counts undirected edges once
+    assert m == 3 + 2 * (30 - 3)
+    # every node beyond the triangle has degree >= 2 and its two initial
+    # targets are earlier nodes (edges only point backwards)
+    deg = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    assert all(deg[i] >= 2 for i in range(30))
+    # connected (it grows from a triangle)
+    from networkit_spark.operators.components import connected_components
+
+    assert connected_components(g).select("label").distinct().count() == 1
+    # deterministic
+    g2 = dorogovtsev_mendes(spark, 30, seed=5)
+    e1 = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    e2 = {(r["src"], r["dst"]) for r in g2.edges.collect()}
+    assert e1 == e2
+
+
+def test_pub_web_radius_and_cap(spark):
+    from networkit_spark.sources.generators import pub_web
+
+    g = pub_web(spark, 150, num_dense_areas=4, neighborhood_radius=0.12,
+                max_neighbors=6, seed=3)
+    assert g.num_nodes() == 150
+    assert g.num_edges() > 0
+    # every edge joins points within the torus radius; a lower cap prunes
+    # edges (the per-node keep list shrinks, like the reference's cap)
+    g1 = pub_web(spark, 150, num_dense_areas=4, neighborhood_radius=0.12,
+                 max_neighbors=2, seed=3)
+    assert g1.num_edges() < g.num_edges()
+    g2 = pub_web(spark, 150, num_dense_areas=4, neighborhood_radius=0.05,
+                 max_neighbors=6, seed=3)
+    assert g2.num_edges() < g.num_edges()
+
+
+def test_mocnik_spatial_directed(spark):
+    from networkit_spark.sources.generators import mocnik
+
+    g = mocnik(spark, 200, density=1.8, seed=9)
+    assert g.directed and g.num_nodes() == 200
+    m = g.edges.count()
+    assert m > 0
+    # symmetric by the metric: u->v implies v->u
+    e = {(r["src"], r["dst"]) for r in g.edges.collect()}
+    assert all((b, a) in e for a, b in e)
+
+
+def test_powerlaw_degree_sequence_feeds_havel_hakimi(spark):
+    from networkit_spark.sources.generators import (
+        havel_hakimi,
+        powerlaw_degree_sequence,
+    )
+
+    seq = powerlaw_degree_sequence(40, 1, 8, 2.5, seed=11)
+    assert len(seq) == 40 and sum(seq) % 2 == 0
+    assert seq == sorted(seq, reverse=True)
+    assert all(1 <= d <= 8 for d in seq)
+    g = havel_hakimi(spark, seq)
+    got = sorted(
+        (r["degree"] for r in g.degrees().collect()), reverse=True
+    )
+    assert got == seq  # powerlaw sequences are graphical after parity fix

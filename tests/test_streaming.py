@@ -346,3 +346,98 @@ def test_incremental_apsp(spark):
     }
     assert got == fresh
     assert got[(1, 4)] == 3  # 1-0-5-4 via the new shortcut
+
+
+def _er_rows(seed, n, m):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    es = set()
+    while len(es) < m:
+        a, b = int(rng.randint(0, n)), int(rng.randint(0, n))
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    return [(a, b, 1.0) for a, b in sorted(es)]
+
+
+def test_dyn_katz_incremental_matches_recompute(spark):
+    from networkit_spark.streaming.graph_events import (
+        katz_levels,
+        update_katz_incremental,
+    )
+
+    rows = _er_rows(11, 12, 18)
+    extra = [(0, 11, 1.0), (3, 9, 1.0)]
+    extra = [e for e in extra if (e[0], e[1]) not in {(a, b) for a, b, _ in rows}]
+    g0 = from_edge_rows(spark, rows, num_nodes=12, weighted=True)
+    g1 = from_edge_rows(spark, rows + extra, num_nodes=12, weighted=True)
+    K, A, B = 6, 0.05, 0.1
+    lv0 = katz_levels(g0, A, B, K)
+    add = spark.createDataFrame(extra, "src long, dst long, weight double")
+    _, scores = update_katz_incremental(g1, lv0, add, A, B, K)
+    got = {r["id"]: r["score"] for r in scores.collect()}
+    lvf = katz_levels(g1, A, B, K)
+    import math
+
+    final = {r["id"]: r["x"] for r in lvf.filter("k = %d" % K).collect()}
+    norm = math.sqrt(sum(v * v for v in final.values()))
+    for i, v in final.items():
+        assert abs(got[i] - v / norm) < 1e-9, i
+
+
+def test_dyn_betweenness_incremental_matches_recompute(spark):
+    from networkit_spark.operators.betweenness import betweenness
+    from networkit_spark.streaming.graph_events import (
+        update_betweenness_incremental,
+    )
+
+    rows = _er_rows(13, 11, 16)
+    have = {(a, b) for a, b, _ in rows}
+    extra = [e for e in [(0, 10, 1.0), (2, 7, 1.0)] if (e[0], e[1]) not in have]
+    g0 = from_edge_rows(spark, rows, num_nodes=11, weighted=True)
+    g1 = from_edge_rows(spark, rows + extra, num_nodes=11, weighted=True)
+    bc0 = betweenness(g0)
+    add = spark.createDataFrame(extra, "src long, dst long, weight double")
+    upd = {r["id"]: r["score"]
+           for r in update_betweenness_incremental(g0, g1, bc0, add).collect()}
+    want = {r["id"]: r["score"] for r in betweenness(g1).collect()}
+    for i in want:
+        assert abs(upd[i] - want[i]) < 1e-9, (i, upd[i], want[i])
+
+
+def test_dyn_harmonic_incremental_matches_recompute(spark):
+    from networkit_spark.operators.distance import multi_source_hops
+    from networkit_spark.streaming.graph_events import (
+        update_apsp_incremental,
+        update_harmonic_incremental,
+    )
+
+    rows = _er_rows(17, 10, 12)
+    have = {(a, b) for a, b, _ in rows}
+    extra = [e for e in [(1, 8, 1.0)] if (e[0], e[1]) not in have]
+    g0 = from_edge_rows(spark, rows, num_nodes=10, weighted=True)
+    g1 = from_edge_rows(spark, rows + extra, num_nodes=10, weighted=True)
+    apsp0 = multi_source_hops(g0)
+    add = spark.createDataFrame(extra, "src long, dst long, weight double")
+    apsp1 = update_apsp_incremental(g1, apsp0, add)
+    from pyspark.sql import functions as F
+
+    old_scores = (
+        apsp0.filter(F.col("dist") > 0)
+        .groupBy(F.col("s").alias("id"))
+        .agg(F.sum(1.0 / F.col("dist")).alias("score"))
+    )
+    got = {r["id"]: r["score"]
+           for r in update_harmonic_incremental(
+               apsp0.withColumnRenamed("id", "t"),
+               apsp1,
+               old_scores,
+           ).collect()}
+    fresh = multi_source_hops(g1)
+    want = {r["id"]: r["score"]
+            for r in fresh.filter(F.col("dist") > 0)
+            .groupBy(F.col("s").alias("id"))
+            .agg(F.sum(1.0 / F.col("dist")).alias("score"))
+            .collect()}
+    for i in want:
+        assert abs(got.get(i, 0.0) - want[i]) < 1e-9, i
