@@ -631,3 +631,42 @@ def update_harmonic_incremental(
         .join(delta, "id", "left")
         .select("id", (F.col("old") + F.coalesce("dsc", F.lit(0.0))).alias("score"))
     )
+
+
+def affected_nodes(graph_before: Graph, added_edges: DataFrame) -> DataFrame:
+    """(id) — vertices whose distance OR shortest-path-count vector can
+    change under the EDGE_ADD batch (distance/AffectedNodes.cpp role, the
+    primitive the Dyn* updaters share): q is affected iff some added edge
+    {u, v} satisfies d(q,u) + 1 <= d(q,v) or d(q,v) + 1 <= d(q,u) on the
+    old graph (strict: distances change; equal: path counts change) —
+    the exact set update_betweenness_incremental recomputes over. One
+    multi-source BFS from the added edges' endpoints; undirected graphs."""
+    from networkit_spark.operators.distance import multi_source_hops
+
+    g = graph_before.to_undirected() if graph_before.directed else graph_before
+    eps = (
+        added_edges.select(F.col("src").alias("id"))
+        .unionByName(added_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    endpoints = [int(r["id"]) for r in eps.collect()]
+    dp = multi_source_hops(g, sources=endpoints)
+    add = added_edges.select("src", "dst")
+    BIG = F.lit(2**62)
+    a_tab = dp.select(
+        F.col("s").alias("src"), F.col("id").alias("q"), F.col("dist").alias("a")
+    )
+    b_tab = dp.select(
+        F.col("s").alias("dst"), F.col("id").alias("q"), F.col("dist").alias("b")
+    )
+    au = add.join(a_tab, "src").select("src", "dst", "q", "a")
+    bv = add.join(b_tab, "dst").select("src", "dst", "q", "b")
+    return (
+        au.join(bv, ["src", "dst", "q"], "full")
+        .select(
+            "q", F.coalesce("a", BIG).alias("a"), F.coalesce("b", BIG).alias("b")
+        )
+        .filter((F.col("a") + 1 <= F.col("b")) | (F.col("b") + 1 <= F.col("a")))
+        .select(F.col("q").alias("id"))
+        .distinct()
+    )

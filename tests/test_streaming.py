@@ -441,3 +441,15 @@ def test_dyn_harmonic_incremental_matches_recompute(spark):
             .collect()}
     for i in want:
         assert abs(got.get(i, 0.0) - want[i]) < 1e-9, i
+
+
+def test_affected_nodes_exact_set(spark):
+    from networkit_spark.streaming.graph_events import affected_nodes
+
+    # path 0-1-2-3-4; adding (0,4) affects everyone except the middle (2):
+    # for q=2, d(2,0)=2 and d(2,4)=2 -> neither side shortcuts (2+1 > 2)
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)]
+    g = from_edge_rows(spark, rows, num_nodes=5, weighted=True)
+    add = spark.createDataFrame([(0, 4, 1.0)], "src long, dst long, weight double")
+    got = sorted(r["id"] for r in affected_nodes(g, add).collect())
+    assert got == [0, 1, 3, 4]
