@@ -894,6 +894,17 @@ def q_graph_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centrality_electrical_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx electrical closeness via the shared JL Laplacian sketch
+    (k=4, 30 Jacobi supersteps)."""
+    from networkit_spark.operators.electrical import approx_electrical_closeness
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return approx_electrical_closeness(
+        g, num_systems=4, num_iters=30, omega=0.5, seed=42
+    ).select("id", F.round("score", 6).alias("score"))
+
+
 LINKPRED_TEST_PM, LINKPRED_EVAL_CAP, LINKPRED_TOPK = 300, LINKPRED_HINGE_CAP, 50
 KATZ_BETA_IDX = 0.005
 
@@ -1476,6 +1487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linkpred_katz": q_linkpred_katz,
     "graph_edge_score_utils": q_graph_edge_score_utils,
     "graph_prefix_jaccard": q_graph_prefix_jaccard,
+    "centrality_electrical_closeness": q_centrality_electrical_closeness,
     # ---- block 3: hash-green in CORRECTNESS_r02.json ----------------------
     "graph_edges": q_graph_edges,
     "graph_degrees": q_graph_degrees,
@@ -1586,6 +1598,7 @@ def build_oracles() -> dict[str, str]:
         ),
         "graph_edge_score_utils": L.sql_edge_score_utils(),
         "graph_prefix_jaccard": L.sql_prefix_jaccard(),
+        "centrality_electrical_closeness": L.sql_electrical_closeness(4, 30, 0.5),
         "graph_effective_diameter": L.sql_effective_diameter(APSP_ITERS, 0.9),
         "centrality_top_closeness": L.sql_top_closeness(APSP_ITERS, 10),
         "graph_mis": L.sql_mis(12, 42),

@@ -3406,14 +3406,14 @@ ORDER BY f.src, f.dst"""
     return _with_graph(body)
 
 
-def sql_spanning_edge(
+def _jl_jacobi_ctes(
     num_systems: int, num_iters: int, omega: float, seed: int = 42
-) -> str:
-    """Unrolled hash-derandomized JL spanning-edge centrality
-    (SpanningEdgeCentrality.cpp:68-104 runApproximation): per sketch j,
-    each canonical edge draws sign +/-1/sqrt(k) from md5(seed, j, src,
-    dst); rhs = signed incidence sums; damped-Jacobi Laplacian solve with
-    the same fixed superstep count as the engine; sec = sum_j diff^2."""
+) -> tuple[list, str, list]:
+    """Shared CTE chain for the JL-sketch + damped-Jacobi solves backing
+    spanning-edge centrality AND approx electrical closeness: per sketch
+    j, each canonical edge draws sign +/-1/sqrt(k) from md5(seed, j, src,
+    dst); rhs = signed incidence sums; fixed-superstep Jacobi solve.
+    Returns (ctes, last_table, solution_cols)."""
     from networkit_spark.functions.hashing import md5_long_sql
 
     k = num_systems
@@ -3470,13 +3470,48 @@ l{t} AS MATERIALIZED (
     SELECT l.id, {bs}, {upd}, l.d FROM l{t-1} l LEFT JOIN n{t} n ON n.id = l.id
 )"""
         )
-    last = f"l{num_iters}"
+    return ctes, f"l{num_iters}", cols
+
+
+def sql_spanning_edge(
+    num_systems: int, num_iters: int, omega: float, seed: int = 42
+) -> str:
+    """Unrolled JL spanning-edge centrality (SpanningEdgeCentrality.cpp:
+    68-104 runApproximation): sec = sum_j diff^2 over the shared sketch
+    solves."""
+    ctes, last, cols = _jl_jacobi_ctes(num_systems, num_iters, omega, seed)
     score = " + ".join(f"POWER(xu.{c} - xv.{c}, 2)" for c in cols)
     body = (
         ", ".join(ctes)
         + f""" SELECT s.src, s.dst, ROUND({score}, 6) + 0.0 AS sec
 FROM signs s JOIN {last} xu ON xu.id = s.src JOIN {last} xv ON xv.id = s.dst
 ORDER BY s.src, s.dst"""
+    )
+    return _with_graph(body)
+
+
+def sql_electrical_closeness(
+    num_systems: int, num_iters: int, omega: float, seed: int = 42
+) -> str:
+    """Approx electrical closeness over the same sketch solves
+    (operators/electrical.py approx_electrical_closeness): the solution
+    covariance estimates L+, so diag_v = sum_j x_j[v]^2 and
+    score(v) = (n-1) / (n*diag_v + trace) — L+ has zero row sums, so the
+    cross term of the farness identity vanishes."""
+    ctes, last, cols = _jl_jacobi_ctes(num_systems, num_iters, omega, seed)
+    diag = " + ".join(f"POWER(x.{c}, 2)" for c in cols)
+    ctes.append(
+        f"diagv AS (SELECT x.id, {diag} AS dg FROM {last} x)"
+    )
+    ctes.append(
+        "tr AS (SELECT SUM(dg) AS trace, COUNT(*) AS n FROM diagv)"
+    )
+    body = (
+        ", ".join(ctes)
+        + """ SELECT d.id,
+       ROUND((t.n - 1) / (t.n * d.dg + t.trace), 6) + 0.0 AS score
+FROM diagv d CROSS JOIN tr t
+ORDER BY d.id"""
     )
     return _with_graph(body)
 

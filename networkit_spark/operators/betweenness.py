@@ -269,6 +269,7 @@ def approx_betweenness_rk(
     num_samples: int = 32,
     max_depth: int = 8,
     seed: int = 42,
+    return_credits: bool = False,
 ) -> DataFrame:
     """(id, score) — Riondato-Kornaropoulos approximate betweenness
     (ref: centrality/ApproxBetweenness.cpp: sample r (s,t) pairs, walk ONE
@@ -404,8 +405,15 @@ def approx_betweenness_rk(
         )
     wstate.close()
 
+    credits = (
+        credits if credits is not None else spark.createDataFrame([], "i long, p long")
+    )
+    if return_credits:
+        # (walk id, internal node) pairs — the sampled-path membership table
+        # approx_group_betweenness runs its greedy cover over
+        return credits
     counts = (
-        (credits if credits is not None else spark.createDataFrame([], "i long, p long"))
+        credits
         .groupBy(F.col("p").alias("id"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -418,4 +426,55 @@ def approx_betweenness_rk(
                 "score"
             ),
         )
+    )
+
+
+def approx_group_betweenness(
+    graph: Graph,
+    k: int,
+    num_samples: int = 64,
+    max_depth: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(rank, id, covered, coverage) — greedy group betweenness over
+    sampled shortest paths (the role of
+    centrality/ApproxGroupBetweenness.cpp: sample paths, then greedily
+    pick the k vertices covering the most of them — group betweenness is
+    monotone submodular, so greedy cover of the path sample carries the
+    (1-1/e) guarantee of the reference's construction).
+
+    The sample is the RK walk table (approx_betweenness_rk, identical
+    hash-derandomized walks); each greedy round is one count-distinct
+    aggregation over the remaining (walk, node) memberships plus an
+    anti-join removing the covered walks — k rounds, never materializing
+    subsets. ``coverage`` is the cumulative fraction of sampled paths
+    hit, the group-betweenness estimate the reference reports."""
+    spark = graph.vertices.sparkSession
+    credits = approx_betweenness_rk(
+        graph, num_samples=num_samples, max_depth=max_depth, seed=seed,
+        return_credits=True,
+    ).select("i", "p").distinct().localCheckpoint(eager=True)
+    total = credits.select("i").distinct().count()
+    rows = []
+    covered = 0
+    remaining = credits
+    for rank in range(1, k + 1):
+        top = (
+            remaining.groupBy("p")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "p")
+            .limit(1)
+            .first()
+        )
+        if top is None:
+            break
+        covered += int(top["c"])
+        rows.append(
+            (rank, int(top["p"]), covered,
+             covered / float(total) if total else 0.0)
+        )
+        hit = remaining.filter(F.col("p") == int(top["p"])).select("i")
+        remaining = remaining.join(hit, "i", "anti").localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, "rank int, id long, covered long, coverage double"
     )

@@ -145,10 +145,30 @@ def spanning_edge_scores(
     the final score is one join of the solution against the canonical
     edge table — nothing vertex-sized is collected or broadcast.
     """
+    x, signs = _jl_solutions(graph, num_systems, num_iters, omega, seed)
+    cols = [f"x{j}" for j in range(num_systems)]
+    xu = x.select(F.col("id").alias("src"), *[F.col(c).alias(f"u_{c}") for c in cols])
+    xv = x.select(F.col("id").alias("dst"), *[F.col(c).alias(f"v_{c}") for c in cols])
+    score = sum(
+        (F.col(f"u_{c}") - F.col(f"v_{c}")) * (F.col(f"u_{c}") - F.col(f"v_{c}"))
+        for c in cols
+    )
+    return (
+        signs.select("src", "dst")
+        .join(xu, "src")
+        .join(xv, "dst")
+        .select("src", "dst", score.alias("sec"))
+    )
+
+
+def _jl_solutions(graph, num_systems, num_iters, omega, seed):
+    """(x, signs): the k damped-Jacobi solutions of L x_j = B^T q_j for
+    hash-derandomized JL sign sketches q_j — the shared core of
+    spanning_edge_scores and approx_electrical_closeness."""
     from networkit_spark.functions.hashing import md5_long_sql
 
     if graph.directed:
-        raise ValueError("spanning edge centrality needs an undirected graph")
+        raise ValueError("the JL Laplacian sketch needs an undirected graph")
     k = num_systems
     r = 1.0 / (k ** 0.5)
     cols = [f"x{j}" for j in range(k)]
@@ -227,15 +247,41 @@ def spanning_edge_scores(
         x = state.advance(t, x)
     state.close()
 
-    xu = x.select(F.col("id").alias("src"), *[F.col(c).alias(f"u_{c}") for c in cols])
-    xv = x.select(F.col("id").alias("dst"), *[F.col(c).alias(f"v_{c}") for c in cols])
-    score = sum(
-        (F.col(f"u_{c}") - F.col(f"v_{c}")) * (F.col(f"u_{c}") - F.col(f"v_{c}"))
-        for c in cols
+    return x, signs
+
+
+def approx_electrical_closeness(
+    graph: Graph,
+    num_systems: int = 8,
+    num_iters: int = 40,
+    omega: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, score) — approximate electrical (current-flow) closeness:
+    score(v) = (n-1) / sum_u r_eff(v, u).
+
+    Reference: centrality/ApproxElectricalCloseness.cpp (Angriman et al.
+    2020) estimates diag(L+) with uniform spanning trees sampled by
+    Wilson's algorithm — loop-erased sequential random walks, a poor
+    distributed fit. Documented deviation with the same estimand: the
+    SpanningEdgeCentrality JL machinery already solves L x_j = B^T q_j
+    for k hash-derandomized sign sketches (q_j ~ +/-1/sqrt(k)); the
+    solution covariance is E[x x^T] = L+ B^T B L+ = L+ on unweighted
+    graphs, so diag(L+)_v ~ sum_j x_j[v]^2. The farness identity
+    sum_u r(v,u) = n*L+_vv + tr(L+) - 2*(L+ 1)_v loses its cross term
+    because L+ annihilates the all-ones vector, leaving one scan:
+    score(v) = (n-1) / (n*diag_v + trace). Cost: the same k-column
+    Jacobi supersteps as spanning_edge_scores plus two aggregations."""
+    sols, _signs = _jl_solutions(graph, num_systems, num_iters, omega, seed)
+    cols = [f"x{j}" for j in range(num_systems)]
+    n = graph.num_nodes()
+    diag = sols.select(
+        "id", sum((F.col(c) * F.col(c)) for c in cols).alias("dg")
     )
-    return (
-        signs.select("src", "dst")
-        .join(xu, "src")
-        .join(xv, "dst")
-        .select("src", "dst", score.alias("sec"))
+    trace = diag.agg(F.sum("dg")).first()[0] or 0.0
+    return diag.select(
+        "id",
+        (F.lit(float(n - 1)) / (F.lit(float(n)) * F.col("dg") + F.lit(float(trace)))).alias(
+            "score"
+        ),
     )

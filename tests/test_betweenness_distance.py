@@ -310,3 +310,20 @@ def test_kadabra_err_shrinks_with_more_batches(spark):
     e1 = max(r["err"] for r in loose.collect())
     e2 = max(r["err"] for r in tight.collect())
     assert e2 < e1
+
+
+def test_approx_group_betweenness_star(spark):
+    from networkit_spark.operators.betweenness import approx_group_betweenness
+
+    k = 6
+    rows = [(0, i, 1.0) for i in range(1, k + 1)]
+    g = from_edge_rows(spark, rows, num_nodes=k + 1, weighted=True)
+    out = approx_group_betweenness(g, k=2, num_samples=64).collect()
+    assert out[0]["id"] == 0  # the hub covers every leaf-leaf path
+    assert out[0]["coverage"] > 0.5
+    # coverage is cumulative and non-decreasing
+    covs = [r["coverage"] for r in out]
+    assert covs == sorted(covs)
+    # deterministic
+    out2 = approx_group_betweenness(g, k=2, num_samples=64).collect()
+    assert [(r["rank"], r["id"]) for r in out] == [(r["rank"], r["id"]) for r in out2]

@@ -69,8 +69,9 @@ def test_no_forced_vertex_sized_broadcasts():
         "operators/centrality.py": ["F.broadcast(tot)"],  # 1-row global agg
         "operators/distance.py": ["F.broadcast(grid)"],  # len(rs) radii
         "operators/algebraic.py": ["F.broadcast(mm)"],  # 1-row min/max agg
-        # P-row per-partition rank offsets (P = shuffle partitions)
+        # P-row per-partition rank/cumsum offsets (P = shuffle partitions)
         "operators/measures.py": ["F.broadcast(off_df)"],
+        "functions/ordering.py": ["F.broadcast(off_df)"],
         "operators/scd.py": [
             "F.broadcast(tv)",  # 1-row total volume
             "F.broadcast(best)",  # 1-row argmin
