@@ -1415,12 +1415,13 @@ def q_embed_ivf_ann(spark, sf_dir):
 # ---- registry -------------------------------------------------------------
 
 # Driver-gate rotation (VERDICT r2 task 1): the driver's correctness gate
-# checks the FIRST ~50 keys in insertion order, so queries that have never
-# been driver-checked come first.  Block 1 = the 56 queries registered in r2
-# but outside r2's 50-query window (all judge-verified green in r2); block 2
-# = queries new or re-oracled in r3; block 3 = the queries already hash-green
-# in CORRECTNESS_r02.json.  Everything is additionally full-sweep-verified by
-# tools/check_correctness.py (tests/test_entry_contract.py runs a sample).
+# checks the FIRST ~50 keys in insertion order.  The dict below is written in
+# registration blocks for readability; the reorder AFTER the dict moves every
+# query that has never been value-hash-green in a prior CORRECTNESS_r*.json
+# to the front (preserving relative order), so newly registered queries land
+# inside the gate window automatically.  Everything is additionally
+# full-sweep-verified by tools/check_correctness.py
+# (tests/test_entry_contract.py runs a sample and guards the rotation).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ---- block 1: registered in r2, never driver-checked ------------------
     "community_conductance": q_community_conductance,
@@ -1538,6 +1539,38 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "community_cover_f1": q_community_cover_f1,
     "community_coverage": q_community_coverage,
     "community_edgecut": q_community_edgecut,
+}
+
+# Names value-hash-green in CORRECTNESS_r01/r02 (graph_plm was `no_oracle`
+# both rounds — it got its invariant oracle in r3, so it stays in the front
+# block until a driver run hash-checks it).  Append each round's newly green
+# names after the driver publishes CORRECTNESS_r{N}.json.
+_DRIVER_HASH_GREEN = {
+    "centrality_betweenness", "centrality_betweenness_rk", "centrality_closeness",
+    "centrality_closeness_sampled", "centrality_degree", "centrality_eigenvector",
+    "centrality_harmonic", "centrality_katz", "centrality_local_coverage",
+    "centrality_permanence", "centrality_spanning_edge", "community_adjusted_rand",
+    "community_conductance", "community_cover_f1", "community_cover_hub_dominance",
+    "community_coverage", "community_edgecut", "community_fragmentation",
+    "community_graph_rand", "community_measures", "community_overlapping_nmi",
+    "community_partition_eval", "community_sampled_rand", "community_stability",
+    "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_bands", "dedup_simhash",
+    "embed_cosine_topk", "embed_lsh_ann", "events_sessionize", "graph_bfs",
+    "graph_coarsen_by_community", "graph_components", "graph_components_csr",
+    "graph_core_decomposition", "graph_degrees", "graph_diameter",
+    "graph_digraph_edges", "graph_edges", "graph_labelprop", "graph_labelprop_csr",
+    "graph_lcc", "graph_linkpred", "graph_modularity_lp", "graph_pagerank",
+    "graph_pagerank_csr", "graph_plm_pinned", "graph_sample_edges",
+    "graph_sample_nodes", "graph_scc", "graph_sssp", "graph_top_entities",
+    "graph_transitivity", "graph_transitivity_approx", "graph_triangle_count",
+    "graph_triangle_edge_scores", "graph_triangles_per_node",
+    "multimodal_decode_meta", "text_fingerprint", "text_lang_id", "text_quality",
+    "text_token_stats", "text_token_topk",
+}
+
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k not in _DRIVER_HASH_GREEN},
+    **{k: v for k, v in QUERIES.items() if k in _DRIVER_HASH_GREEN},
 }
 
 
