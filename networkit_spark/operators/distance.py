@@ -365,3 +365,65 @@ def sampled_closeness(
             .alias("closeness_est"),
         )
     )
+
+
+def incomplete_dijkstra(
+    graph: Graph,
+    sources: list[int],
+    excluded: list[int] | None = None,
+    max_dist: float | None = None,
+    max_iterations: int | None = 100,
+) -> DataFrame:
+    """(id, dist) — multi-source weighted shortest-path distances, never
+    entering ``excluded`` nodes (distance/IncompleteDijkstra.cpp:15-75:
+    a lazy distance-ordered exploration that skips `explored`; the
+    reference consumes it incrementally, the set-oriented analogue returns
+    the reachable ball at once, optionally cut at ``max_dist``).
+    Synchronous frontier relaxation like sssp_weighted — a heap does not
+    distribute, the frontier does."""
+    spark = graph.vertices.sparkSession
+    excluded = excluded or []
+    excl = spark.createDataFrame([(int(x),) for x in excluded], "id long")
+    edges = materialize(
+        graph.edges.select("src", "dst", F.col("weight").cast("double").alias("w"))
+        .join(excl.withColumnRenamed("id", "dst"), "dst", "anti")
+    )
+
+    dist = spark.createDataFrame(
+        [(int(s), 0.0) for s in sources], "id long, dist double"
+    ).join(excl, "id", "anti").localCheckpoint(eager=True)
+    frontier = dist
+    iteration = 0
+    while True:
+        iteration += 1
+        cand = (
+            edges.join(frontier.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("cand"))
+            .withColumnRenamed("dst", "id")
+        )
+        if max_dist is not None:
+            cand = cand.filter(F.col("cand") <= max_dist)
+        merged = (
+            dist.join(cand, "id", "full")
+            .select(
+                "id",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                    F.coalesce(F.col("cand"), F.lit(float("inf"))),
+                ).alias("new_dist"),
+                F.col("dist").alias("old_dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        improved = merged.filter(
+            F.col("old_dist").isNull() | (F.col("new_dist") < F.col("old_dist"))
+        )
+        n_improved = improved.count()
+        dist = merged.select("id", F.col("new_dist").alias("dist"))
+        frontier = improved.select("id", F.col("new_dist").alias("dist"))
+        if n_improved == 0 or (
+            max_iterations is not None and iteration >= max_iterations
+        ):
+            break
+    return dist

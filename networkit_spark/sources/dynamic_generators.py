@@ -1,0 +1,185 @@
+"""Dynamic graph generators — GraphEvent streams (ref: networkit/cpp/
+generators/Dynamic*.cpp + DynamicGraphSource.cpp).
+
+The reference's dynamic generators emit `std::vector<GraphEvent>` batches
+(NODE_ADDITION / EDGE_ADDITION / TIME_STEP) that DynAlgorithm consumers
+fold through GraphUpdater. Spark-native shape: one DataFrame of rows
+(t, etype, u, v, w) where ``t`` is the reference's TIME_STEP counter made
+an explicit column (the stream is set-oriented, so ordering lives in data,
+not row order). Any prefix-by-``t`` filter + ``apply_events`` replays the
+generator to that step — the streaming module's Dyn* updaters consume
+per-step batches the same way.
+
+Derandomization follows the static generators' rule: every draw is a pure
+function of (seed, step index) so the same (seed, params) yield the same
+stream at any parallelism. For Dorogovtsev-Mendes and Barabasi-Albert the
+event stream REPLAYS the static generator's construction (same seed =>
+folding the stream equals the static graph — tested), which resolves the
+sequential pick chains by the same distributed pointer-halving instead of
+the reference's stateful RNG (documented deviation; stream shape and model
+semantics match, the RNG sequence does not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import EDGE_SCHEMA, Graph
+from networkit_spark.sources.generators import _dm_attach, barabasi_albert
+
+EVENTS_T_SCHEMA = "t long, etype string, u long, v long, w float"
+
+
+def _node_adds(df: DataFrame, t, u) -> DataFrame:
+    return df.select(
+        t.cast("long").alias("t"),
+        F.lit("NODE_ADD").alias("etype"),
+        u.cast("long").alias("u"),
+        F.lit(None).cast("long").alias("v"),
+        F.lit(None).cast("float").alias("w"),
+    )
+
+
+def _edge_adds(df: DataFrame, t, u, v, w=None) -> DataFrame:
+    return df.select(
+        t.cast("long").alias("t"),
+        F.lit("EDGE_ADD").alias("etype"),
+        u.cast("long").alias("u"),
+        v.cast("long").alias("v"),
+        (F.lit(1.0) if w is None else w).cast("float").alias("w"),
+    )
+
+
+def fold_events(spark: SparkSession, events: DataFrame, directed: bool = False,
+                up_to: int | None = None) -> Graph:
+    """Replay a (t, etype, u, v, w) stream into a Graph — the GraphUpdater
+    fold (dynamics/GraphUpdater.cpp) from an empty graph, optionally only
+    the prefix t <= up_to."""
+    from networkit_spark.streaming.graph_events import apply_events
+
+    if up_to is not None:
+        events = events.filter(F.col("t") <= up_to)
+    empty = Graph(
+        spark.createDataFrame([], "id long"),
+        spark.createDataFrame([], EDGE_SCHEMA),
+        directed=directed,
+        weighted=False,
+    )
+    return apply_events(empty, events.select("etype", "u", "v", "w"))
+
+
+def dynamic_path(spark: SparkSession, n_steps: int) -> DataFrame:
+    """generators/DynamicPathGenerator.cpp:13-29: node 0 at t=0; each step
+    t adds node t and edge (t-1, t). Pure expr."""
+    first = _node_adds(spark.range(1), F.lit(0), F.col("id"))
+    steps = spark.range(1, n_steps + 1)
+    return first.unionByName(
+        _node_adds(steps, F.col("id"), F.col("id"))
+    ).unionByName(
+        _edge_adds(steps, F.col("id"), F.col("id") - 1, F.col("id"))
+    )
+
+
+def dynamic_dorogovtsev_mendes(
+    spark: SparkSession, n_steps: int, seed: int = 42
+) -> DataFrame:
+    """generators/DynamicDorogovtsevMendesGenerator.cpp:15-54: t=0 emits
+    the seed triangle; step t >= 1 adds node t+2 and connects it to both
+    endpoints of a uniformly picked existing edge. Event stream derived
+    from the static generator's attach table (same seed => fold == static
+    graph)."""
+    n = n_steps + 3
+    tri_nodes = _node_adds(spark.range(3), F.lit(0), F.col("id"))
+    tri_edges = _edge_adds(
+        spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "a long, b long"),
+        F.lit(0), F.col("a"), F.col("b"),
+    )
+    if n_steps <= 0:
+        return tri_nodes.unionByName(tri_edges)
+    attach = _dm_attach(spark, n, seed)  # two rows (a, val) per node a >= 3
+    new_nodes = _node_adds(spark.range(3, n), F.col("id") - 2, F.col("id"))
+    new_edges = _edge_adds(attach, F.col("a") - 2, F.col("a"), F.col("val"))
+    return tri_nodes.unionByName(tri_edges).unionByName(new_nodes).unionByName(new_edges)
+
+
+def dynamic_barabasi_albert(
+    spark: SparkSession, k: int, n_steps: int, seed: int = 42
+) -> DataFrame:
+    """generators/DynamicBarabasiAlbertGenerator.cpp: each step attaches a
+    new node to k existing nodes with degree-proportional probability.
+    Event stream = replay of the static Batagelj-Brandes construction
+    (barabasi_albert, same seed): node u arrives at t=u with its surviving
+    attach edges (self-copies collapse exactly as in the static path, so
+    fold == static graph — the documented deviation from the reference's
+    stateful RNG)."""
+    g = barabasi_albert(spark, k, n_steps, seed)
+    # undirected edges are stored symmetrized; the canonical (src < dst)
+    # half has dst == the later (attaching) node by construction
+    half = g.edges.filter(F.col("src") < F.col("dst"))
+    nodes = _node_adds(spark.range(n_steps), F.col("id"), F.col("id"))
+    edges = _edge_adds(half, F.col("dst"), F.col("dst"), F.col("src"))
+    return nodes.unionByName(edges)
+
+
+def dynamic_forest_fire(
+    spark: SparkSession,
+    n_steps: int,
+    p: float,
+    directed: bool = False,
+    r: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """generators/DynamicForestFireGenerator.cpp:26-135: each step adds a
+    node, picks a random ambassador, burns outward BFS-style (geometric
+    out-edge batches with prob p, in-edges with p*r when directed) and
+    connects the new node to every burned node.
+
+    The burn frontier depends on every edge added by every earlier step —
+    an inherently sequential process (the reference mutates G mid-stream).
+    Driver-sequential fixture-tier implementation like havel_hakimi:
+    adjacency kept in Python sets, draws from a seeded deterministic RNG;
+    intended for dynamics-test fixtures, not at-scale generation."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    out_adj: list[set[int]] = [set()]  # node 0, no edges (firstCall seed)
+    in_adj: list[set[int]] = [set()]
+    rows = [(0, "NODE_ADD", 0, None, None)]
+
+    def select_edges(w: int, prob: float, nbrs: set[int], visited: set[int]) -> set[int]:
+        valid = sorted(x for x in nbrs if x not in visited)
+        picked: set[int] = set()
+        while valid and rng.random() <= prob:
+            i = int(rng.integers(0, len(valid)))
+            picked.add(valid[i])
+            valid[i] = valid[-1]
+            valid.pop()
+        return picked
+
+    for step in range(1, n_steps + 1):
+        v = len(out_adj)
+        a = int(rng.integers(0, v))  # ambassador among existing nodes
+        rows.append((step, "NODE_ADD", v, None, None))
+        out_adj.append(set())
+        in_adj.append(set())
+        visited = {a}
+        queue = [a]
+        burned = [a]
+        while queue:
+            w = queue.pop(0)
+            nxt = select_edges(w, p, out_adj[w], visited)
+            if directed:
+                nxt |= select_edges(w, p * r, in_adj[w], visited)
+            for x in sorted(nxt):
+                visited.add(x)
+                queue.append(x)
+                burned.append(x)
+        for w in burned:
+            rows.append((step, "EDGE_ADD", v, w, 1.0))
+            out_adj[v].add(w)
+            in_adj[w].add(v)
+            if not directed:
+                out_adj[w].add(v)
+                in_adj[v].add(w)
+    return spark.createDataFrame(rows, EVENTS_T_SCHEMA)

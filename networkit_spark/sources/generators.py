@@ -795,18 +795,12 @@ def stochastic_blockmodel(
     return Graph(mem.select("id"), sym, directed=False, weighted=False)
 
 
-def dorogovtsev_mendes(spark: SparkSession, n: int, seed: int = 42) -> Graph:
-    """DorogovtsevMendesGenerator.cpp:17-40: start from a triangle; each
-    new node picks a uniformly random EXISTING edge and connects to both
-    of its endpoints (m = 3 + 2(n-3)).
-
-    Distributed derandomization: node 3+k picks edge index
-    e_k = hash(seed, k) mod (3 + 2k) up front. Writing each edge j >= 3 as
-    (A_j, B_j) with A_j = its new node (closed form: 3 + (j-3)//2), the
-    b=0 copy's other endpoint is A_{e} (closed form again) and the b=1
-    copy's is B_{e} — a pure pointer chain through earlier B's, resolved
-    by the same pointer-halving rounds as barabasi_albert (geometric
-    chain lengths -> a handful of join rounds)."""
+def _dm_attach(spark: SparkSession, n: int, seed: int) -> DataFrame:
+    """The Dorogovtsev-Mendes attach table: two rows (a, val) per new node
+    a in [3, n) — the endpoints of the existing edge node ``a`` picked.
+    Shared by the static graph builder and the dynamic event stream (same
+    seed => identical picks). See dorogovtsev_mendes for the
+    pointer-halving derandomization notes."""
     if n < 3:
         raise ValueError("DorogovtsevMendes needs n >= 3")
     m = 3 + 2 * (n - 3)
@@ -843,11 +837,26 @@ def dorogovtsev_mendes(spark: SparkSession, n: int, seed: int = 42) -> Graph:
             )
             .localCheckpoint(eager=True)
         )
+    return table.select("a", "val")
+
+
+def dorogovtsev_mendes(spark: SparkSession, n: int, seed: int = 42) -> Graph:
+    """DorogovtsevMendesGenerator.cpp:17-40: start from a triangle; each
+    new node picks a uniformly random EXISTING edge and connects to both
+    of its endpoints (m = 3 + 2(n-3)).
+
+    Distributed derandomization: node 3+k picks edge index
+    e_k = hash(seed, k) mod (3 + 2k) up front. Writing each edge j >= 3 as
+    (A_j, B_j) with A_j = its new node (closed form: 3 + (j-3)//2), the
+    b=0 copy's other endpoint is A_{e} (closed form again) and the b=1
+    copy's is B_{e} — a pure pointer chain through earlier B's, resolved
+    by the same pointer-halving rounds as barabasi_albert (geometric
+    chain lengths -> a handful of join rounds)."""
     tri = spark.createDataFrame(
-        list(zip(tri_a, tri_b)), "a long, val long"
+        list(zip([0, 1, 2], [1, 2, 0])), "a long, val long"
     )
     half = (
-        table.select("a", "val")
+        _dm_attach(spark, n, seed)
         .unionByName(tri)
         .select(F.least("a", "val").alias("src"), F.greatest("a", "val").alias("dst"))
         .select("src", "dst", F.lit(1.0).cast("float").alias("weight"))
@@ -1014,3 +1023,30 @@ def powerlaw_degree_sequence(
     if sum(seq) % 2 == 1:
         seq[-1] += 1 if seq[-1] < max_deg else -1
     return seq
+
+
+def regular_ring_lattice(spark: SparkSession, n: int, k: int) -> Graph:
+    """generators/RegularRingLatticeGenerator.cpp:13-25: every node i
+    connects to its k nearest clockwise neighbors (i+1 .. i+k mod n);
+    k is clamped to n/2 - 1 like the reference ctor. Pure-expr:
+    range x sequence explode, no shuffle beyond the symmetrize union."""
+    if n < 3:
+        raise ValueError("ring lattice needs n >= 3")
+    k = min(k, n // 2 - 1)
+    half = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+        )
+        .select(
+            "src",
+            ((F.col("src") + F.col("j")) % n).alias("dst"),
+            F.lit(1.0).cast("float").alias("weight"),
+        )
+    )
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(vertices, sym, directed=False, weighted=False)

@@ -424,3 +424,99 @@ def write_dot(graph: Graph, path: str) -> None:
         for r in rows:
             f.write(f"  {r['src']} {arrow} {r['dst']};\n")
         f.write("}\n")
+
+
+def read_cover(spark: SparkSession, path: str) -> DataFrame:
+    """CoverReader (io/CoverReader.cpp:9-35): one subset per non-comment
+    LINE, whitespace-separated member node ids; subset id == line index.
+    Line number carries meaning, so fixture-scale like read_metis
+    (zipWithIndex over a single file). Returns a cover table (id, label)
+    with duplicate ids allowed (operators/cover.py shape)."""
+    lines = (
+        spark.sparkContext.textFile(path, minPartitions=1)
+        .filter(lambda s: s.strip() != "" and not s.lstrip().startswith("#"))
+        .zipWithIndex()
+        .flatMap(lambda t: [(int(tok), t[1]) for tok in t[0].split()])
+    )
+    return spark.createDataFrame(lines, "id long, label long")
+
+
+def write_cover(cover: DataFrame, path: str) -> None:
+    """CoverWriter (io/CoverWriter.cpp): one line per subset in subset-id
+    order, members ascending. Fixture-scale (driver collect), same scope
+    as the METIS/DOT writers."""
+    rows = (
+        cover.groupBy("label")
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+        .orderBy("label")
+        .collect()
+    )
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(" ".join(str(x) for x in r["members"]) + "\n")
+
+
+def read_edge_list_cover(
+    spark: SparkSession, path: str, first_node: int = 1
+) -> DataFrame:
+    """EdgeListCoverReader (io/EdgeListCoverReader.cpp:13-45): each line is
+    ``node subset subset ...`` with node ids offset by ``first_node``.
+    Fully distributed (no line-order dependence)."""
+    raw = spark.read.text(path)
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        raw.filter(~F.col("value").startswith("#"))
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            (F.element_at(toks, 1).cast("long") - first_node).alias("id"),
+            F.explode(F.slice(toks, 2, 1 << 30)).alias("c"),
+        )
+        .select("id", F.col("c").cast("long").alias("label"))
+    )
+
+
+def read_dgs(spark: SparkSession, path: str) -> DataFrame:
+    """DGS dynamic-stream reader (io/DGSReader.cpp:20-120): magic line
+    ``DGS004``, header line, then event lines — ``st`` (clock tick),
+    ``an <name> [attrs]`` (add node; names map to dense ids in first-seen
+    order, the reference's addNode order), ``ae <name> <from> <to>``,
+    ``de <from>-<to>``, ``ce <from>-<to> weight=<w>``, ``dn <name>``.
+    Returns an event stream (t, etype, u, v, w) consumable by
+    streaming.graph_events.apply_events / sources.dynamic_generators.
+    Event order is the file's line order — inherently sequential, so
+    fixture-scale (driver parse) like the reference's single-threaded
+    reader."""
+    with open(path) as f:
+        lines = f.read().splitlines()
+    if not lines or lines[0].strip() != "DGS004":
+        raise ValueError("not a DGS004 file")
+    names: dict[str, int] = {}
+    rows = []
+    t = 0
+
+    def nid(name: str) -> int:
+        if name not in names:
+            names[name] = len(names)
+        return names[name]
+
+    for line in lines[2:]:
+        parts = line.split()
+        if not parts:
+            continue
+        tag = parts[0]
+        if tag == "st":
+            t += 1
+        elif tag == "an":
+            rows.append((t, "NODE_ADD", nid(parts[1]), None, None))
+        elif tag == "ae" and len(parts) >= 4:
+            rows.append((t, "EDGE_ADD", nid(parts[2]), nid(parts[3]), 1.0))
+        elif tag == "ce" and len(parts) == 3:
+            u, v = (nid(x) for x in parts[1].split("-"))
+            w = float(parts[2].split("=")[1])
+            rows.append((t, "EDGE_WEIGHT_UPDATE", u, v, w))
+        elif tag == "dn":
+            rows.append((t, "NODE_REMOVE", nid(parts[1]), None, None))
+        elif tag == "de":
+            u, v = (nid(x) for x in parts[1].split("-"))
+            rows.append((t, "EDGE_REMOVE", u, v, None))
+    return spark.createDataFrame(rows, "t long, etype string, u long, v long, w float")

@@ -52,3 +52,45 @@ def test_volume_unit_weights(spark):
     g = from_edge_rows(spark, [(i, (i + 1) % 5) for i in range(5)])
     got = {r["r"]: r["volume"] for r in volume(g, [1.0, 2.0], samples=5).collect()}
     assert got == {1.0: 3.0, 2.0: 5.0}
+
+
+def test_incomplete_dijkstra_vs_heap_referee(spark):
+    import heapq
+
+    from networkit_spark.operators.distance import incomplete_dijkstra
+
+    rows = [
+        (0, 1, 1.0), (1, 2, 2.0), (0, 3, 4.0), (3, 4, 1.0),
+        (2, 4, 1.0), (4, 5, 3.0), (1, 5, 10.0),
+    ]
+    g = from_edge_rows(spark, rows)
+    sources, excluded = [0, 5], {2}
+
+    adj = {}
+    for u, v, w in rows:
+        adj.setdefault(u, []).append((v, w))
+        adj.setdefault(v, []).append((u, w))
+    dist = {s: 0.0 for s in sources if s not in excluded}
+    heap = [(0.0, s) for s in dist]
+    heapq.heapify(heap)
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            if v in excluded:
+                continue
+            if d + w < dist.get(v, float("inf")):
+                dist[v] = d + w
+                heapq.heappush(heap, (dist[v], v))
+
+    got = {r["id"]: r["dist"] for r in incomplete_dijkstra(g, sources, excluded=[2]).collect()}
+    assert got == dist
+
+
+def test_incomplete_dijkstra_max_dist_cut(spark):
+    from networkit_spark.operators.distance import incomplete_dijkstra
+
+    g = from_edge_rows(spark, [(i, i + 1) for i in range(6)])
+    got = {r["id"]: r["dist"] for r in incomplete_dijkstra(g, [0], max_dist=2.5).collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 2.0}

@@ -1,0 +1,140 @@
+"""Dynamic generators (generators/Dynamic*.cpp) + DGS / Cover IO."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from networkit_spark.sources import dynamic_generators as dg
+from networkit_spark.sources.generators import (
+    barabasi_albert,
+    dorogovtsev_mendes,
+    regular_ring_lattice,
+)
+from networkit_spark.sources.io import (
+    read_cover,
+    read_dgs,
+    read_edge_list_cover,
+    write_cover,
+)
+
+
+def canon_edges(g):
+    return {
+        (r["src"], r["dst"])
+        for r in g.edges.select("src", "dst").distinct().collect()
+    }
+
+
+def test_dynamic_path_folds_to_path(spark):
+    ev = dg.dynamic_path(spark, 5)
+    g = dg.fold_events(spark, ev)
+    assert g.num_nodes() == 6
+    degs = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    assert degs[0] == 1 and degs[5] == 1
+    assert all(degs[i] == 2 for i in range(1, 5))
+    # prefix replay: two steps -> three nodes
+    g2 = dg.fold_events(spark, ev, up_to=2)
+    assert g2.num_nodes() == 3 and canon_edges(g2) == {(0, 1), (1, 0), (1, 2), (2, 1)}
+
+
+def test_dynamic_dorogovtsev_mendes_matches_static(spark):
+    n_steps = 9  # n = 12
+    ev = dg.dynamic_dorogovtsev_mendes(spark, n_steps, seed=7)
+    g = dg.fold_events(spark, ev)
+    ref = dorogovtsev_mendes(spark, n_steps + 3, seed=7)
+    assert g.num_nodes() == ref.num_nodes()
+    assert canon_edges(g) == canon_edges(ref)
+    # every step adds exactly one node and two attach edges
+    per_t = {
+        r["t"]: r["cnt"]
+        for r in ev.filter("etype = 'EDGE_ADD'").groupBy("t").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    assert per_t[0] == 3
+    assert all(per_t[t] == 2 for t in range(1, n_steps + 1))
+
+
+def test_dynamic_barabasi_albert_matches_static(spark):
+    ev = dg.dynamic_barabasi_albert(spark, k=2, n_steps=20, seed=5)
+    g = dg.fold_events(spark, ev)
+    ref = barabasi_albert(spark, 2, 20, seed=5)
+    assert canon_edges(g) == canon_edges(ref)
+    # attach edges always point to earlier nodes
+    bad = ev.filter("etype = 'EDGE_ADD' AND v >= u").count()
+    assert bad == 0
+
+
+def test_dynamic_forest_fire_invariants(spark):
+    ev1 = dg.dynamic_forest_fire(spark, 8, p=0.4, seed=11)
+    ev2 = dg.dynamic_forest_fire(spark, 8, p=0.4, seed=11)
+    assert sorted(map(tuple, ev1.collect())) == sorted(map(tuple, ev2.collect()))
+    rows = ev1.collect()
+    # each step's new node connects to >= 1 earlier node (the ambassador)
+    for t in range(1, 9):
+        adds = [r for r in rows if r["t"] == t and r["etype"] == "EDGE_ADD"]
+        assert len(adds) >= 1
+        assert all(r["v"] < r["u"] for r in adds)
+    g = dg.fold_events(spark, ev1)
+    assert g.num_nodes() == 9
+    # undirected fold is connected (every node burned at least its ambassador)
+    from networkit_spark.operators.components import connected_components
+
+    labels = connected_components(g)
+    assert labels.select("label").distinct().count() == 1
+
+
+def test_regular_ring_lattice(spark):
+    g = regular_ring_lattice(spark, n=10, k=3)
+    degs = [r["degree"] for r in g.degrees().collect()]
+    assert degs == [6] * 10
+    assert g.num_edges() == 30
+    # k clamps to n/2 - 1
+    g2 = regular_ring_lattice(spark, n=8, k=100)
+    assert {r["degree"] for r in g2.degrees().collect()} == {6}
+
+
+def test_read_dgs_stream(spark, tmp_path):
+    p = tmp_path / "s.dgs"
+    p.write_text(
+        "DGS004\n"
+        "null 0 0\n"
+        "an A\n"
+        "an B\n"
+        "ae e1 A B\n"
+        "st\n"
+        "an C\n"
+        "ae e2 B C\n"
+        "ce A-B weight=3\n"
+        "st\n"
+        "de A-B\n"
+        "dn A\n"
+    )
+    ev = read_dgs(spark, str(p))
+    assert ev.filter("etype = 'NODE_ADD'").count() == 3
+    # names map in first-seen order: A=0 B=1 C=2
+    w = ev.filter("etype = 'EDGE_WEIGHT_UPDATE'").collect()[0]
+    assert (w["u"], w["v"], w["w"]) == (0, 1, 3.0)
+    g = dg.fold_events(spark, ev.filter("etype <> 'EDGE_WEIGHT_UPDATE'"))
+    assert g.num_nodes() == 2  # A removed
+    assert canon_edges(g) == {(1, 2), (2, 1)}
+    # prefix fold at t=0: just A-B
+    g0 = dg.fold_events(spark, ev, up_to=0)
+    assert canon_edges(g0) == {(0, 1), (1, 0)}
+
+
+def test_cover_roundtrip(spark, tmp_path):
+    cover = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (1, 1), (3, 1)], "id long, label long"
+    )
+    p = str(tmp_path / "c.cover")
+    write_cover(cover, p)
+    back = read_cover(spark, p)
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in cover.collect()}
+
+
+def test_edge_list_cover_reader(spark, tmp_path):
+    p = tmp_path / "c.elc"
+    p.write_text("# comment\n1 0 2\n2 1\n3 0 1 2\n")
+    got = read_edge_list_cover(spark, str(p), first_node=1)
+    assert {tuple(r) for r in got.collect()} == {
+        (0, 0), (0, 2), (1, 1), (2, 0), (2, 1), (2, 2)
+    }
