@@ -700,6 +700,19 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
+def q_ngram_repetition(spark, sf_dir):
+    return dedup.ngram_repetition(_docs(spark, sf_dir), n=2)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Eval-set decontamination: docs with doc_id % 23 == 0 stand in for
+    the benchmark corpus; every other doc is scored for 3-gram overlap."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    target = docs.filter(F.col("doc_id") % 23 != 0)
+    return dedup.decontaminate(target, bench, n=3)
+
+
 def q_minhash_bands(spark, sf_dir):
     sh = dedup.shingles(_docs(spark, sf_dir))
     return dedup.minhash_bands(sh, num_hashes=16, bands=4)
@@ -1489,6 +1502,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_edge_score_utils": q_graph_edge_score_utils,
     "graph_prefix_jaccard": q_graph_prefix_jaccard,
     "centrality_electrical_closeness": q_centrality_electrical_closeness,
+    "text_ngram_repetition": q_ngram_repetition,
+    "text_decontaminate": q_decontaminate,
     # ---- block 3: hash-green in CORRECTNESS_r02.json ----------------------
     "graph_edges": q_graph_edges,
     "graph_degrees": q_graph_degrees,
@@ -1694,6 +1709,8 @@ def build_oracles() -> dict[str, str]:
         "text_fingerprint": L.sql_fingerprint(),
         "text_token_topk": L.sql_token_topk(20),
         "dedup_exact": L.sql_dedup_exact(),
+        "text_ngram_repetition": L.sql_ngram_repetition(2),
+        "text_decontaminate": L.sql_decontaminate(3, 23),
         "dedup_minhash_bands": L.sql_minhash_bands(16, 4),
         "dedup_canonical": L.sql_dedup_canonical(16, 4, 50, 4),
         "dedup_simhash": L.sql_simhash(32),

@@ -652,6 +652,49 @@ def sql_dedup_exact() -> str:
 FROM documents GROUP BY md5(text)"""
 
 
+def _sql_grams_expr(n: int) -> str:
+    """A DuckDB list of word n-grams over docs_tok.toks (in token order)."""
+    return (
+        f"CASE WHEN len(toks) >= {n} "
+        f"THEN list_transform(range(1, len(toks) - {n} + 2), "
+        f"i -> array_to_string(toks[i:i+{n}-1], ' ')) "
+        f"ELSE [] END"
+    )
+
+
+def sql_ngram_repetition(n: int = 2) -> str:
+    return f"""WITH {DOCS_CTE},
+ng AS (SELECT doc_id, {_sql_grams_expr(n)} AS grams FROM docs_tok)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS total_ngrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_ngrams,
+       ROUND(CASE WHEN len(grams) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) END,
+             6) AS dup_fraction
+FROM ng ORDER BY doc_id"""
+
+
+def sql_decontaminate(n: int = 3, bench_mod: int = 23) -> str:
+    return f"""WITH {DOCS_CTE},
+shd AS (
+    SELECT doc_id, unnest(list_distinct({_sql_grams_expr(n)})) AS shingle
+    FROM docs_tok
+),
+bench AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % {bench_mod} = 0),
+target AS (SELECT doc_id FROM documents WHERE doc_id % {bench_mod} <> 0),
+hits AS (
+    SELECT s.doc_id, COUNT(*) AS n_hits
+    FROM shd s JOIN bench b ON s.shingle = b.shingle
+    WHERE s.doc_id % {bench_mod} <> 0
+    GROUP BY s.doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM target t LEFT JOIN hits h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id"""
+
+
 SHINGLES_CTE = """
 tok_pos AS (
     SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos

@@ -196,3 +196,63 @@ def canonical_docs(pairs: DataFrame, rounds: int = 4) -> DataFrame:
             "id", F.least("canonical", F.coalesce("nmin", "canonical")).alias("canonical")
         )
     return lab
+
+
+def ngram_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(doc_id, total_ngrams, distinct_ngrams, dup_fraction) — WITHIN-document
+    n-gram repetition (the MassiveText/Gopher-style repetition filter tier:
+    high dup_fraction flags boilerplate/looping text). Entirely per-row array
+    expressions — zero shuffle, linear scan at any corpus size."""
+    t = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col),
+        F.size(grams).cast("bigint").alias("total_ngrams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("distinct_ngrams"),
+        F.round(
+            F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+                1.0 - F.size(F.array_distinct(grams)) / F.size(grams)
+            ),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits, contaminated) for every doc in ``docs``: n_hits =
+    distinct word n-grams shared with ``benchmark`` (the eval-set
+    decontamination pass every training-data pipeline runs before
+    training). Shape at 100 TB: the benchmark shingle set is eval-corpus
+    sized (small) — AQE broadcasts it — while the 100 TB doc side streams
+    through one shingle join + per-doc agg; use a large n (13-grams in
+    production) so benchmark shingles stay selective."""
+    doc_sh = shingles(docs, id_col, text_col, n)
+    bench_sh = shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    hits = (
+        doc_sh.join(bench_sh, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
