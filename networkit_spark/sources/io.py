@@ -520,3 +520,65 @@ def read_dgs(spark: SparkSession, path: str) -> DataFrame:
             u, v = (nid(x) for x in parts[1].split("-"))
             rows.append((t, "EDGE_REMOVE", u, v, None))
     return spark.createDataFrame(rows, "t long, etype string, u long, v long, w float")
+
+
+def read_gexf(spark: SparkSession, path: str) -> DataFrame | Graph:
+    """GEXF static reader (Python GEXFIO.py GEXFReader:22-110): schema
+    <graph defaultedgetype=..><nodes><node id=../></nodes><edges><edge
+    source=.. target=.. [weight=..]/></edges></graph>. Static mode only —
+    the dynamic mode's spell/attvalue timeline is a Gephi-streaming
+    feature out of this engine's scope (the DGS reader covers the
+    event-stream role). Fixture-scale driver parse like read_graphml;
+    node ids remapped to dense longs in document order."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+
+    def tag(el):
+        return el.tag.rsplit("}", 1)[-1]
+
+    graph_el = next(el for el in root.iter() if tag(el) == "graph")
+    if graph_el.get("mode") == "dynamic":
+        raise NotImplementedError(
+            "dynamic GEXF (spells) is out of scope; use read_dgs for event streams"
+        )
+    directed = graph_el.get("defaultedgetype", "undirected") == "directed"
+    ids: dict[str, int] = {}
+    for el in root.iter():
+        if tag(el) == "node" and el.get("id") is not None:
+            ids.setdefault(el.get("id"), len(ids))
+    edges: list[tuple[int, int, float]] = []
+    for el in root.iter():
+        if tag(el) == "edge":
+            u = ids.setdefault(el.get("source"), len(ids))
+            v = ids.setdefault(el.get("target"), len(ids))
+            edges.append((u, v, float(el.get("weight", 1.0))))
+    from networkit_spark.graph import from_edge_rows
+
+    return from_edge_rows(spark, edges, directed=directed, num_nodes=len(ids))
+
+
+def write_gexf(graph: Graph, path: str) -> None:
+    """GEXF static writer (GEXFIO.py GEXFWriter:263-330 static branch):
+    gexf 1.2draft namespace, weight as the edge `weight` attribute.
+    Fixture-scale (driver collect), same scope as write_graphml."""
+    n = graph.num_nodes()
+    e = graph.edges if graph.directed else graph.edges.filter(
+        F.col("src") <= F.col("dst")
+    )
+    rows = e.select("src", "dst", "weight").collect()
+    kind = "directed" if graph.directed else "undirected"
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">\n')
+        f.write(f'  <graph mode="static" defaultedgetype="{kind}">\n')
+        f.write("    <nodes>\n")
+        for i in range(n):
+            f.write(f'      <node id="{i}" label="{i}"/>\n')
+        f.write("    </nodes>\n    <edges>\n")
+        for k, r in enumerate(rows):
+            f.write(
+                f'      <edge id="{k}" source="{r["src"]}" target="{r["dst"]}"'
+                f' weight="{r["weight"]}"/>\n'
+            )
+        f.write("    </edges>\n  </graph>\n</gexf>\n")

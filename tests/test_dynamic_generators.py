@@ -138,3 +138,47 @@ def test_edge_list_cover_reader(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == {
         (0, 0), (0, 2), (1, 1), (2, 0), (2, 1), (2, 2)
     }
+
+
+def test_gexf_roundtrip(spark, tmp_path):
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.sources.io import read_gexf, write_gexf
+
+    g = from_edge_rows(spark, [(0, 1, 2.5), (1, 2, 1.0), (2, 3, 4.0)])
+    p = str(tmp_path / "g.gexf")
+    write_gexf(g, p)
+    back = read_gexf(spark, p)
+    assert canon_edges(back) == canon_edges(g)
+    w = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in back.edges.collect()
+    }
+    assert w[(0, 1)] == 2.5 and w[(2, 3)] == 4.0
+
+
+def test_gexf_reads_foreign_file_and_rejects_dynamic(spark, tmp_path):
+    from networkit_spark.sources.io import read_gexf
+
+    p = tmp_path / "f.gexf"
+    p.write_text(
+        '<?xml version="1.0"?>\n'
+        '<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">\n'
+        '<graph defaultedgetype="directed">\n'
+        '<nodes><node id="a"/><node id="b"/><node id="c"/></nodes>\n'
+        '<edges><edge id="0" source="a" target="b"/>'
+        '<edge id="1" source="b" target="c" weight="7"/></edges>\n'
+        "</graph></gexf>\n"
+    )
+    g = read_gexf(spark, str(p))
+    assert g.directed and g.num_nodes() == 3
+    assert canon_edges(g) == {(0, 1), (1, 2)}
+
+    d = tmp_path / "d.gexf"
+    d.write_text(
+        '<gexf xmlns="http://www.gexf.net/1.2draft">'
+        '<graph mode="dynamic"><nodes/><edges/></graph></gexf>'
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        read_gexf(spark, str(d))
