@@ -84,3 +84,80 @@ def test_canonical_docs_elects_min_per_cluster(spark):
         r["id"]: r["canonical"] for r in canonical_docs(pairs, rounds=4).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def _pnm_bytes(kind: bytes, w: int, h: int, vals: bytes) -> bytes:
+    return kind + b"\n# comment\n" + f"{w} {h}\n255\n".encode() + vals
+
+
+def test_pnm_real_decode_p5_and_p6(spark):
+    import numpy as np
+
+    from networkit_spark.functions.multimodal import _parse_pnm, decode_images
+
+    p5 = _pnm_bytes(b"P5", 3, 2, bytes([0, 50, 100, 150, 200, 250]))
+    img = _parse_pnm(p5)
+    assert img.shape == (2, 3)
+    assert img.tolist() == [[0, 50, 100], [150, 200, 250]]
+
+    # P6 RGB averages channels
+    p6 = _pnm_bytes(b"P6", 1, 1, bytes([30, 60, 90]))
+    img6 = _parse_pnm(p6)
+    assert img6.shape == (1, 1) and img6[0, 0] == 60
+
+    assert _parse_pnm(b"JFIFnotpnm") is None
+
+    df = spark.createDataFrame(
+        [(0, bytearray(p5), "image/x-portable-graymap")],
+        "doc_id long, payload binary, media_type string",
+    )
+    got = decode_images(df).collect()[0]
+    assert (got["width"], got["height"]) == (3, 2)
+
+
+def test_resize_pnm_exact_pixels(spark):
+    from networkit_spark.functions.multimodal import resize_images
+
+    # 2x2 image resized to 2 -> identity
+    p5 = _pnm_bytes(b"P5", 2, 2, bytes([0, 255, 255, 0]))
+    df = spark.createDataFrame(
+        [(7, bytearray(p5), "image/x-portable-graymap")],
+        "doc_id long, payload binary, media_type string",
+    )
+    r = resize_images(df, target=2).collect()[0]
+    assert r["pixels"] == [0.0, 1.0, 1.0, 0.0]
+    assert abs(r["mean_gray"] - 0.5) < 1e-6
+
+
+def test_wav_real_decode(spark):
+    import io
+    import math
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    sr = 8000
+    x = np.array(
+        [int(20000 * math.sin(2 * math.pi * 440 * i / sr)) for i in range(800)],
+        dtype="<i2",
+    )
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(x.tobytes())
+
+    from networkit_spark.functions.multimodal import decode_audio
+
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()), "audio/wav"),
+         (2, bytearray(b"not a wav"), "audio/unknown")],
+        "doc_id long, payload binary, media_type string",
+    )
+    got = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    assert got[1]["sample_rate"] == sr and got[1]["n_samples"] == 800
+    assert abs(got[1]["duration_s"] - 0.1) < 1e-9
+    ref_rms = float(np.sqrt(np.mean((x.astype(np.float64) / 32768.0) ** 2)))
+    assert abs(got[1]["rms"] - ref_rms) < 1e-12
+    assert got[2]["sample_rate"] == -1  # honest fallback flag
