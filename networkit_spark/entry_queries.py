@@ -897,6 +897,14 @@ def q_graph_edge_score_utils(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_quadrangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge 4-cycle counts (ChibaNishizekiQuadrangleEdgeScore)."""
+    from networkit_spark.operators.edgescores import quadrangle_edge_score
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return quadrangle_edge_score(g)
+
+
 def q_graph_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrefixJaccardScore over the triangle edge scores."""
     from networkit_spark.operators.edgescores import prefix_jaccard_score
@@ -1502,6 +1510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_edge_score_utils": q_graph_edge_score_utils,
     "graph_prefix_jaccard": q_graph_prefix_jaccard,
     "centrality_electrical_closeness": q_centrality_electrical_closeness,
+    "graph_quadrangles": q_graph_quadrangles,
     "text_ngram_repetition": q_ngram_repetition,
     "text_decontaminate": q_decontaminate,
     # ---- block 3: hash-green in CORRECTNESS_r02.json ----------------------
@@ -1709,6 +1718,7 @@ def build_oracles() -> dict[str, str]:
         "text_fingerprint": L.sql_fingerprint(),
         "text_token_topk": L.sql_token_topk(20),
         "dedup_exact": L.sql_dedup_exact(),
+        "graph_quadrangles": L.sql_quadrangles(),
         "text_ngram_repetition": L.sql_ngram_repetition(2),
         "text_decontaminate": L.sql_decontaminate(3, 23),
         "dedup_minhash_bands": L.sql_minhash_bands(16, 4),

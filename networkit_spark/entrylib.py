@@ -1917,6 +1917,26 @@ CROSS JOIN mm
 ORDER BY t.u, t.v""")
 
 
+def sql_quadrangles() -> str:
+    """ChibaNishizekiQuadrangleEdgeScore: per canonical edge, 4-cycles
+    through it — the same 3-chain join + closure the Spark operator runs."""
+    return _with_graph("""
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+p AS (
+    SELECT l.dst AS u, l.src AS y, m.dst AS x, r.dst AS v
+    FROM e l
+    JOIN e m ON m.src = l.src
+    JOIN e r ON r.src = m.dst
+    WHERE l.dst <> m.dst AND l.src <> r.dst AND l.dst <> r.dst
+),
+closed AS (
+    SELECT p.u, p.v FROM p JOIN e c ON c.src = p.u AND c.dst = p.v
+    WHERE p.u < p.v
+)
+SELECT u, v, CAST(count(*) AS BIGINT) AS quadrangles
+FROM closed GROUP BY u, v ORDER BY u, v""")
+
+
 def sql_prefix_jaccard() -> str:
     """PrefixJaccardScore.cpp:20-120 over the triangle edge scores: per
     node, neighbors ranked by attribute DESC with rank = #strictly-greater

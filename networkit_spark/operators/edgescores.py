@@ -204,3 +204,44 @@ def prefix_jaccard_score(scores: DataFrame) -> DataFrame:
     return e.join(best, ["u", "v"], "left").select(
         "u", "v", F.coalesce("pj_score", F.lit(0.0)).alias("pj_score")
     )
+
+
+def quadrangle_edge_score(graph: Graph) -> DataFrame:
+    """(u, v, quadrangles) — per canonical undirected edge (u < v), the
+    number of (not necessarily induced) 4-cycles containing it
+    (edgescores/ChibaNishizekiQuadrangleEdgeScore.cpp:15-120; both GTest
+    fixtures transliterated in tests/test_edgescores.py).
+
+    quad(u,v) = #{(y,x) in E : y in N(u)\\{v}, x in N(v)\\{u}, y != x} —
+    each 4-cycle u-y-x-v contributes exactly one such opposite-edge pair.
+    Distributed shape: a 3-chain join anchored on the opposite edge
+    (y,x) — intermediate rows are the length-3 paths, Sum deg(y)*deg(x)
+    over edges — closed by one inner join against the edge set. The same
+    exact-tier complexity class as the reference's Chiba-Nishizeki pass;
+    wedge-ordered orientation (triangles.py) is the hub-bound route if a
+    power-law graph ever needs this score at scale."""
+    e = (
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    left = e.select(F.col("dst").alias("u"), F.col("src").alias("y"))
+    mid = e.select(F.col("src").alias("y"), F.col("dst").alias("x"))
+    right = e.select(F.col("src").alias("x"), F.col("dst").alias("v"))
+    paths = (
+        left.join(mid, "y")
+        .join(right, "x")
+        .filter(
+            (F.col("u") != F.col("x"))
+            & (F.col("y") != F.col("v"))
+            & (F.col("u") != F.col("v"))
+        )
+    )
+    closed = paths.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v")), ["u", "v"]
+    )
+    return (
+        closed.filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("quadrangles"))
+    )

@@ -3,6 +3,7 @@ sparsification/ utility tier; see operators/edgescores.py citations)."""
 
 import numpy as np
 
+from networkit_spark.graph import from_edge_rows
 from networkit_spark.operators.edgescores import (
     edge_score_as_weight,
     edge_score_blender,
@@ -124,3 +125,27 @@ def test_prefix_jaccard_matches_referee(spark):
         want = _prefix_jaccard_ref(rows)
         for k in want:
             assert abs(out[k] - want[k]) < 1e-12, (seed, k, out[k], want[k])
+
+
+def test_quadrangle_score_trivial_square(spark):
+    from networkit_spark.operators.edgescores import quadrangle_edge_score
+
+    # ChibaNishizekiQuadrangleEdgeScoreGTest.testQuadrangleCountsTrivial
+    g = from_edge_rows(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+    got = {(r["u"], r["v"]): r["quadrangles"] for r in quadrangle_edge_score(g).collect()}
+    assert got == {(0, 1): 1, (0, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_quadrangle_score_simple_fixture(spark):
+    from networkit_spark.operators.edgescores import quadrangle_edge_score
+
+    # ChibaNishizekiQuadrangleEdgeScoreGTest.testQuadrangleCountsSimple
+    g = from_edge_rows(
+        spark,
+        [(0, 1), (0, 3), (0, 4), (0, 6), (1, 2), (1, 3), (2, 3), (3, 5), (3, 6), (4, 5)],
+    )
+    got = {(r["u"], r["v"]): r["quadrangles"] for r in quadrangle_edge_score(g).collect()}
+    assert got == {
+        (0, 1): 2, (0, 3): 2, (0, 4): 1, (0, 6): 1, (1, 2): 1,
+        (1, 3): 1, (2, 3): 1, (3, 5): 1, (3, 6): 1, (4, 5): 1,
+    }
