@@ -1444,7 +1444,20 @@ def q_embed_ivf_ann(spark, sf_dir):
 # full-sweep-verified by tools/check_correctness.py
 # (tests/test_entry_contract.py runs a sample and guards the rotation).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ---- block 1: registered in r2, never driver-checked ------------------
+    # ---- block 1: new or re-oracled in r3 (never checked by driver OR
+    # judge — highest gate priority) ----------------------------------------
+    "graph_plm": q_graph_plm,
+    "graph_suitor_matching": q_graph_suitor_matching,
+    "graph_biconnected": q_graph_biconnected,
+    "linkpred_eval": q_linkpred_eval,
+    "linkpred_katz": q_linkpred_katz,
+    "graph_edge_score_utils": q_graph_edge_score_utils,
+    "graph_prefix_jaccard": q_graph_prefix_jaccard,
+    "centrality_electrical_closeness": q_centrality_electrical_closeness,
+    "graph_quadrangles": q_graph_quadrangles,
+    "text_ngram_repetition": q_ngram_repetition,
+    "text_decontaminate": q_decontaminate,
+    # ---- block 2: registered in r2, judge-verified but never driver-checked
     "community_conductance": q_community_conductance,
     "community_stability": q_community_stability,
     "gen_rmat_invariants": q_gen_rmat_invariants,
@@ -1501,18 +1514,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_lsh_ann": q_lsh_ann,
     "multimodal_decode_meta": q_multimodal_meta,
     "events_sessionize": q_sessionize,
-    # ---- block 2: new or re-oracled in r3 ---------------------------------
-    "graph_plm": q_graph_plm,
-    "graph_suitor_matching": q_graph_suitor_matching,
-    "graph_biconnected": q_graph_biconnected,
-    "linkpred_eval": q_linkpred_eval,
-    "linkpred_katz": q_linkpred_katz,
-    "graph_edge_score_utils": q_graph_edge_score_utils,
-    "graph_prefix_jaccard": q_graph_prefix_jaccard,
-    "centrality_electrical_closeness": q_centrality_electrical_closeness,
-    "graph_quadrangles": q_graph_quadrangles,
-    "text_ngram_repetition": q_ngram_repetition,
-    "text_decontaminate": q_decontaminate,
     # ---- block 3: hash-green in CORRECTNESS_r02.json ----------------------
     "graph_edges": q_graph_edges,
     "graph_degrees": q_graph_degrees,

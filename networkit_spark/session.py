@@ -42,6 +42,13 @@ def get_spark(
         # holding 2M of 43M edge rows is ~80 MB
         .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        # AQE coalescing sizes partitions by BYTES; the text/dedup pipeline
+        # is CPU-dense per byte (16 md5s per shingle), so the default 1 MB
+        # floor squeezed those stages onto 1-3 tasks (measured 2-3x slower).
+        # 64 KB only changes shuffles whose total size is tiny relative to
+        # core count — for graph supersteps total/cores already exceeds the
+        # floor, and sub-64 KB frontier tables still coalesce to one task.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         # iterative supersteps re-join cached tables every round: the
         # sort-merge sort of the big side repeats per iteration, while a
         # shuffled-hash probe streams it (measured 6.6s vs 7.6s and the
