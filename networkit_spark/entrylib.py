@@ -305,6 +305,11 @@ def sql_components(iters: int) -> str:
 def sql_labelprop(iters: int) -> str:
     """Unrolled synchronous LP with (weight desc, label asc) tie-break
     (PLP.cpp:80-92, MPLP.cpp:122-128)."""
+    body = ", ".join(_lp_ctes(iters)) + f" SELECT id, label FROM lp{iters} ORDER BY id"
+    return _with_graph(body)
+
+
+def _lp_ctes(iters: int) -> list[str]:
     ctes = ["lp0 AS (SELECT id, id AS label FROM vertices)"]
     for k in range(1, iters + 1):
         ctes.append(
@@ -325,8 +330,7 @@ def sql_labelprop(iters: int) -> str:
     ) c ON c.id = l.id
 )"""
         )
-    body = ", ".join(ctes) + f" SELECT id, label FROM lp{iters} ORDER BY id"
-    return _with_graph(body)
+    return ctes
 
 
 TRI_CTE = """
@@ -4245,3 +4249,67 @@ SELECT ROUND(1.0 - LEAST(1.0, GREATEST(0.0,
          m / GREATEST(ex, ey))), 6) + 0.0 AS onmi_distance
 FROM mi"""
     return f"WITH {body}"
+
+
+def sql_hash_overlap(lp_iters: int, cc_iters: int) -> str:
+    """Hashed overlap of the LP and CC partitions — the k == 2 path of
+    overlap/HashingOverlapper.cpp:45-64: key = ((lp ^ 0xffff) << 16) |
+    (cc ^ 0xffff) in the fork's uint32 count type, label = djb2 over the
+    key's little-endian bytes stopping at the first ZERO byte (lines
+    19-27), cells canonicalized to min member id (the reference
+    compact()s, so only cell structure is observable). Keys are < 2^32
+    (dense ids mirror the fork's uint32 node type), so at most 4 bytes are
+    live and the running hash peaks below 2^40 — plain BIGINT arithmetic,
+    no wraparound needed."""
+    h = "5381"
+    alive: list[str] = []
+    for i in range(4):
+        b = f"((key // {256 ** i}) % 256)"
+        alive.append(f"{b} <> 0")
+        cond = " AND ".join(alive)
+        h = f"(CASE WHEN {cond} THEN ({h}) * 33 + {b} ELSE ({h}) END)"
+    body = f"""{', '.join(_lp_ctes(lp_iters))},
+{', '.join(_cc_ctes(cc_iters))},
+keys AS MATERIALIZED (
+    SELECT l.id,
+           ((xor(l.label, 65535) % 65536) * 65536 | xor(c.label, 65535)) AS key
+    FROM lp{lp_iters} l JOIN cc{cc_iters} c ON c.id = l.id
+),
+hashed AS MATERIALIZED (SELECT id, {h} AS h FROM keys)
+SELECT o.id, r.label
+FROM hashed o
+JOIN (SELECT h, MIN(id) AS label FROM hashed GROUP BY h) r USING (h)
+ORDER BY o.id"""
+    return _with_graph(body)
+
+
+def sql_umsf() -> str:
+    """Union of all maximum spanning forests
+    (graph/UnionMaximumSpanningForest.cpp:46-80): edge (u, v, w) is in the
+    UMSF iff u and v are disconnected in the strictly-heavier subgraph —
+    the deferred-merge descending Kruskal's cut rule, schedule-free. Per
+    weight level, a recursive closure over edges with weight > level gives
+    min-reachable-id component labels."""
+    return f"""WITH RECURSIVE {GRAPH_CTE.strip()},
+canon AS MATERIALIZED (
+    SELECT least(src, dst) AS u, greatest(src, dst) AS v, MAX(weight) AS w
+    FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+lv AS (SELECT DISTINCT w AS lvl FROM canon),
+sym AS MATERIALIZED (
+    SELECT u AS a, v AS b, w FROM canon UNION ALL SELECT v, u, w FROM canon
+),
+reach(lvl, s, t) AS (
+    SELECT l.lvl, x.id, x.id FROM lv l CROSS JOIN vertices x
+    UNION
+    SELECT r.lvl, r.s, e.b FROM reach r JOIN sym e ON e.a = r.t AND e.w > r.lvl
+),
+comp AS MATERIALIZED (
+    SELECT lvl, s AS id, MIN(t) AS comp FROM reach GROUP BY lvl, s
+)
+SELECT e.u, e.v, CAST(e.w AS DOUBLE) AS weight,
+       (ca.comp <> cb.comp) AS in_umsf
+FROM canon e
+JOIN comp ca ON ca.lvl = e.w AND ca.id = e.u
+JOIN comp cb ON cb.lvl = e.w AND cb.id = e.v
+ORDER BY e.u, e.v"""

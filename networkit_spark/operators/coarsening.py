@@ -96,6 +96,39 @@ def coarsen(graph: Graph, labels: DataFrame) -> tuple[Graph, DataFrame]:
     return Graph(vertices, edges, graph.directed, True), fine_to_coarse
 
 
+def matching_coarsening(
+    graph: Graph, matching: DataFrame, no_self_loops: bool = False
+) -> tuple[Graph, DataFrame]:
+    """(coarse Graph, fine_to_coarse) — contract each matched pair to one
+    coarse vertex (coarsening/MatchingCoarsening.cpp:17-57).
+
+    The reference's sequential scan carries over exactly the vertices that
+    are unmatched or the SMALLER endpoint of their matched edge, assigning
+    dense ids in increasing fine-id order (MatchingCoarsening.cpp:26-41);
+    labelling every vertex with min(v, mate(v)) and minting dense ids in
+    ascending label order reproduces that numbering exactly. Edge weights
+    sum over contracted pairs; the matched edge's own weight lands on the
+    coarse self-loop (visited once under the v <= u guard, lines 43-51)
+    unless ``no_self_loops``. Undirected only, like the reference ctor."""
+    if graph.directed:
+        raise ValueError("MatchingCoarsening is only defined for undirected graphs")
+    mates = matching.select(
+        F.greatest("u", "v").alias("id"), F.least("u", "v").alias("label")
+    )
+    labels = graph.vertices.join(mates, "id", "left").select(
+        "id", F.coalesce("label", F.col("id")).alias("label")
+    )
+    coarse, fine_to_coarse = coarsen(graph, labels)
+    if no_self_loops:
+        coarse = Graph(
+            coarse.vertices,
+            coarse.edges.filter(F.col("src") != F.col("dst")),
+            directed=False,
+            weighted=True,
+        )
+    return coarse, fine_to_coarse
+
+
 def project_back(
     fine_to_coarse: DataFrame, coarse_labels: DataFrame
 ) -> DataFrame:

@@ -137,3 +137,97 @@ def max_spanning_forest(
 def forest_weight(forest: DataFrame) -> float:
     """Total weight of a spanning forest DataFrame."""
     return forest.agg(F.sum("weight")).first()[0] or 0.0
+
+
+def union_max_spanning_forest(
+    graph: Graph,
+    checkpoint: CheckpointManager | None = None,
+) -> DataFrame:
+    """umsf(u: long, v: long, weight: double, in_umsf: boolean), u < v —
+    per canonical edge of the undirected simple support, whether it belongs
+    to AT LEAST ONE maximum-weight spanning forest.
+
+    Reference: graph/UnionMaximumSpanningForest.cpp:46-80 — a descending
+    Kruskal whose union-find merges are DEFERRED until the weight level
+    changes, so every edge of one level is tested against the same state.
+    That makes the membership criterion schedule-free: an edge (u, v, w) is
+    in the UMSF iff u and v lie in different components of the
+    strictly-heavier subgraph (the cut rule).
+
+    Distributed form (matches the SQL oracle's shape): stack one stratum
+    per weight level — stratum j holds the edges STRICTLY heavier than
+    level j, nodes tagged (id, j) via composite ids — and run ONE hash-min
+    component fixpoint over all strata at once (strata never interconnect,
+    so labels stay per-stratum). An edge at level j is then in the UMSF iff
+    its endpoints have different (or absent == singleton) labels inside
+    stratum j. One fixpoint of O(max diameter) supersteps replaces a
+    per-level fixpoint chain — at 1000 executors the barrier count, not
+    the row count, is what a descending level loop would pay for.
+
+    Scale note: the stacked size is sum_e rank(w(e)) <= m * |weight
+    domain|; entity-graph weights are small integer counts, so the level
+    count is bounded by the weight domain, not by n. The driver holds one
+    scalar per distinct level (same bound)."""
+    from networkit_spark.operators.components import connected_components
+
+    g = graph.to_undirected() if graph.directed else graph
+    spark = g.vertices.sparkSession
+    canon = materialize(
+        g.edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+            F.col("weight").cast("double").alias("w"),
+        )
+        .groupBy("u", "v")
+        .agg(F.max("w").alias("w"))
+    )
+    levels = [
+        r["w"] for r in canon.select("w").distinct().orderBy(F.desc("w")).collect()
+    ]
+    nlv = len(levels)
+    base = canon.select("u", "v", F.col("w").alias("weight"))
+    if nlv <= 1:
+        # no strictly-heavier subgraph at the only level: every edge is in
+        # some MSF (all strata empty)
+        return materialize(base.withColumn("in_umsf", F.lit(True)))
+    lvls = spark.createDataFrame(
+        [(float(w), i) for i, w in enumerate(levels)], "lvl double, idx long"
+    )
+    # stratum j == edges with w > levels[j]; composite node id = id*nlv + j
+    stacked = canon.join(F.broadcast(lvls), F.col("w") > F.col("lvl")).select(
+        (F.col("u") * nlv + F.col("idx")).alias("src"),
+        (F.col("v") * nlv + F.col("idx")).alias("dst"),
+    )
+    verts = (
+        stacked.select(F.col("src").alias("id"))
+        .unionByName(stacked.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    sym = stacked.unionByName(
+        stacked.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1.0).cast("float"))
+    labels = connected_components(
+        Graph(verts, sym, directed=False, weighted=False), checkpoint=checkpoint
+    )
+    keyed = canon.join(F.broadcast(lvls), F.col("w") == F.col("lvl")).select(
+        "u", "v", F.col("w").alias("weight"),
+        (F.col("u") * nlv + F.col("idx")).alias("ku"),
+        (F.col("v") * nlv + F.col("idx")).alias("kv"),
+    )
+    lab_u = labels.select(F.col("id").alias("ku"), F.col("label").alias("cu"))
+    lab_v = labels.select(F.col("id").alias("kv"), F.col("label").alias("cv"))
+    # absent from the stratum == singleton there (no heavier incident edge),
+    # hence disconnected from the (distinct) other endpoint
+    return materialize(
+        keyed.join(lab_u, "ku", "left")
+        .join(lab_v, "kv", "left")
+        .select(
+            "u", "v", "weight",
+            (
+                F.col("cu").isNull()
+                | F.col("cv").isNull()
+                | (F.col("cu") != F.col("cv"))
+            ).alias("in_umsf"),
+        )
+    )

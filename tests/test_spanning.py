@@ -55,3 +55,81 @@ def test_path_graph_keeps_every_edge(spark):
     g = from_edge_rows(spark, [(i, i + 1) for i in range(20)])
     rows = max_spanning_forest(g).collect()
     assert sorted((r["u"], r["v"]) for r in rows) == [(i, i + 1) for i in range(20)]
+
+
+# ---- union of all maximum spanning forests --------------------------------
+
+
+def _umsf_referee(n_nodes, edges):
+    """Cut rule: (u, v, w) is in the UMSF iff u, v are disconnected in the
+    strictly-heavier subgraph (UnionMaximumSpanningForest.cpp:46-80 with
+    deferred merges)."""
+    canon = {}
+    for u, v, w in edges:
+        a, b = min(u, v), max(u, v)
+        canon[(a, b)] = max(w, canon.get((a, b), float("-inf")))
+    out = {}
+    for (u, v), w in canon.items():
+        adj = {i: [] for i in range(n_nodes)}
+        for (a, b), w2 in canon.items():
+            if w2 > w:
+                adj[a].append(b)
+                adj[b].append(a)
+        seen, stack = {u}, [u]
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        out[(u, v, w)] = v not in seen
+    return out
+
+
+def _umsf_run(spark, edges, n=None):
+    from networkit_spark.operators.spanning import union_max_spanning_forest
+
+    from networkit_spark.graph import from_edge_rows
+
+    g = from_edge_rows(spark, edges, weighted=True, num_nodes=n)
+    return {
+        (r["u"], r["v"], r["weight"]): r["in_umsf"]
+        for r in union_max_spanning_forest(g).collect()
+    }
+
+
+def test_umsf_matches_cut_rule_with_ties(spark):
+    # tied-weight triangle: ALL three edges are in some MSF
+    edges = [
+        (0, 1, 4.0), (1, 2, 4.0), (0, 2, 4.0), (2, 3, 1.0),
+        (3, 4, 5.0), (4, 5, 5.0), (3, 5, 2.0), (5, 6, 0.5),
+    ]
+    got = _umsf_run(spark, edges)
+    assert got == _umsf_referee(7, edges)
+    # the tied triangle is fully in; the bridge always is
+    assert got[(0, 1, 4.0)] and got[(1, 2, 4.0)] and got[(0, 2, 4.0)]
+    assert got[(5, 6, 0.5)]
+
+
+def test_umsf_distinct_weights_equals_msf(spark):
+    edges = [
+        (0, 1, 9.0), (1, 2, 8.0), (0, 2, 7.0), (2, 3, 6.0),
+        (3, 4, 5.0), (4, 0, 4.0), (1, 4, 3.0),
+    ]
+    got = _umsf_run(spark, edges)
+    assert got == _umsf_referee(5, edges)
+    msf = {(u, v, w) for u, v, w in (
+        (r["u"], r["v"], r["weight"])
+        for r in max_spanning_forest(
+            from_edge_rows(spark, edges, weighted=True)
+        ).collect()
+    )}
+    assert {e for e, m in got.items() if m} == msf
+
+
+def test_umsf_uniform_weights_marks_everything(spark):
+    # all-equal weights: the heavier subgraph is empty at the only level,
+    # so every edge (even cycle edges) is in some MSF
+    edges = [(0, 1, 2.0), (1, 2, 2.0), (2, 0, 2.0), (2, 3, 2.0)]
+    got = _umsf_run(spark, edges)
+    assert all(got.values()) and len(got) == 4
