@@ -78,6 +78,11 @@ def test_no_forced_vertex_sized_broadcasts():
         ],
         # augmenting-path-sized (<= dist(s,t) rows)
         "operators/flow.py": ["F.broadcast(path_df)", "F.broadcast(upd)"],
+        # driver-built distinct-weight-level table (nlv rows, already
+        # collect()ed to build it)
+        "operators/spanning.py": ["F.broadcast(lvls)"],
+        # 1-row global min agg (k==0 degenerate clustering)
+        "operators/overlap.py": ["F.broadcast(one)"],
         # query-set-sized tables, O(len(query_ids) [x n_tables]), and the
         # k-row centroid table of the IVF index
         "functions/similarity.py": [
