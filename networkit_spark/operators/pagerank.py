@@ -32,8 +32,23 @@ Execution has two shapes:
 Spark-first plan: one superstep = broadcast-or-shuffle hash join of the
 (static, persisted) normalized out-edge table with the current score vector,
 then a partial+final hash aggregation on dst — Catalyst's map-side combine
-is the analogue of the reference's per-thread accumulation, and AQE
-skew-join splitting stands in for balancedParallelForNodes (Graph.hpp:1788).
+is the analogue of the reference's per-thread accumulation.
+
+Hub-vertex skew (north star: "explicit salted repartitioning for hub-vertex
+skew"): the transcript graph's role/tool vertices have out-degree O(n_convs)
+(a single role holds ~n edges — 3x a whole average partition at bench
+scale), so hash-partitioning the static out table by src alone leaves hub
+partitions whose probe CPU straggles every superstep (event-log measured:
+p50 1.15s / max 6.35s per task, steady-block concurrency 14.6 of 32 cores).
+AQE skew splitting cannot help: splitting the cached build-side partition
+would break the co-partitioning the chained supersteps rely on. Instead the
+fast path salts ONCE at build time: srcs whose out-row count exceeds
+total/(2*n_part) get their edges split over ceil(count/thresh) salt values
+by hash(dst); per superstep the (vertex-sized) score vector replicates ONLY
+the hub rows (|hubs| <= 2*n_part by construction — a provably tiny
+broadcast), and the join runs on (src, salt). balancedParallelForNodes
+(Graph.hpp:1788) is the reference's shared-memory counterpart.
+
 The convergence check is the only extra action per iteration. Plan growth is
 cut by IterationState (persist i / unpersist i-1 / checkpoint every k).
 """
@@ -62,6 +77,7 @@ def pagerank(
     impl: str = "expr",
     num_blocks: int | None = None,
     broadcast_scores: bool | None = None,
+    hub_salt_threshold: int | None = None,
 ) -> DataFrame:
     """Return scores(id: long, score: double), sum-normalized.
 
@@ -132,7 +148,43 @@ def pagerank(
         # is the single-machine analogue of bucketing the adjacency.
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
         out = out.localCheckpoint(eager=True)
-        out = out.repartition(n_part, "src").persist()
+        # ---- hub-salt analysis (one pass over the static table) ----------
+        # hubs = srcs whose out-row count exceeds half a mean partition;
+        # |hubs| <= total/thresh <= 2*n_part rows by construction, so the
+        # hub table is provably tiny at ANY scale (10^12 edges / 10^5
+        # partitions -> thresh 5M, <= 2*10^5 hub rows).
+        total_rows = out.count()
+        thresh = hub_salt_threshold
+        if thresh is None:
+            thresh = max(50_000, total_rows // n_part // 2)
+        hub_rows = (
+            out.groupBy("src")
+            .count()
+            .filter(F.col("count") > thresh)
+            .select(
+                "src",
+                F.least(
+                    F.lit(n_part), F.ceil(F.col("count") / F.lit(thresh))
+                ).cast("int").alias("nsalt"),
+            )
+            .collect()
+        )
+        hub_df = None
+        part_cols = ["src"]
+        if hub_rows:
+            hub_df = spark.createDataFrame(hub_rows, "src long, nsalt int")
+            out = (
+                out.join(F.broadcast(hub_df), "src", "left")
+                .withColumn(
+                    "salt",
+                    F.when(F.col("nsalt").isNull(), F.lit(0)).otherwise(
+                        F.pmod(F.xxhash64("dst"), F.col("nsalt")).cast("int")
+                    ),
+                )
+                .drop("nsalt")
+            )
+            part_cols = ["src", "salt"]
+        out = out.repartition(n_part, *part_cols).persist()
         out.count()
     else:
         from networkit_spark.plans.checkpoint import materialize
@@ -182,17 +234,40 @@ def pagerank(
                 ).withColumnRenamed("id", "dst")
             else:
                 sc = scores.withColumnRenamed("id", "src")
+                if hub_df is not None:
+                    # replicate ONLY hub scores across their salt range —
+                    # codegen explode before the exchange; adds |hubs| *
+                    # (nsalt-1) rows (<= 2*n_part*n_part) to the
+                    # vertex-sized exchange
+                    sc = (
+                        sc.join(F.broadcast(hub_df), "src", "left")
+                        .withColumn(
+                            "salt",
+                            F.explode(
+                                F.sequence(
+                                    F.lit(0),
+                                    F.coalesce(F.col("nsalt") - 1, F.lit(0)),
+                                )
+                            ),
+                        )
+                        .drop("nsalt")
+                    )
                 if broadcast_scores:
                     sc = F.broadcast(sc)
                 else:
-                    # pin the distributed strategy: without the hint AQE
-                    # auto-broadcasts the (vertex-sized) score vector under
-                    # 64 MB — a driver-serial build per superstep that
-                    # caps scaling. SHJ probes the cached pre-partitioned
-                    # out table with NO exchange on the edge side.
-                    sc = sc.hint("shuffle_hash")
+                    # pin the distributed strategy AND the score-side
+                    # partition count: an explicit repartition by the join
+                    # keys at n_part is exempt from AQE coalescing, so both
+                    # sides present HashPartitioning(part_cols, n_part) and
+                    # the cached edge side is probed with NO exchange (AQE
+                    # coalescing the implicit score exchange to fewer
+                    # partitions forced a one-time 90M-row re-exchange of
+                    # the edge side, event-log measured). Without the SHJ
+                    # hint AQE auto-broadcasts the vertex-sized vector
+                    # under 64 MB — a driver-serial build per superstep.
+                    sc = sc.repartition(n_part, *part_cols).hint("shuffle_hash")
                 msgs = (
-                    out.join(sc, "src")
+                    out.join(sc, part_cols)
                     .groupBy("dst")
                     .agg(F.sum(F.col("score") * F.col("frac")).alias("mass"))
                 )

@@ -93,3 +93,35 @@ def test_isolated_vertices_get_teleport(spark):
     want = pagerank_oracle(4, sym, tol=1e-12)
     assert np.allclose(got, want, atol=1e-10)
     assert got[2] == got[3] > 0
+
+
+def test_hub_salted_fast_path_matches_oracle(spark):
+    """Force the hub-salt plan (north-star skew handling) on a star-plus-ring
+    fixture and assert exact agreement with the unsalted plan and the numpy
+    oracle — salting must only change the physical layout, never the sums."""
+    # hub 0 -> everyone (out-rows 40) plus a ring among 1..40
+    edges = [(0, v, 1.0 + (v % 3)) for v in range(1, 41)]
+    edges += [(v, 1 + (v % 40), 1.0) for v in range(1, 41)]
+    g = from_edge_rows(spark, edges, directed=True)
+    salted = _scores_array(
+        pagerank(g, tol=0.0, max_iterations=12, hub_salt_threshold=5), 41
+    )
+    plain = _scores_array(pagerank(g, tol=0.0, max_iterations=12), 41)
+    want = pagerank_oracle(41, edges, tol=0.0, max_iterations=12)
+    assert np.allclose(salted, plain, atol=1e-12)
+    assert np.allclose(salted, want, atol=1e-9)
+
+
+def test_hub_salted_broadcast_branch_matches(spark):
+    """Salted layout under broadcast_scores=True (the small-n branch)."""
+    edges = [(0, v, 1.0) for v in range(1, 31)] + [(v, 0, 1.0) for v in range(1, 31)]
+    g = from_edge_rows(spark, edges, directed=True)
+    salted = _scores_array(
+        pagerank(
+            g, tol=0.0, max_iterations=8, hub_salt_threshold=4,
+            broadcast_scores=True,
+        ),
+        31,
+    )
+    want = pagerank_oracle(31, edges, tol=0.0, max_iterations=8)
+    assert np.allclose(salted, want, atol=1e-9)

@@ -63,7 +63,11 @@ def test_no_forced_vertex_sized_broadcasts():
     pkg = Path(__file__).resolve().parent.parent / "networkit_spark"
     allowed = {
         # file -> substrings that must appear on the broadcast line
-        "operators/pagerank.py": ["F.broadcast(sc)"],  # gated by broadcast_scores
+        "operators/pagerank.py": [
+            "F.broadcast(sc)",  # gated by broadcast_scores
+            # hub-salt table: <= total/thresh <= 2*n_part rows by construction
+            "F.broadcast(hub_df)",
+        ],
         "operators/components.py": ["F.broadcast(top)"],  # limit(1)
         "operators/anf.py": ["F.broadcast(highest)"],  # 1-row global agg
         "operators/centrality.py": ["F.broadcast(tot)"],  # 1-row global agg
