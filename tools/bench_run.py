@@ -20,6 +20,16 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--interval", type=int, default=4)
     ap.add_argument("--impl", default="expr", choices=["expr", "csr"])
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--no-aqe", action="store_true")
+    ap.add_argument(
+        "--cache-dir",
+        default=None,
+        help="write the derived vertex/edge tables to parquet here on first "
+        "build and load them on later runs — the superstep metric only "
+        "measures the (identical) cached out table, so reps and rungs can "
+        "skip the deterministic synthesis cost",
+    )
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -28,8 +38,17 @@ def main() -> None:
     # same conf surface as the engine's session factory (AQE + skew
     # thresholds + SHJ preference), so the scaling run measures the
     # production plan shape
-    spark = get_spark(f"bench-scaling-{args.cores}", cores=args.cores)
+    spark = get_spark(
+        f"bench-scaling-{args.cores}",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    if args.no_aqe:
+        # the fixpoint loop pins its physical plan (SHJ hint, explicit
+        # repartition, hub salting); AQE then only contributes per-exchange
+        # materialization barriers between chained supersteps
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     from networkit_spark.edges import derive_edges
     from networkit_spark.graph import Graph
@@ -37,16 +56,37 @@ def main() -> None:
     from networkit_spark.plans.checkpoint import CheckpointManager
     from networkit_spark.transcripts import synth_transcripts
 
-    t = synth_transcripts(spark, n_convs=args.convs, n_tools=args.tools, seed=42)
-    vertices, edges = derive_edges(t)
-    # materialize the derived tables ONCE: every downstream action (degree
-    # cache, edge count, out-table build) would otherwise re-run the whole
-    # synth->window->mint pipeline — build cost, not superstep cost, but
-    # it multiplies wall-clock at low core counts
     from networkit_spark.plans.checkpoint import materialize
 
-    vertices = materialize(vertices.select("id"))
-    edges = materialize(edges)
+    cache = None
+    if args.cache_dir:
+        import os as _os
+
+        cache = _os.path.join(
+            args.cache_dir, f"convs{args.convs}-tools{args.tools}"
+        )
+    if cache and _os.path.exists(_os.path.join(cache, "_BUILT")):
+        vertices = spark.read.parquet(_os.path.join(cache, "vertices"))
+        edges = spark.read.parquet(_os.path.join(cache, "edges"))
+    else:
+        t = synth_transcripts(
+            spark, n_convs=args.convs, n_tools=args.tools, seed=42
+        )
+        vertices, edges = derive_edges(t)
+        # materialize the derived tables ONCE: every downstream action
+        # (degree cache, edge count, out-table build) would otherwise re-run
+        # the whole synth->window->mint pipeline — build cost, not superstep
+        # cost, but it multiplies wall-clock at low core counts
+        vertices = materialize(vertices.select("id"))
+        edges = materialize(edges)
+        if cache:
+            vertices.write.mode("overwrite").parquet(
+                _os.path.join(cache, "vertices")
+            )
+            edges.write.mode("overwrite").parquet(_os.path.join(cache, "edges"))
+            open(_os.path.join(cache, "_BUILT"), "w").write("ok")
+            vertices = spark.read.parquet(_os.path.join(cache, "vertices"))
+            edges = spark.read.parquet(_os.path.join(cache, "edges"))
     g = Graph(vertices, edges).with_cached_degrees()
     directed_edges = g.edges.count()
 
