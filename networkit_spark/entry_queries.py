@@ -713,6 +713,23 @@ def q_decontaminate(spark, sf_dir):
     return dedup.decontaminate(target, bench, n=3)
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Language-rebalanced corpus sampling (hash-derandomized Bernoulli
+    per stratum — the pretraining mixture-rate step)."""
+    return textstats.stratified_sample(
+        _docs(spark, sf_dir),
+        rates=L.STRAT_RATES,
+        default_rate=L.STRAT_DEFAULT_RATE,
+        seed=L.STRAT_SEED,
+    )
+
+
+def q_quality_filter(spark, sf_dir):
+    """Composed C4/Gopher-style document filter (length floor + n-gram
+    repetition ceiling + diversity floor)."""
+    return textstats.quality_filter(_docs(spark, sf_dir))
+
+
 def q_minhash_bands(spark, sf_dir):
     sh = dedup.shingles(_docs(spark, sf_dir))
     return dedup.minhash_bands(sh, num_hashes=16, bands=4)
@@ -1483,6 +1500,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_quadrangles": q_graph_quadrangles,
     "text_ngram_repetition": q_ngram_repetition,
     "text_decontaminate": q_decontaminate,
+    "text_sample_stratified": q_stratified_sample,
+    "text_quality_filter": q_quality_filter,
     "graph_umsf": q_graph_umsf,
     "community_hash_overlap": q_community_hash_overlap,
     # ---- block 2: registered in r2, judge-verified but never driver-checked
@@ -1752,6 +1771,8 @@ def build_oracles() -> dict[str, str]:
         "graph_quadrangles": L.sql_quadrangles(),
         "text_ngram_repetition": L.sql_ngram_repetition(2),
         "text_decontaminate": L.sql_decontaminate(3, 23),
+        "text_sample_stratified": L.sql_stratified_sample(),
+        "text_quality_filter": L.sql_quality_filter(),
         "dedup_minhash_bands": L.sql_minhash_bands(16, 4),
         "dedup_canonical": L.sql_dedup_canonical(16, 4, 50, 4),
         "dedup_simhash": L.sql_simhash(32),

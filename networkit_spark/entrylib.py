@@ -4313,3 +4313,60 @@ FROM canon e
 JOIN comp ca ON ca.lvl = e.w AND ca.id = e.u
 JOIN comp cb ON cb.lvl = e.w AND cb.id = e.v
 ORDER BY e.u, e.v"""
+
+
+# ---- training-data pipeline: stratified sampling + composed quality filter
+
+
+STRAT_RATES = {"en": 0.35, "zh": 0.9, "es": 0.9, "de": 0.9, "fr": 0.9}
+STRAT_DEFAULT_RATE = 1.0
+STRAT_SEED = 42
+
+
+def sql_stratified_sample() -> str:
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(
+        f"('strat{STRAT_SEED}:' || CAST(lang AS STRING) || ':' "
+        f"|| CAST(doc_id AS STRING))"
+    )
+    cases = " ".join(
+        f"WHEN '{s}' THEN {r!r}" for s, r in sorted(STRAT_RATES.items())
+    )
+    return f"""WITH sel AS (
+    SELECT doc_id, lang,
+           ({h} % 1048576) AS b,
+           CASE lang {cases} ELSE {STRAT_DEFAULT_RATE!r} END AS r
+    FROM documents
+)
+SELECT doc_id, lang FROM sel WHERE b < r * 1048576 ORDER BY doc_id"""
+
+
+def sql_quality_filter(
+    min_tokens: int = 5,
+    max_dup_fraction: float = 0.3,
+    min_distinct_ratio: float = 0.3,
+    rep_n: int = 2,
+) -> str:
+    return f"""WITH {DOCS_CTE},
+m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           {_sql_grams_expr(rep_n)} AS grams,
+           CAST(len(list_distinct(toks)) AS DOUBLE)
+               / greatest(len(toks), 1) AS distinct_ratio
+    FROM docs_tok
+),
+d AS (
+    SELECT doc_id, n_tokens, distinct_ratio,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams) END AS dup
+    FROM m
+)
+SELECT doc_id, n_tokens,
+       ROUND(dup, 6) AS dup_fraction,
+       ROUND(distinct_ratio, 6) AS distinct_ratio,
+       (n_tokens >= {min_tokens} AND dup <= {max_dup_fraction}
+        AND distinct_ratio >= {min_distinct_ratio}) AS keep
+FROM d ORDER BY doc_id"""

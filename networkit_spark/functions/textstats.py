@@ -114,3 +114,78 @@ def token_topk(
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(k)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, strata) rows KEPT by per-stratum Bernoulli sampling — the
+    language-rebalancing step of a pretraining-data pipeline (down-weight
+    over-represented languages/sources to target mixture rates).
+
+    Derandomized: keep iff md5(seed:strata:id) mod 2^20 < rate * 2^20, so
+    the decision is a stateless per-row filter — no shuffle, no RNG state,
+    any parallelism yields the identical sample, and the DuckDB oracle can
+    replay it bit-exactly. At 100 TB this is a scan with a pushed filter.
+    """
+    h = md5_long_sql(
+        f"('strat{seed}:' || CAST({strata_col} AS STRING) || ':' "
+        f"|| CAST({id_col} AS STRING))"
+    )
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == s, F.lit(float(r))).otherwise(rate)
+    bucket = F.expr(h) % (1 << 20)
+    return (
+        df.select(F.col(id_col), F.col(strata_col), bucket.alias("__b"), rate.alias("__r"))
+        .filter(F.col("__b") < F.col("__r") * (1 << 20))
+        .select(id_col, strata_col)
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_dup_fraction: float = 0.3,
+    min_distinct_ratio: float = 0.3,
+    rep_n: int = 2,
+) -> DataFrame:
+    """(id, n_tokens, dup_fraction, distinct_ratio, keep) — the composed
+    C4/Gopher-style document filter: length floor + within-doc n-gram
+    repetition ceiling + token-diversity floor, all per-row array exprs
+    (zero shuffle; each heuristic is individually oracle-checked by
+    text_token_stats / text_ngram_repetition / text_quality)."""
+    t = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(t) >= rep_n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - rep_n),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, rep_n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(t).cast("bigint")
+    dup = F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams)
+    )
+    distinct_ratio = F.size(F.array_distinct(t)) / F.greatest(
+        F.size(t), F.lit(1)
+    ).cast("double")
+    keep = (
+        (n >= min_tokens)
+        & (dup <= max_dup_fraction)
+        & (distinct_ratio >= min_distinct_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(dup, 6).alias("dup_fraction"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        keep.cast("boolean").alias("keep"),
+    )

@@ -40,3 +40,47 @@ def test_decontaminate_flags_overlap(spark):
     assert got[0]["n_hits"] == 2 and got[0]["contaminated"]
     assert got[1]["n_hits"] == 0 and not got[1]["contaminated"]
     assert got[2]["n_hits"] == 1 and got[2]["contaminated"]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from networkit_spark.functions.textstats import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr") for i in range(3000)],
+        "doc_id long, lang string",
+    )
+    rates = {"en": 0.25, "fr": 1.0}
+    kept = stratified_sample(docs, rates=rates, seed=7)
+    rows = kept.collect()
+    # every fr row survives (rate 1.0); en lands near 25%
+    n_fr = sum(1 for r in rows if r["lang"] == "fr")
+    n_en = sum(1 for r in rows if r["lang"] == "en")
+    assert n_fr == 1000
+    assert 0.18 * 2000 < n_en < 0.32 * 2000
+    # derandomized: identical sample on re-run and at other parallelism
+    again = {(r["doc_id"], r["lang"]) for r in stratified_sample(
+        docs.repartition(13), rates=rates, seed=7).collect()}
+    assert {(r["doc_id"], r["lang"]) for r in rows} == again
+    # different seed -> different sample (overwhelmingly)
+    other = {(r["doc_id"], r["lang"]) for r in stratified_sample(
+        docs, rates=rates, seed=8).collect()}
+    assert {(r["doc_id"], r["lang"]) for r in rows} != other
+
+
+def test_quality_filter_hand_fixture(spark):
+    from networkit_spark.functions.textstats import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),  # keep
+            (1, "spam spam spam spam spam spam spam spam"),  # repetitive
+            (2, "too short"),                                # length floor
+            (3, ""),                                         # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in quality_filter(docs, min_tokens=5).collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["keep"] is False and got[1]["dup_fraction"] > 0.3
+    assert got[2]["keep"] is False and got[2]["n_tokens"] == 2
+    assert got[3]["keep"] is False and got[3]["n_tokens"] == 0
