@@ -730,6 +730,13 @@ def q_quality_filter(spark, sf_dir):
     return textstats.quality_filter(_docs(spark, sf_dir))
 
 
+def q_source_profile(spark, sf_dir):
+    """Per-source corpus profile (doc/token counts, language spread,
+    repetition, quality-filter keep rate) — the aggregation behind
+    source-level filtering and mixture weighting."""
+    return textstats.source_profile(_docs(spark, sf_dir))
+
+
 def q_minhash_bands(spark, sf_dir):
     sh = dedup.shingles(_docs(spark, sf_dir))
     return dedup.minhash_bands(sh, num_hashes=16, bands=4)
@@ -1502,6 +1509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_decontaminate": q_decontaminate,
     "text_sample_stratified": q_stratified_sample,
     "text_quality_filter": q_quality_filter,
+    "text_source_profile": q_source_profile,
     "graph_umsf": q_graph_umsf,
     "community_hash_overlap": q_community_hash_overlap,
     # ---- block 2: registered in r2, judge-verified but never driver-checked
@@ -1773,6 +1781,7 @@ def build_oracles() -> dict[str, str]:
         "text_decontaminate": L.sql_decontaminate(3, 23),
         "text_sample_stratified": L.sql_stratified_sample(),
         "text_quality_filter": L.sql_quality_filter(),
+        "text_source_profile": L.sql_source_profile(),
         "dedup_minhash_bands": L.sql_minhash_bands(16, 4),
         "dedup_canonical": L.sql_dedup_canonical(16, 4, 50, 4),
         "dedup_simhash": L.sql_simhash(32),

@@ -4370,3 +4370,37 @@ SELECT doc_id, n_tokens,
        (n_tokens >= {min_tokens} AND dup <= {max_dup_fraction}
         AND distinct_ratio >= {min_distinct_ratio}) AS keep
 FROM d ORDER BY doc_id"""
+
+
+def sql_source_profile(
+    min_tokens: int = 5,
+    max_dup_fraction: float = 0.3,
+    min_distinct_ratio: float = 0.3,
+    rep_n: int = 2,
+) -> str:
+    return f"""WITH {DOCS_CTE},
+m AS (
+    SELECT t.doc_id, d.source, d.lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           {_sql_grams_expr(rep_n)} AS grams,
+           CAST(len(list_distinct(toks)) AS DOUBLE)
+               / greatest(len(toks), 1) AS distinct_ratio
+    FROM docs_tok t JOIN documents d ON t.doc_id = d.doc_id
+),
+x AS (
+    SELECT source, lang, n_tokens, distinct_ratio,
+           CASE WHEN len(grams) = 0 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                     / len(grams) END AS dup
+    FROM m
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       ROUND(AVG(dup), 6) AS mean_dup_fraction,
+       ROUND(AVG(CASE WHEN n_tokens >= {min_tokens}
+                       AND dup <= {max_dup_fraction}
+                       AND distinct_ratio >= {min_distinct_ratio}
+                      THEN 1.0 ELSE 0.0 END), 6) AS keep_fraction
+FROM x GROUP BY source ORDER BY source"""

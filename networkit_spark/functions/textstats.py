@@ -148,20 +148,15 @@ def stratified_sample(
     )
 
 
-def quality_filter(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    min_tokens: int = 5,
-    max_dup_fraction: float = 0.3,
-    min_distinct_ratio: float = 0.3,
-    rep_n: int = 2,
-) -> DataFrame:
-    """(id, n_tokens, dup_fraction, distinct_ratio, keep) — the composed
-    C4/Gopher-style document filter: length floor + within-doc n-gram
-    repetition ceiling + token-diversity floor, all per-row array exprs
-    (zero shuffle; each heuristic is individually oracle-checked by
-    text_token_stats / text_ngram_repetition / text_quality)."""
+def _doc_quality_cols(
+    text_col: str,
+    min_tokens: int,
+    max_dup_fraction: float,
+    min_distinct_ratio: float,
+    rep_n: int,
+) -> tuple[Column, Column, Column, Column]:
+    """(n_tokens, dup_fraction, distinct_ratio, keep) per-row expressions —
+    shared by quality_filter and source_profile."""
     t = tokens(F.col(text_col))
     grams = F.when(
         F.size(t) >= rep_n,
@@ -182,10 +177,64 @@ def quality_filter(
         & (dup <= max_dup_fraction)
         & (distinct_ratio >= min_distinct_ratio)
     )
+    return n, dup, distinct_ratio, keep
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_dup_fraction: float = 0.3,
+    min_distinct_ratio: float = 0.3,
+    rep_n: int = 2,
+) -> DataFrame:
+    """(id, n_tokens, dup_fraction, distinct_ratio, keep) — the composed
+    C4/Gopher-style document filter: length floor + within-doc n-gram
+    repetition ceiling + token-diversity floor, all per-row array exprs
+    (zero shuffle; each heuristic is individually oracle-checked by
+    text_token_stats / text_ngram_repetition / text_quality)."""
+    n, dup, distinct_ratio, keep = _doc_quality_cols(
+        text_col, min_tokens, max_dup_fraction, min_distinct_ratio, rep_n
+    )
     return df.select(
         F.col(id_col),
         n.alias("n_tokens"),
         F.round(dup, 6).alias("dup_fraction"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         keep.cast("boolean").alias("keep"),
+    )
+
+
+def source_profile(
+    df: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_dup_fraction: float = 0.3,
+    min_distinct_ratio: float = 0.3,
+    rep_n: int = 2,
+) -> DataFrame:
+    """(source, n_docs, n_tokens, n_langs, mean_dup_fraction, keep_fraction)
+    — the source-level corpus profile behind source filtering / mixture
+    decisions (which crawls/feeds to keep, and at what weight). One
+    partial-aggregated groupBy over per-row exprs: map-side combine does
+    the heavy lifting, the shuffle carries |sources| rows."""
+    n, dup, _, keep = _doc_quality_cols(
+        text_col, min_tokens, max_dup_fraction, min_distinct_ratio, rep_n
+    )
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        n.alias("__n"),
+        dup.alias("__dup"),
+        keep.cast("int").alias("__keep"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(F.avg("__dup"), 6).alias("mean_dup_fraction"),
+        F.round(F.avg("__keep"), 6).alias("keep_fraction"),
     )

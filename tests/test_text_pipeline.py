@@ -84,3 +84,22 @@ def test_quality_filter_hand_fixture(spark):
     assert got[1]["keep"] is False and got[1]["dup_fraction"] > 0.3
     assert got[2]["keep"] is False and got[2]["n_tokens"] == 2
     assert got[3]["keep"] is False and got[3]["n_tokens"] == 0
+
+
+def test_source_profile_hand_fixture(spark):
+    from networkit_spark.functions.textstats import source_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "good long document with many distinct interesting words", "en", "a"),
+            (1, "spam spam spam spam spam spam spam spam", "en", "a"),
+            (2, "otra frase distinta con palabras variadas aqui mismo", "es", "b"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["source"]: r for r in source_profile(docs).collect()}
+    assert got["a"]["n_docs"] == 2 and got["a"]["n_langs"] == 1
+    assert got["a"]["keep_fraction"] == 0.5  # spam doc filtered
+    assert got["b"]["n_docs"] == 1 and got["b"]["keep_fraction"] == 1.0
+    assert got["b"]["mean_dup_fraction"] == 0.0
+    assert got["a"]["n_tokens"] == 8 + 8
