@@ -673,7 +673,17 @@ def q_gen_rmat_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return L.load(spark, sf_dir, "documents")
+    df = L.load(spark, sf_dir, "documents")
+    # Byte-based split planning under-partitions small-but-CPU-dense text
+    # tables: a few-MB parquet lands under openCostInBytes and becomes ONE
+    # task, serializing the n-gram/array kernels (measured 53s single-task
+    # quality pass at sf0.1 on 32 cores -> ~3s spread). Only repartition UP
+    # — at real corpus scale the scan already has >= parallelism splits and
+    # this is a no-op, so no extra shuffle appears at 100 TB.
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p, "doc_id")
+    return df
 
 
 def q_token_stats(spark, sf_dir):

@@ -204,16 +204,15 @@ def ngram_repetition(
     """(doc_id, total_ngrams, distinct_ngrams, dup_fraction) — WITHIN-document
     n-gram repetition (the MassiveText/Gopher-style repetition filter tier:
     high dup_fraction flags boilerplate/looping text). Entirely per-row array
-    expressions — zero shuffle, linear scan at any corpus size."""
-    t = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(
+    expressions — zero shuffle, linear scan at any corpus size. The token
+    and gram arrays are staged (computed once, referenced as attributes):
+    inlining them re-runs the tokenize chain per reference and per lambda
+    element on the interpreted HOF path, measured 20-40x slower."""
+    from networkit_spark.functions.textstats import staged_tokens_and_grams
+
+    staged = staged_tokens_and_grams(df, [id_col], text_col, n)
+    grams = F.col("__g")
+    return staged.select(
         F.col(id_col),
         F.size(grams).cast("bigint").alias("total_ngrams"),
         F.size(F.array_distinct(grams)).cast("bigint").alias("distinct_ngrams"),

@@ -34,12 +34,25 @@ def tokens(col: Column) -> Column:
 
 
 def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, n_tokens, n_chars_norm, avg_token_len) — BPE-ish proxy counts."""
-    t = tokens(F.col(text_col))
-    return df.select(
+    """(id, n_tokens, n_chars_norm, avg_token_len) — BPE-ish proxy counts.
+
+    Staged projections: the token array is aliased ONCE and downstream
+    expressions reference the attribute. Inlining the tokens() subtree at
+    every use re-runs the regexp chain per reference (and per array element
+    inside higher-order lambdas — the interpreted HOF path re-evaluates
+    lambda-captured subtrees), measured 20-40x slower at corpus scale."""
+    staged = df.select(
+        F.col(id_col), norm_text(F.col(text_col)).alias("__norm")
+    ).select(
+        F.col(id_col),
+        "__norm",
+        F.filter(F.split(F.col("__norm"), " "), lambda x: x != "").alias("__t"),
+    )
+    t = F.col("__t")
+    return staged.select(
         F.col(id_col),
         F.size(t).cast("bigint").alias("n_tokens"),
-        F.length(norm_text(F.col(text_col))).cast("bigint").alias("n_chars_norm"),
+        F.length("__norm").cast("bigint").alias("n_chars_norm"),
         F.round(
             F.aggregate(t, F.lit(0.0), lambda acc, x: acc + F.length(x))
             / F.greatest(F.size(t), F.lit(1)),
@@ -51,7 +64,10 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, stopword_ratio, distinct_ratio, quality) — the standard cheap
     quality heuristics (length/stopword/diversity ratios)."""
-    t = tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    t = F.col("__t")
     sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     n = F.greatest(F.size(t), F.lit(1)).cast("double")
     stop_ratio = F.size(F.filter(t, lambda x: F.array_contains(sw, x))) / n
@@ -59,7 +75,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     quality = 0.5 * distinct_ratio + 0.3 * (1.0 - stop_ratio) + 0.2 * F.least(
         n / 100.0, F.lit(1.0)
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
@@ -71,7 +87,8 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     """(id, lang_guess) — n-gram/stopword-membership heuristic: per language,
     count token hits in its stopword list; argmax, ties by language code asc,
     'unk' when no hits."""
-    t = tokens(F.col(text_col))
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    t = F.col("__t")
 
     def _membership(words):
         arr = F.array(*[F.lit(w) for w in words])
@@ -90,7 +107,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         cond = hits[lang] > best_n
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_n = F.when(cond, hits[lang]).otherwise(best_n)
-    return df.select(F.col(id_col), best.alias("lang_guess"))
+    return staged.select(F.col(id_col), best.alias("lang_guess"))
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -148,23 +165,42 @@ def stratified_sample(
     )
 
 
+def staged_tokens_and_grams(
+    df: DataFrame, keep_cols: list[str], text_col: str, rep_n: int
+) -> DataFrame:
+    """keep_cols + ``__t`` (token array) + ``__g`` (word rep_n-grams), each
+    materialized ONCE per row via staged projections. Inlining these
+    subtrees at every reference re-runs the regexp/tokenize chain per use
+    — and per ELEMENT inside higher-order lambdas, because the interpreted
+    HOF path re-evaluates lambda-captured subtrees — measured 20-40x slower
+    at corpus scale. Downstream references are attribute lookups."""
+    staged = df.select(*keep_cols, tokens(F.col(text_col)).alias("__t"))
+    return staged.select(
+        *keep_cols,
+        "__t",
+        F.when(
+            F.size("__t") >= rep_n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - rep_n),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("__t"), i + 1, rep_n)
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__g"),
+    )
+
+
 def _doc_quality_cols(
-    text_col: str,
     min_tokens: int,
     max_dup_fraction: float,
     min_distinct_ratio: float,
-    rep_n: int,
 ) -> tuple[Column, Column, Column, Column]:
-    """(n_tokens, dup_fraction, distinct_ratio, keep) per-row expressions —
-    shared by quality_filter and source_profile."""
-    t = tokens(F.col(text_col))
-    grams = F.when(
-        F.size(t) >= rep_n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - rep_n),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, rep_n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """(n_tokens, dup_fraction, distinct_ratio, keep) expressions over the
+    ``__t``/``__g`` attributes of staged_tokens_and_grams — shared by
+    quality_filter and source_profile."""
+    t, grams = F.col("__t"), F.col("__g")
     n = F.size(t).cast("bigint")
     dup = F.when(F.size(grams) == 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(grams)) / F.size(grams)
@@ -194,10 +230,11 @@ def quality_filter(
     repetition ceiling + token-diversity floor, all per-row array exprs
     (zero shuffle; each heuristic is individually oracle-checked by
     text_token_stats / text_ngram_repetition / text_quality)."""
+    staged = staged_tokens_and_grams(df, [id_col], text_col, rep_n)
     n, dup, distinct_ratio, keep = _doc_quality_cols(
-        text_col, min_tokens, max_dup_fraction, min_distinct_ratio, rep_n
+        min_tokens, max_dup_fraction, min_distinct_ratio
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         n.alias("n_tokens"),
         F.round(dup, 6).alias("dup_fraction"),
@@ -221,12 +258,21 @@ def source_profile(
     decisions (which crawls/feeds to keep, and at what weight). One
     partial-aggregated groupBy over per-row exprs: map-side combine does
     the heavy lifting, the shuffle carries |sources| rows."""
-    n, dup, _, keep = _doc_quality_cols(
-        text_col, min_tokens, max_dup_fraction, min_distinct_ratio, rep_n
+    staged = staged_tokens_and_grams(
+        df.select(
+            F.col(source_col).alias("source"), F.col(lang_col).alias("lang"),
+            F.col(text_col),
+        ),
+        ["source", "lang"],
+        text_col,
+        rep_n,
     )
-    per_doc = df.select(
-        F.col(source_col).alias("source"),
-        F.col(lang_col).alias("lang"),
+    n, dup, _, keep = _doc_quality_cols(
+        min_tokens, max_dup_fraction, min_distinct_ratio
+    )
+    per_doc = staged.select(
+        "source",
+        "lang",
         n.alias("__n"),
         dup.alias("__dup"),
         keep.cast("int").alias("__keep"),
