@@ -262,6 +262,18 @@ def bfs_hops(graph: Graph, source: int, max_iterations: int | None = None) -> Da
     return dist
 
 
+def reverse_bfs_hops(
+    graph: Graph, source: int, max_iterations: int | None = None
+) -> DataFrame:
+    """dist(id, dist) — hop distance TO ``source`` along edge direction
+    (ref: distance/ReverseBFS.cpp:18-75 — the same BFS loop over
+    ``forInNeighborsOf``). Distributed as plain BFS on the transposed edge
+    table; on undirected graphs both stored directions make this identical
+    to bfs_hops, exactly as in the reference."""
+    return bfs_hops(graph.transpose() if graph.directed else graph,
+                    source, max_iterations)
+
+
 def sssp_weighted(
     graph: Graph, source: int, max_iterations: int | None = 50
 ) -> DataFrame:

@@ -522,6 +522,42 @@ def read_dgs(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rows, "t long, etype string, u long, v long, w float")
 
 
+def write_dgs(events: DataFrame, path: str) -> None:
+    """DGSWriter (dynamics/DGSWriter.cpp:15-60): serialize an event stream
+    (t, etype, u, v, w) back to DGS004 — ``an u`` / ``dn u`` /
+    ``ae u-v u v weight=w`` / ``de u-v`` / ``ce u-v weight=w`` with ``st``
+    emitted between timesteps. The reference takes an ordered
+    vector<GraphEvent>; here the DataFrame's row order is the stream order
+    (collect preserves it at fixture scale, same scope as the METIS/DOT
+    writers). Integer ids written as node names round-trip through
+    read_dgs's first-seen dense-id minting whenever nodes are added in
+    ascending-id order (true of every stream read_dgs itself produces).
+    Rows are stably sorted by ``t`` first (the generators build streams as
+    per-event-type unions, so row order is only time-ordered WITHIN a
+    type); within a timestep the DataFrame's row order is kept."""
+    rows = sorted(events.collect(), key=lambda r: r["t"])
+    with open(path, "w") as f:
+        f.write("DGS004\nnoname 0 0\n")
+        t = 0
+        for r in rows:
+            while t < r["t"]:
+                f.write("st\n")
+                t += 1
+            u, v, w = r["u"], r["v"], r["w"]
+            if r["etype"] == "NODE_ADD":
+                f.write(f"an {u}\n")
+            elif r["etype"] == "NODE_REMOVE":
+                f.write(f"dn {u}\n")
+            elif r["etype"] == "EDGE_ADD":
+                f.write(f"ae {u}-{v} {u} {v} weight={1.0 if w is None else w}\n")
+            elif r["etype"] == "EDGE_REMOVE":
+                f.write(f"de {u}-{v}\n")
+            elif r["etype"] == "EDGE_WEIGHT_UPDATE":
+                f.write(f"ce {u}-{v} weight={w}\n")
+            else:
+                raise ValueError(f"unknown event type {r['etype']!r}")
+
+
 def read_gexf(spark: SparkSession, path: str) -> DataFrame | Graph:
     """GEXF static reader (Python GEXFIO.py GEXFReader:22-110): schema
     <graph defaultedgetype=..><nodes><node id=../></nodes><edges><edge

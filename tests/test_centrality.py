@@ -86,6 +86,20 @@ def test_bfs_hops(spark):
     assert 7 not in got  # unreachable -> absent
 
 
+def test_reverse_bfs_hops(spark):
+    from networkit_spark.operators.centrality import reverse_bfs_hops
+
+    # directed chain 0->1->2 plus 3->2: reverse BFS from 2 walks IN-edges
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (3, 2)], directed=True)
+    got = {r["id"]: r["dist"] for r in reverse_bfs_hops(g, source=2).collect()}
+    assert got == {2: 0, 1: 1, 3: 1, 0: 2}
+    # undirected: identical to forward BFS (ReverseBFS.cpp degenerates too)
+    gu = from_edge_rows(spark, [(0, 1), (1, 2)])
+    fwd = {r["id"]: r["dist"] for r in bfs_hops(gu, source=2).collect()}
+    rev = {r["id"]: r["dist"] for r in reverse_bfs_hops(gu, source=2).collect()}
+    assert fwd == rev
+
+
 def test_sssp_weighted(spark):
     g = from_edge_rows(
         spark, [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 1.0)]

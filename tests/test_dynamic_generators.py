@@ -14,6 +14,7 @@ from networkit_spark.sources.io import (
     read_dgs,
     read_edge_list_cover,
     write_cover,
+    write_dgs,
 )
 
 
@@ -119,6 +120,30 @@ def test_read_dgs_stream(spark, tmp_path):
     # prefix fold at t=0: just A-B
     g0 = dg.fold_events(spark, ev, up_to=0)
     assert canon_edges(g0) == {(0, 1), (1, 0)}
+
+
+def test_write_dgs_roundtrip(spark, tmp_path):
+    ev = spark.createDataFrame(
+        [
+            (0, "NODE_ADD", 0, None, None),
+            (0, "NODE_ADD", 1, None, None),
+            (0, "EDGE_ADD", 0, 1, 1.0),
+            (1, "NODE_ADD", 2, None, None),
+            (1, "EDGE_ADD", 1, 2, 1.0),
+            (1, "EDGE_WEIGHT_UPDATE", 0, 1, 3.0),
+            (2, "EDGE_REMOVE", 0, 1, None),
+            (2, "NODE_REMOVE", 0, None, None),
+        ],
+        "t long, etype string, u long, v long, w float",
+    )
+    p = tmp_path / "out.dgs"
+    write_dgs(ev, str(p))
+    lines = p.read_text().splitlines()
+    assert lines[0] == "DGS004"
+    assert lines.count("st") == 2
+    assert "ce 0-1 weight=3.0" in lines
+    back = read_dgs(spark, str(p))
+    assert [tuple(r) for r in back.collect()] == [tuple(r) for r in ev.collect()]
 
 
 def test_cover_roundtrip(spark, tmp_path):
