@@ -740,6 +740,27 @@ def q_quality_filter(spark, sf_dir):
     return textstats.quality_filter(_docs(spark, sf_dir))
 
 
+def q_pipeline_corpus(spark, sf_dir):
+    """The flagship end-to-end training-data pipeline: quality filter ->
+    exact dedup -> minhash-LSH canonical election -> eval-set
+    decontamination (docs with doc_id % 23 == 0 stand in for the held-out
+    benchmark) -> language-rebalanced stratified sample. Every stage is
+    individually gate-checked; this row checks the COMPOSITION value-exact
+    (functions/pipeline.py)."""
+    from networkit_spark.functions.pipeline import pretrain_corpus
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % L.PIPE_BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % L.PIPE_BENCH_MOD == 0)
+    return pretrain_corpus(
+        corpus,
+        bench,
+        strat_rates=L.STRAT_RATES,
+        strat_default_rate=L.STRAT_DEFAULT_RATE,
+        seed=L.STRAT_SEED,
+    )
+
+
 def q_source_profile(spark, sf_dir):
     """Per-source corpus profile (doc/token counts, language spread,
     repetition, quality-filter keep rate) — the aggregation behind
@@ -1520,6 +1541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_sample_stratified": q_stratified_sample,
     "text_quality_filter": q_quality_filter,
     "text_source_profile": q_source_profile,
+    "pipeline_pretrain_corpus": q_pipeline_corpus,
     "graph_umsf": q_graph_umsf,
     "community_hash_overlap": q_community_hash_overlap,
     # ---- block 2: registered in r2, judge-verified but never driver-checked
@@ -1792,6 +1814,7 @@ def build_oracles() -> dict[str, str]:
         "text_sample_stratified": L.sql_stratified_sample(),
         "text_quality_filter": L.sql_quality_filter(),
         "text_source_profile": L.sql_source_profile(),
+        "pipeline_pretrain_corpus": L.sql_pretrain_corpus(),
         "dedup_minhash_bands": L.sql_minhash_bands(16, 4),
         "dedup_canonical": L.sql_dedup_canonical(16, 4, 50, 4),
         "dedup_simhash": L.sql_simhash(32),

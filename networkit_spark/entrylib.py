@@ -4404,3 +4404,122 @@ SELECT source,
                        AND distinct_ratio >= {min_distinct_ratio}
                       THEN 1.0 ELSE 0.0 END), 6) AS keep_fraction
 FROM x GROUP BY source ORDER BY source"""
+
+
+PIPE_BENCH_MOD = 23
+
+
+def sql_pretrain_corpus(
+    min_tokens: int = 5,
+    max_dup_fraction: float = 0.3,
+    min_distinct_ratio: float = 0.3,
+    rep_n: int = 2,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 50,
+    cc_rounds: int = 4,
+    bench_mod: int = PIPE_BENCH_MOD,
+) -> str:
+    """The full pipeline_pretrain_corpus replay: quality filter -> exact
+    dedup -> minhash-LSH canonical election -> decontamination -> stratified
+    sample, as one CTE chain over the same stage SQL the individual gate
+    queries use (sql_quality_filter / sql_dedup_exact / sql_dedup_canonical
+    / sql_decontaminate / sql_stratified_sample)."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    grams_rep = _sql_grams_expr(rep_n)
+    grams_sh = _sql_grams_expr(shingle_n)
+    rows = num_hashes // bands
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_parts = []
+    for b in range(bands):
+        sig = ", ".join(f"h{b * rows + j}" for j in range(rows))
+        band_parts.append(
+            f"SELECT id, CAST({b} AS INT) AS band, "
+            f"md5(concat_ws('|', {sig})) AS bucket FROM mins"
+        )
+    label_ctes = []
+    for r in range(1, cc_rounds + 1):
+        label_ctes.append(
+            f"""nm{r} AS (
+    SELECT s.u AS id, MIN(l.canonical) AS nmin
+    FROM sym s JOIN l{r-1} l ON l.id = s.v GROUP BY s.u
+),
+l{r} AS (
+    SELECT l.id, LEAST(l.canonical, COALESCE(n.nmin, l.canonical)) AS canonical
+    FROM l{r-1} l LEFT JOIN nm{r} n ON n.id = l.id
+)"""
+        )
+    h = md5_long_sql(
+        f"('strat{STRAT_SEED}:' || CAST(d.lang AS STRING) || ':' "
+        f"|| CAST(d.doc_id AS STRING))"
+    )
+    rate_cases = " ".join(
+        f"WHEN '{s}' THEN {r!r}" for s, r in sorted(STRAT_RATES.items())
+    )
+    return f"""WITH {DOCS_CTE},
+qf AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT doc_id, toks, {grams_rep} AS grams,
+               CAST(len(list_distinct(toks)) AS DOUBLE)
+                   / greatest(len(toks), 1) AS dr
+        FROM docs_tok WHERE doc_id % {bench_mod} <> 0
+    )
+    WHERE len(toks) >= {min_tokens}
+      AND (CASE WHEN len(grams) = 0 THEN 0.0
+           ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+           END) <= {max_dup_fraction}
+      AND dr >= {min_distinct_ratio}
+),
+reps AS (
+    SELECT MIN(d.doc_id) AS doc_id
+    FROM documents d JOIN qf ON d.doc_id = qf.doc_id
+    GROUP BY md5(d.text)
+),
+sh AS MATERIALIZED (
+    SELECT t.doc_id AS id, unnest(list_distinct({grams_sh})) AS shingle
+    FROM docs_tok t JOIN reps r ON t.doc_id = r.doc_id
+),
+mins AS (SELECT id, {mins} FROM sh GROUP BY id),
+bandrows AS ({' UNION ALL '.join(band_parts)}),
+sized AS (SELECT id, band, bucket,
+          COUNT(*) OVER (PARTITION BY band, bucket) AS sz FROM bandrows),
+keptb AS (SELECT id, band, bucket FROM sized WHERE sz <= {max_bucket}),
+prs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM keptb a
+        JOIN keptb b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+sym AS (SELECT id_a AS u, id_b AS v FROM prs
+        UNION ALL SELECT id_b, id_a FROM prs),
+l0 AS (SELECT DISTINCT u AS id, u AS canonical FROM sym),
+{','.join(label_ctes)},
+k3 AS (
+    SELECT r.doc_id FROM reps r
+    WHERE r.doc_id NOT IN (
+        SELECT id FROM l{cc_rounds} WHERE id <> canonical
+    )
+),
+bench_sh AS (
+    SELECT DISTINCT unnest(list_distinct({grams_sh})) AS shingle
+    FROM docs_tok WHERE doc_id % {bench_mod} = 0
+),
+doc_sh AS (
+    SELECT t.doc_id, unnest(list_distinct({grams_sh})) AS shingle
+    FROM docs_tok t JOIN k3 k ON t.doc_id = k.doc_id
+),
+contaminated AS (
+    SELECT DISTINCT s.doc_id FROM doc_sh s JOIN bench_sh b ON s.shingle = b.shingle
+),
+k4 AS (
+    SELECT doc_id FROM k3
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT d.doc_id, d.lang, d.source, qf.n_tokens
+FROM documents d
+JOIN k4 ON d.doc_id = k4.doc_id
+JOIN qf ON d.doc_id = qf.doc_id
+WHERE ({h} % 1048576)
+      < (CASE lang {rate_cases} ELSE {STRAT_DEFAULT_RATE!r} END) * 1048576
+ORDER BY d.doc_id"""

@@ -103,3 +103,55 @@ def test_source_profile_hand_fixture(spark):
     assert got["b"]["n_docs"] == 1 and got["b"]["keep_fraction"] == 1.0
     assert got["b"]["mean_dup_fraction"] == 0.0
     assert got["a"]["n_tokens"] == 8 + 8
+
+
+def test_pretrain_corpus_stage_composition(spark):
+    """One doc per elimination reason, plus survivors: the composed pipeline
+    must drop exactly the right ids at the right stage."""
+    from networkit_spark.functions.pipeline import pretrain_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one two three", "xx", "sA"),      # survivor
+            (2, "tiny", "xx", "sA"),                        # quality: too short
+            (3, base + " one two three", "xx", "sB"),      # exact dup of 1
+            (4, "unrelated words entirely fresh content here okay", "xx", "sB"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "unrelated words entirely fresh content")],
+        "doc_id long, text string",
+    )
+    # no sampling: rates None keeps everything that survives filters
+    got = {
+        r["doc_id"]: r
+        for r in pretrain_corpus(docs, bench, min_tokens=5).collect()
+    }
+    # 2 fails quality; 3 is an exact duplicate of 1 (higher id loses);
+    # 4 shares 3-grams with the benchmark -> decontaminated away
+    assert sorted(got) == [1]
+    assert got[1]["lang"] == "xx" and got[1]["source"] == "sA"
+    assert got[1]["n_tokens"] == 11
+    # without a benchmark, doc 4 survives
+    got2 = {r["doc_id"] for r in pretrain_corpus(docs, None, min_tokens=5).collect()}
+    assert got2 == {1, 4}
+
+
+def test_pretrain_corpus_near_dup_election(spark):
+    """Two near-identical long docs must collapse to the smaller id via the
+    LSH canonical election (no exact-dup hash match between them)."""
+    from networkit_spark.functions.pipeline import pretrain_corpus
+
+    words = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (10, words + " tail one", "xx", "s"),
+            (11, words + " tail two", "xx", "s"),   # near-dup of 10
+            (12, " ".join(f"q{i}" for i in range(30)), "xx", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {r["doc_id"] for r in pretrain_corpus(docs, None).collect()}
+    assert got == {10, 12}
