@@ -740,6 +740,28 @@ def q_quality_filter(spark, sf_dir):
     return textstats.quality_filter(_docs(spark, sf_dir))
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrub over the corpus. The synthetic documents carry no PII, so
+    the gate row deterministically injects one email, one IPv4, and one
+    phone per doc (pure exprs, replayed identically in the oracle) — the
+    redaction counts and the redacted-text fingerprint then carry real
+    signal."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ping 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    return textstats.pii_redact(aug)
+
+
 def q_pipeline_corpus(spark, sf_dir):
     """The flagship end-to-end training-data pipeline: quality filter ->
     exact dedup -> minhash-LSH canonical election -> eval-set
@@ -1541,6 +1563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_sample_stratified": q_stratified_sample,
     "text_quality_filter": q_quality_filter,
     "text_source_profile": q_source_profile,
+    "text_pii_redact": q_pii_redact,
     "pipeline_pretrain_corpus": q_pipeline_corpus,
     "graph_umsf": q_graph_umsf,
     "community_hash_overlap": q_community_hash_overlap,
@@ -1814,6 +1837,7 @@ def build_oracles() -> dict[str, str]:
         "text_sample_stratified": L.sql_stratified_sample(),
         "text_quality_filter": L.sql_quality_filter(),
         "text_source_profile": L.sql_source_profile(),
+        "text_pii_redact": L.sql_pii_redact(),
         "pipeline_pretrain_corpus": L.sql_pretrain_corpus(),
         "dedup_minhash_bands": L.sql_minhash_bands(16, 4),
         "dedup_canonical": L.sql_dedup_canonical(16, 4, 50, 4),

@@ -4523,3 +4523,36 @@ JOIN qf ON d.doc_id = qf.doc_id
 WHERE ({h} % 1048576)
       < (CASE lang {rate_cases} ELSE {STRAT_DEFAULT_RATE!r} END) * 1048576
 ORDER BY d.doc_id"""
+
+
+def sql_pii_redact() -> str:
+    """Replay of q_pii_redact: identical deterministic PII injection, then
+    the same email -> IPv4 -> phone redaction order. The patterns live in
+    functions/textstats.py and are restricted to syntax with identical
+    semantics in Java regex and RE2."""
+    from networkit_spark.functions.textstats import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""WITH aug AS (
+    SELECT doc_id,
+           text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                || '@example.com ping 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555-01'
+                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+    FROM documents
+),
+r AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PII_IP_RE}', '<IP>', 'g') AS t2
+    FROM aug
+)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+FROM r ORDER BY doc_id"""

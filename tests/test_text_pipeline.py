@@ -155,3 +155,32 @@ def test_pretrain_corpus_near_dup_election(spark):
     )
     got = {r["doc_id"] for r in pretrain_corpus(docs, None).collect()}
     assert got == {10, 12}
+
+
+def test_pii_redact_hand_fixture(spark):
+    import hashlib
+
+    from networkit_spark.functions.textstats import pii_redact
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob.smith@corp.example.org now"),
+            (1, "server at 192.168.1.77 port open"),
+            (2, "call +1 (555) 010-4242 or 555 123 4567 today"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_redact(docs).collect()}
+    assert (got[0]["n_emails"], got[0]["n_ips"], got[0]["n_phones"]) == (1, 0, 0)
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (0, 1, 0)
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 0, 2)
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 0)
+    exp = {
+        0: "mail <EMAIL> now",
+        1: "server at <IP> port open",
+        2: "call <PHONE> or <PHONE> today",
+        3: "nothing sensitive here",
+    }
+    for i, s in exp.items():
+        assert got[i]["redacted_fp"] == hashlib.md5(s.encode()).hexdigest(), i
