@@ -1039,6 +1039,27 @@ def q_linkpred_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linkpred_indices_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the predictor family — NeighborhoodDistance,
+    AdjustedRand (reference set_union quirk reproduced), U/VDegree,
+    NeighborsMeasure (cn + 3-path count), SameCommunity over hash-min CC
+    labels — one candidate-set pass."""
+    from networkit_spark.operators.linkprediction import (
+        extended_link_prediction_scores,
+        same_community_index,
+    )
+
+    g, _ = L.events_graph(spark, sf_dir)
+    s = extended_link_prediction_scores(g, max_hinge_degree=LINKPRED_HINGE_CAP)
+    cc = connected_components(g, max_iterations=CC_ITERS).select("id", "label")
+    return same_community_index(s, cc).select(
+        "u", "v", "cn",
+        F.round("nd", 6).alias("nd"),
+        F.round("ari", 6).alias("ari"),
+        "u_deg", "v_deg", "nm", "sc",
+    )
+
+
 def q_graph_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.mis import maximal_independent_set
 
@@ -1554,6 +1575,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_biconnected": q_graph_biconnected,
     "linkpred_eval": q_linkpred_eval,
     "linkpred_katz": q_linkpred_katz,
+    "linkpred_indices_ext": q_linkpred_indices_ext,
     "graph_edge_score_utils": q_graph_edge_score_utils,
     "graph_prefix_jaccard": q_graph_prefix_jaccard,
     "centrality_electrical_closeness": q_centrality_electrical_closeness,
@@ -1763,6 +1785,9 @@ def build_oracles() -> dict[str, str]:
         ),
         "linkpred_katz": L.sql_linkpred_katz(
             LINKPRED_TEST_PM, LINKPRED_EVAL_CAP, KATZ_BETA_IDX
+        ),
+        "linkpred_indices_ext": L.sql_linkpred_ext(
+            LINKPRED_HINGE_CAP, CC_ITERS
         ),
         "graph_edge_score_utils": L.sql_edge_score_utils(),
         "graph_prefix_jaccard": L.sql_prefix_jaccard(),

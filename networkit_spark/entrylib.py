@@ -1569,6 +1569,82 @@ ORDER BY c.u, c.v"""
     )
 
 
+def sql_linkpred_ext(
+    max_hinge_degree: int | None = None, cc_iters: int = 12
+) -> str:
+    """The remaining predictor-family indices (matches
+    operators/linkprediction.py extended_link_prediction_scores +
+    same_community_index over hash-min CC labels): nd, ari (with the
+    reference's set_union quirk reproduced), u_deg/v_deg, nm (cn + 3-path
+    count), sc."""
+    hinge_cap = (
+        f"JOIN sdeg dh ON dh.id = uw.a AND dh.deg <= {max_hinge_degree}"
+        if max_hinge_degree is not None
+        else ""
+    )
+    a_cap = (
+        f"JOIN sdeg da ON da.id = ua.b AND da.deg <= {max_hinge_degree}"
+        if max_hinge_degree is not None
+        else ""
+    )
+    body = ", ".join(
+        _cc_ctes(cc_iters)
+        + [
+            f"""simple2 AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+und2 AS MATERIALIZED (SELECT a, b FROM simple2 UNION ALL SELECT b, a FROM simple2),
+sdeg AS (SELECT a AS id, count(*) AS deg FROM und2 GROUP BY a),
+wedges AS (
+    SELECT uw.b AS u, wv.b AS v
+    FROM und2 uw JOIN und2 wv ON uw.a = wv.a AND uw.b < wv.b
+    {hinge_cap}
+),
+cand AS MATERIALIZED (
+    SELECT o.u, o.v, o.cn FROM (
+        SELECT u, v, CAST(count(*) AS BIGINT) AS cn FROM wedges GROUP BY u, v
+    ) o
+    WHERE o.cn >= 1
+      AND NOT EXISTS (SELECT 1 FROM simple2 s WHERE s.a = o.u AND s.b = o.v)
+),
+paths AS (
+    SELECT c.u, c.v, CAST(count(*) AS BIGINT) AS p3
+    FROM cand c
+    JOIN und2 ua ON ua.a = c.u
+    {a_cap}
+    JOIN und2 ab ON ab.a = ua.b
+    JOIN und2 vb ON vb.a = c.v AND vb.b = ab.b
+    GROUP BY c.u, c.v
+),
+terms AS (
+    SELECT c.u, c.v, c.cn,
+           CAST(du.deg AS BIGINT) AS u_deg, CAST(dv.deg AS BIGINT) AS v_deg,
+           du.deg + dv.deg - c.cn AS un,
+           (SELECT count(*) FROM vertices) - (du.deg + dv.deg - c.cn) AS d,
+           COALESCE(p.p3, 0) AS p3
+    FROM cand c
+    JOIN sdeg du ON du.id = c.u
+    JOIN sdeg dv ON dv.id = c.v
+    LEFT JOIN paths p ON p.u = c.u AND p.v = c.v
+)
+SELECT t.u, t.v, t.cn,
+       ROUND(CAST(t.cn AS DOUBLE) / sqrt(t.u_deg * t.v_deg), 6) AS nd,
+       ROUND(CASE WHEN (t.cn + t.un) * (t.un + t.d) = 0 THEN 0.0
+                  ELSE (t.cn * t.d - t.un * t.un)
+                       / ((t.cn + t.un) * (t.un + t.d)) END, 6) AS ari,
+       t.u_deg, t.v_deg,
+       CAST(t.cn + t.p3 AS BIGINT) AS nm,
+       CAST(CASE WHEN lu.label = lv.label THEN 1 ELSE 0 END AS INTEGER) AS sc
+FROM terms t
+JOIN cc{cc_iters} lu ON lu.id = t.u
+JOIN cc{cc_iters} lv ON lv.id = t.v
+ORDER BY t.u, t.v"""
+        ]
+    )
+    return _with_graph(body)
+
+
 # ---- sparsification edge scores (sparsification/*.cpp) ---------------------
 
 def sql_sparsify_scores(seed: int = 42, max_rank: int = 10) -> str:

@@ -69,3 +69,111 @@ def test_topk_deterministic(spark):
     g = from_edge_rows(spark, EDGES)
     top = top_predicted_links(g, k=2, by="cn").collect()
     assert [(r["u"], r["v"]) for r in top] == [(0, 2), (1, 3)]
+
+
+# ---- extended predictor family (round 3) -----------------------------------
+
+def test_extended_indices_referee(spark):
+    """nd / ari / u_deg / v_deg / nm vs hand-computed reference semantics
+    (NeighborhoodDistanceIndex.hpp, AdjustedRandIndex.cpp with its
+    set_union quirk, UDegreeIndex.hpp, VDegreeIndex.hpp,
+    NeighborsMeasureIndex.hpp)."""
+    import math
+
+    from networkit_spark.operators.linkprediction import (
+        extended_link_prediction_scores,
+    )
+
+    g = from_edge_rows(spark, EDGES)  # n=5
+    rows = {
+        (r["u"], r["v"]): r
+        for r in extended_link_prediction_scores(g).collect()
+    }
+    assert set(rows) == {(0, 2), (1, 3), (0, 4), (2, 4)}
+    r02 = rows[(0, 2)]
+    assert r02["cn"] == 2 and r02["u_deg"] == 2 and r02["v_deg"] == 2
+    assert r02["nd"] == pytest.approx(2 / math.sqrt(4))
+    # a=2, un=2, d=3: (2*3 - 4) / ((2+2)*(2+3)) = 0.1
+    assert r02["ari"] == pytest.approx(0.1)
+    assert r02["nm"] == 2  # two common neighbors, no 3-path closures
+    r13 = rows[(1, 3)]
+    assert r13["nd"] == pytest.approx(2 / math.sqrt(6))
+    assert r13["ari"] == pytest.approx(-0.2)  # (2*2-9)/((2+3)*(3+2))
+    assert r13["nm"] == 2
+    r04 = rows[(0, 4)]
+    assert r04["u_deg"] == 2 and r04["v_deg"] == 1
+    assert r04["ari"] == pytest.approx(-1 / 15)
+    assert r04["nm"] == 1
+
+
+def test_neighbors_measure_counts_3paths(spark):
+    """4-cycle + chord: candidate (0,2) has both common neighbors adjacent
+    to each other, so nm counts each ordered (a,b) edge pair on top of cn."""
+    from networkit_spark.operators.linkprediction import (
+        extended_link_prediction_scores,
+    )
+
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)])
+    rows = {
+        (r["u"], r["v"]): r
+        for r in extended_link_prediction_scores(g).collect()
+    }
+    r02 = rows[(0, 2)]
+    assert r02["cn"] == 2
+    assert r02["nm"] == 4  # cn + ordered pairs (1,3),(3,1)
+    assert r02["nd"] == pytest.approx(1.0)
+    assert r02["ari"] == pytest.approx(0.0)  # a=2, un=2, d=2
+
+
+def test_same_community_index(spark):
+    from networkit_spark.operators.linkprediction import same_community_index
+
+    pairs = spark.createDataFrame([(0, 2), (0, 4)], "u long, v long")
+    labels = spark.createDataFrame(
+        [(0, 7), (2, 7), (4, 9)], "id long, label long"
+    )
+    out = {(r["u"], r["v"]): r["sc"] for r in same_community_index(pairs, labels).collect()}
+    assert out == {(0, 2): 1, (0, 4): 0}
+
+
+def test_algebraic_distance_index_matches_edge_scores(spark):
+    """On pairs that are edges, the pair-table index equals the edge-score
+    variant (same loads, same norm)."""
+    from networkit_spark.operators.algebraic import algebraic_distance_edge_scores
+    from networkit_spark.operators.linkprediction import algebraic_distance_index
+    from pyspark.sql import functions as F
+
+    g = from_edge_rows(spark, EDGES)
+    ref = {
+        (r["src"], r["dst"]): r["ad"]
+        for r in algebraic_distance_edge_scores(g, 3, 4, 0.5, 2, 7).collect()
+    }
+    pairs = spark.createDataFrame(sorted(ref), "u long, v long")
+    got = {
+        (r["u"], r["v"]): r["adi"]
+        for r in algebraic_distance_index(g, pairs, 3, 4, 0.5, 2, 7).collect()
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-12)
+
+
+def test_link_thresholders(spark):
+    from networkit_spark.operators.linkprediction import (
+        threshold_links_by_count,
+        threshold_links_by_percentage,
+        threshold_links_by_score,
+    )
+
+    g = from_edge_rows(spark, EDGES)
+    pred = link_prediction_scores(g)  # cn: (0,2)=2 (1,3)=2 (0,4)=1 (2,4)=1
+    by_score = [(r["u"], r["v"]) for r in threshold_links_by_score(pred, "cn", 2).collect()]
+    assert by_score == [(0, 2), (1, 3)]
+    by_count = [(r["u"], r["v"]) for r in threshold_links_by_count(pred, "cn", 3).collect()]
+    assert by_count == [(0, 2), (0, 4), (1, 3)]  # top-3 ranked, pair-ascending
+    by_pct = [(r["u"], r["v"]) for r in threshold_links_by_percentage(pred, "cn", 0.5).collect()]
+    assert by_pct == [(0, 2), (1, 3)]
+    with pytest.raises(ValueError):
+        threshold_links_by_count(pred, "cn", 99)
+    with pytest.raises(ValueError):
+        threshold_links_by_percentage(pred, "cn", 1.5)
