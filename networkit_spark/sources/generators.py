@@ -1050,3 +1050,21 @@ def regular_ring_lattice(spark: SparkSession, n: int, k: int) -> Graph:
     )
     vertices = spark.range(n).select(F.col("id").cast("long"))
     return Graph(vertices, sym, directed=False, weighted=False)
+
+
+def edge_switching_markov_chain(
+    spark: SparkSession, sequence: list[int], rounds: int = 10, seed: int = 42
+):
+    """EdgeSwitchingMarkovChainGenerator (generators/
+    EdgeSwitchingMarkovChainGenerator.cpp:13-19): realize the exact degree
+    sequence with Havel-Hakimi, then randomize with degree-preserving edge
+    switching — the standard uniform-ish sampler over graphs with a fixed
+    degree sequence.  Strict mode only (non-graphical sequences raise,
+    the reference's ignoreIfNotRealizable=false path); the switching phase
+    is the superstep-native hash-derandomized EdgeSwitching
+    (operators/randomization.py), so the generator inherits its exact
+    degree-preservation guarantee."""
+    from networkit_spark.operators.randomization import edge_switching
+
+    g = havel_hakimi(spark, sequence)
+    return edge_switching(g, rounds=rounds, seed=seed)

@@ -618,3 +618,172 @@ def write_gexf(graph: Graph, path: str) -> None:
                 f' weight="{r["weight"]}"/>\n'
             )
         f.write("    </edges>\n  </graph>\n</gexf>\n")
+
+
+# ---- partition / cover IO breadth (io/*Partition*.cpp) ----------------------
+
+
+def read_text_partition(spark: SparkSession, path: str) -> DataFrame:
+    """PartitionReader (io/PartitionReader.cpp:8-31): one label per line,
+    node id == line index, '*'/'#' comment lines skipped.  Line number
+    carries meaning, so fixture-scale (zipWithIndex) like read_metis."""
+    lines = (
+        spark.sparkContext.textFile(path, minPartitions=1)
+        .filter(lambda s: not (s.startswith("*") or s.startswith("#")))
+        .zipWithIndex()
+        .map(lambda t: (t[1], int(t[0])))
+    )
+    return spark.createDataFrame(lines, "id long, label long")
+
+
+def write_text_partition(labels: DataFrame, path: str) -> None:
+    """PartitionWriter analogue of read_text_partition: one label per line
+    in node-id order 0..n-1.  Fixture-scale (driver collect)."""
+    rows = labels.select("id", "label").orderBy("id").collect()
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(f"{r['label']}\n")
+
+
+def read_edge_list_partition(
+    spark: SparkSession, path: str, first_node: int = 1, sep: str = " "
+) -> DataFrame:
+    """EdgeListPartitionReader (io/EdgeListPartitionReader.cpp:12-35):
+    ``<node><sep><label>`` per line, '#'-prefixed lines skipped, node ids
+    shifted down by ``firstNode``.  Line order carries no meaning here, so
+    this one is fully distributed (plain text scan)."""
+    txt = spark.read.text(path).filter(
+        ~F.col("value").startswith("#") & (F.trim("value") != "")
+    )
+    parts = F.split(F.col("value"), sep)
+    return txt.select(
+        (parts.getItem(0).cast("long") - first_node).alias("id"),
+        parts.getItem(1).cast("long").alias("label"),
+    )
+
+
+def _check_binary_width(width: int) -> None:
+    if width not in (4, 8):
+        raise ValueError("width must be 4 or 8")
+
+
+def write_binary_partition(labels: DataFrame, path: str, width: int = 8) -> None:
+    """BinaryPartitionWriter (io/BinaryPartitionWriter.cpp:14-31): the
+    label of node i as a little-endian ``width``-byte unsigned int, nodes
+    in id order 0..n-1, no header.  Width-4 overflow raises like the
+    reference.  Fixture-scale (driver collect) like the METIS writer."""
+    import numpy as np
+
+    _check_binary_width(width)
+    rows = labels.select("id", "label").orderBy("id").collect()
+    vals = [int(r["label"]) for r in rows]
+    if width == 4 and vals and max(vals) > 0xFFFFFFFF:
+        raise ValueError("partition upper bound does not fit in width 4")
+    arr = np.array(vals, dtype="<u4" if width == 4 else "<u8")
+    arr.tofile(path)
+
+
+def read_binary_partition(
+    spark: SparkSession, path: str, width: int = 8
+) -> DataFrame:
+    """BinaryPartitionReader (io/BinaryPartitionReader.cpp): inverse of
+    write_binary_partition; node id == record index."""
+    import numpy as np
+
+    _check_binary_width(width)
+    arr = np.fromfile(path, dtype="<u4" if width == 4 else "<u8")
+    return spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(arr)], "id long, label long"
+    )
+
+
+def write_binary_edge_list_partition(
+    labels: DataFrame, path: str, first_node: int = 0, width: int = 8
+) -> None:
+    """BinaryEdgeListPartitionWriter (io/BinaryEdgeListPartitionWriter.cpp:
+    13-33): (node + firstNode, label) little-endian pairs, ``width`` bytes
+    each, in node-id order.  Fixture-scale (driver collect)."""
+    import numpy as np
+
+    _check_binary_width(width)
+    rows = labels.select("id", "label").orderBy("id").collect()
+    flat = []
+    for r in rows:
+        flat.append(int(r["id"]) + first_node)
+        flat.append(int(r["label"]))
+    if width == 4 and flat and max(flat) > 0xFFFFFFFF:
+        raise ValueError("ids/labels do not fit in width 4")
+    np.array(flat, dtype="<u4" if width == 4 else "<u8").tofile(path)
+
+
+def read_binary_edge_list_partition(
+    spark: SparkSession, path: str, first_node: int = 0, width: int = 8
+) -> DataFrame:
+    """BinaryEdgeListPartitionReader (io/BinaryEdgeListPartitionReader.cpp:
+    17-75): stream of little-endian (node, label) pairs; node ids shifted
+    down by ``firstNode``."""
+    import numpy as np
+
+    _check_binary_width(width)
+    arr = np.fromfile(path, dtype="<u4" if width == 4 else "<u8")
+    if len(arr) % 2 != 0:
+        raise ValueError("odd number of records in edge-list partition file")
+    pairs = [
+        (int(arr[i]) - first_node, int(arr[i + 1]))
+        for i in range(0, len(arr), 2)
+    ]
+    return spark.createDataFrame(pairs, "id long, label long")
+
+
+def read_snap_cover(
+    spark: SparkSession, path: str, id_map: DataFrame | None = None
+) -> DataFrame:
+    """SNAPEdgeListPartitionReader (io/SNAPEdgeListPartitionReader.cpp:
+    17-90): SNAP ``cmty`` files — one community per non-comment line,
+    whitespace-separated ORIGINAL node ids; '#' comments.  The reference
+    remaps through the caller's node-id map; pass ``id_map`` (orig, id) to
+    land on dense engine ids, else raw ids pass through.  Line number is
+    the subset id (fixture-scale zipWithIndex, like read_cover)."""
+    cov = read_cover(spark, path)
+    if id_map is None:
+        return cov
+    return (
+        cov.withColumnRenamed("id", "orig")
+        .join(id_map.select(F.col("orig"), F.col("id")), "orig")
+        .select("id", "label")
+    )
+
+
+def write_dot_partition(graph: Graph, labels: DataFrame, path: str) -> None:
+    """DotPartitionWriter (io/DotPartitionWriter.cpp:8-52): undirected DOT
+    with per-cluster HSV hues — non-isolated nodes get
+    ``u [style=filled, color="h,0.99,0.99", label=c];`` where h = (rank of
+    cluster among sorted cluster ids of non-isolated nodes) / #clusters,
+    then ``u -- v;`` edge lines.  Hues rendered %g like C++ ostream.
+    Fixture-scale (driver collect) like write_dot."""
+    deg = (
+        graph.edges.select(F.col("src").alias("id"))
+        .unionByName(graph.edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nodes = (
+        deg.join(labels, "id").select("id", "label").orderBy("id").collect()
+    )
+    uniq = sorted({r["label"] for r in nodes})
+    factor = 1.0 / len(uniq) if uniq else 0.0
+    hue = {c: factor * i for i, c in enumerate(uniq)}
+    e = graph.edges if graph.directed else graph.edges.filter(
+        F.col("src") <= F.col("dst")
+    )
+    erows = e.select("src", "dst").collect()
+    with open(path, "w") as f:
+        f.write("graph {\n")
+        for r in nodes:
+            h = hue[r["label"]]
+            f.write(
+                f'{r["id"]} [style=filled, color="{h:.6g},0.99,0.99", '
+                f'label={r["label"]}];\n'
+            )
+        for r in erows:
+            f.write(f"{r['src']} -- {r['dst']};\n")
+        f.write("}\n")

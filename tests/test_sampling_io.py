@@ -190,3 +190,149 @@ def test_dot_writer(spark, tmp_path):
     pd = tmp_path / "d.dot"
     write_dot(gd, str(pd))
     assert "digraph" in pd.read_text() and "0 -> 1;" in pd.read_text()
+
+
+# ---- partition / cover IO breadth (round 3) ---------------------------------
+
+def _labels_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id long, label long")
+
+
+def test_text_partition_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io import read_text_partition, write_text_partition
+
+    path = str(tmp_path / "p.ptn")
+    labels = _labels_df(spark, [(0, 2), (1, 2), (2, 0), (3, 1)])
+    write_text_partition(labels, path)
+    assert open(path).read() == "2\n2\n0\n1\n"
+    back = {r["id"]: r["label"] for r in read_text_partition(spark, path).collect()}
+    assert back == {0: 2, 1: 2, 2: 0, 3: 1}
+
+
+def test_text_partition_reader_skips_comments(spark, tmp_path):
+    from networkit_spark.sources.io import read_text_partition
+
+    path = str(tmp_path / "c.ptn")
+    with open(path, "w") as f:
+        f.write("# header\n5\n*vertices\n7\n")
+    back = {r["id"]: r["label"] for r in read_text_partition(spark, path).collect()}
+    assert back == {0: 5, 1: 7}
+
+
+def test_edge_list_partition_reader(spark, tmp_path):
+    from networkit_spark.sources.io import read_edge_list_partition
+
+    path = str(tmp_path / "elp.ptn")
+    with open(path, "w") as f:
+        f.write("# comment\n1 4\n2 4\n3 9\n")
+    back = {
+        r["id"]: r["label"]
+        for r in read_edge_list_partition(spark, path, first_node=1).collect()
+    }
+    assert back == {0: 4, 1: 4, 2: 9}
+
+
+def test_binary_partition_roundtrip_both_widths(spark, tmp_path):
+    from networkit_spark.sources.io import (
+        read_binary_partition,
+        write_binary_partition,
+    )
+
+    labels = _labels_df(spark, [(0, 3), (1, 0), (2, 2 ** 33)])
+    p8 = str(tmp_path / "p8.bin")
+    write_binary_partition(labels, p8, width=8)
+    assert open(p8, "rb").read()[:8] == (3).to_bytes(8, "little")
+    back = {
+        r["id"]: r["label"] for r in read_binary_partition(spark, p8, 8).collect()
+    }
+    assert back == {0: 3, 1: 0, 2: 2 ** 33}
+    # width 4 overflows like the reference
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_binary_partition(labels, str(tmp_path / "p4.bin"), width=4)
+    small = _labels_df(spark, [(0, 1), (1, 2)])
+    p4 = str(tmp_path / "ok4.bin")
+    write_binary_partition(small, p4, width=4)
+    back4 = {
+        r["id"]: r["label"] for r in read_binary_partition(spark, p4, 4).collect()
+    }
+    assert back4 == {0: 1, 1: 2}
+
+
+def test_binary_edge_list_partition_roundtrip(spark, tmp_path):
+    from networkit_spark.sources.io import (
+        read_binary_edge_list_partition,
+        write_binary_edge_list_partition,
+    )
+
+    labels = _labels_df(spark, [(0, 5), (1, 5), (2, 1)])
+    path = str(tmp_path / "belp.bin")
+    write_binary_edge_list_partition(labels, path, first_node=1, width=4)
+    raw = open(path, "rb").read()
+    assert raw[:4] == (1).to_bytes(4, "little")  # id 0 + firstNode 1
+    assert raw[4:8] == (5).to_bytes(4, "little")
+    back = {
+        r["id"]: r["label"]
+        for r in read_binary_edge_list_partition(
+            spark, path, first_node=1, width=4
+        ).collect()
+    }
+    assert back == {0: 5, 1: 5, 2: 1}
+
+
+def test_snap_cover_reader_with_id_map(spark, tmp_path):
+    from networkit_spark.sources.io import read_snap_cover
+
+    path = str(tmp_path / "cmty.txt")
+    with open(path, "w") as f:
+        f.write("# SNAP communities\n101 103\n103 105\n")
+    raw = read_snap_cover(spark, path)
+    assert {(r["id"], r["label"]) for r in raw.collect()} == {
+        (101, 0), (103, 0), (103, 1), (105, 1),
+    }
+    id_map = spark.createDataFrame(
+        [(101, 0), (103, 1), (105, 2)], "orig long, id long"
+    )
+    mapped = read_snap_cover(spark, path, id_map)
+    assert {(r["id"], r["label"]) for r in mapped.collect()} == {
+        (0, 0), (1, 0), (1, 1), (2, 1),
+    }
+
+
+def test_dot_partition_writer(spark, tmp_path):
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.sources.io import write_dot_partition
+
+    # nodes 0-3 in a path, node 4 isolated (must be omitted like the ref)
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (2, 3)], num_nodes=5)
+    labels = _labels_df(spark, [(0, 7), (1, 7), (2, 9), (3, 9), (4, 9)])
+    path = str(tmp_path / "p.dot")
+    write_dot_partition(g, labels, path)
+    txt = open(path).read()
+    assert txt.startswith("graph {\n") and txt.endswith("}\n")
+    assert '0 [style=filled, color="0,0.99,0.99", label=7];' in txt
+    assert '2 [style=filled, color="0.5,0.99,0.99", label=9];' in txt
+    assert "4 [" not in txt  # isolated node skipped
+    assert "0 -- 1;" in txt and "2 -- 3;" in txt
+
+
+def test_edge_switching_markov_chain_generator(spark):
+    from networkit_spark.sources.generators import edge_switching_markov_chain
+
+    seq = [3, 3, 2, 2, 2, 2]
+    g = edge_switching_markov_chain(spark, seq, rounds=6, seed=11)
+    degs = {
+        r["id"]: r["degree"] for r in g.degrees().select("id", "degree").collect()
+    }
+    assert [degs[i] for i in range(6)] == seq  # exact sequence preserved
+    # simple graph: no self loops, no duplicate edges
+    e = g.edges.filter("src < dst")
+    assert e.count() == sum(seq) // 2
+    assert e.distinct().count() == e.count()
+    assert g.edges.filter("src = dst").count() == 0
+    # deterministic in the seed
+    g2 = edge_switching_markov_chain(spark, seq, rounds=6, seed=11)
+    assert {tuple(r) for r in g.edges.collect()} == {
+        tuple(r) for r in g2.edges.collect()
+    }

@@ -453,3 +453,38 @@ def test_affected_nodes_exact_set(spark):
     add = spark.createDataFrame([(0, 4, 1.0)], "src long, dst long, weight double")
     got = sorted(r["id"] for r in affected_nodes(g, add).collect())
     assert got == [0, 1, 3, 4]
+
+
+def test_incremental_weakly_cc_on_directed_events(spark):
+    """DynWeaklyConnectedComponents role (components/
+    DynWeaklyConnectedComponents.cpp): weakly-CC maintenance on a DIRECTED
+    graph under edge additions — update_components_incremental symmetrizes
+    internally, so the directed case is the same superstep with the event
+    endpoints as the frontier.  Checked against a from-scratch recompute."""
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.streaming.graph_events import (
+        apply_events,
+        update_components_incremental,
+    )
+
+    # directed: 0->1, 2->3, 4->5 (three weak components)
+    g = from_edge_rows(spark, [(0, 1), (2, 3), (4, 5)], directed=True)
+    labels0 = connected_components(g).select("id", "label")
+    ev = spark.createDataFrame(
+        [("EDGE_ADD", 3, 0, 1.0)], EVENT_SCHEMA
+    )
+    g2 = apply_events(g, ev)
+    assert g2.directed
+    added = ev.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    got = {
+        r["id"]: r["label"]
+        for r in update_components_incremental(g2, labels0, added).collect()
+    }
+    fresh = {
+        r["id"]: r["label"] for r in connected_components(g2).collect()
+    }
+    assert got == fresh
+    # 0,1,2,3 merged weakly; 4,5 untouched
+    assert len({got[i] for i in (0, 1, 2, 3)}) == 1
+    assert got[4] == got[5] != got[0]
