@@ -1039,6 +1039,28 @@ def q_linkpred_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_score_linearize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EdgeScoreLinearizer over the triangle edge scores: rank/(m-1) under
+    (score, md5 tiebreak), plus the inverse ordering."""
+    from networkit_spark.operators.edgescores import edge_score_linearizer
+
+    sc = _triangle_score_table(spark, sf_dir)
+    fwd = edge_score_linearizer(sc, inverse=False)
+    inv = edge_score_linearizer(sc, inverse=True).withColumnRenamed(
+        "lin_score", "lin_inv"
+    )
+    return (
+        sc.join(fwd, ["u", "v"]).join(inv, ["u", "v"])
+        .select(
+            "u",
+            "v",
+            F.col("score").cast("bigint").alias("raw"),
+            F.round("lin_score", 6).alias("lin_score"),
+            F.round("lin_inv", 6).alias("lin_inv"),
+        )
+    )
+
+
 def q_linkpred_indices_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rest of the predictor family — NeighborhoodDistance,
     AdjustedRand (reference set_union quirk reproduced), U/VDegree,
@@ -1580,6 +1602,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_prefix_jaccard": q_graph_prefix_jaccard,
     "centrality_electrical_closeness": q_centrality_electrical_closeness,
     "graph_quadrangles": q_graph_quadrangles,
+    "graph_score_linearize": q_graph_score_linearize,
     "text_ngram_repetition": q_ngram_repetition,
     "text_decontaminate": q_decontaminate,
     "text_sample_stratified": q_stratified_sample,
@@ -1791,6 +1814,7 @@ def build_oracles() -> dict[str, str]:
         ),
         "graph_edge_score_utils": L.sql_edge_score_utils(),
         "graph_prefix_jaccard": L.sql_prefix_jaccard(),
+        "graph_score_linearize": L.sql_score_linearize(42),
         "centrality_electrical_closeness": L.sql_electrical_closeness(4, 30, 0.5),
         "graph_effective_diameter": L.sql_effective_diameter(APSP_ITERS, 0.9),
         "centrality_top_closeness": L.sql_top_closeness(APSP_ITERS, 10),

@@ -2070,6 +2070,32 @@ FROM tsc e LEFT JOIN best b ON b.u = e.u AND b.v = e.v
 ORDER BY e.u, e.v""")
 
 
+def sql_score_linearize(seed: int = 42) -> str:
+    """EdgeScoreLinearizer over the triangle edge scores: rank/(m-1) under
+    (score, md5(seed:lin:u:v) tiebreak, u, v) ascending, and the same with
+    score/tiebreak descending for the inverse ordering — the exact total
+    order the Spark operator feeds to global_cumsum."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    tb = md5_long_sql(
+        f"('{seed}:lin:' || CAST(u AS STRING) || ':' || CAST(v AS STRING))"
+    )
+    return _with_graph(f"""{_triangle_score_cte()},
+tbx AS (SELECT u, v, score, {tb} AS tb FROM tsc),
+mm AS (SELECT count(*) AS m FROM tbx),
+rk AS (
+    SELECT u, v, score,
+           row_number() OVER (ORDER BY score, tb, u, v) - 1 AS rf,
+           row_number() OVER (ORDER BY score DESC, tb DESC, u, v) - 1 AS ri
+    FROM tbx
+)
+SELECT rk.u, rk.v, CAST(rk.score AS BIGINT) AS raw,
+       ROUND(CAST(rf AS DOUBLE) / (mm.m - 1), 6) AS lin_score,
+       ROUND(CAST(ri AS DOUBLE) / (mm.m - 1), 6) AS lin_inv
+FROM rk CROSS JOIN mm
+ORDER BY rk.u, rk.v""")
+
+
 def sql_biconnected_summary() -> str:
     """Per-node block count from first principles (no Tarjan-Vishkin, no
     DFS): the biconnected blocks containing v biject with the connected

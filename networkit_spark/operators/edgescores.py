@@ -245,3 +245,44 @@ def quadrangle_edge_score(graph: Graph) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("quadrangles"))
     )
+
+
+def edge_score_linearizer(
+    scores: DataFrame, inverse: bool = False, seed: int = 42
+) -> DataFrame:
+    """(u, v, score) -> (u, v, lin_score): rank position / (m-1) under the
+    total order (score, tiebreak) — ascending, or descending when
+    ``inverse`` — i.e. EdgeScoreLinearizer.cpp:21-56.  m == 1 degenerates
+    to 0.5 like the reference's special case.
+
+    Documented deviation: the reference breaks score ties with
+    Aux::Random::integer() (a fresh random per run); here the tiebreak is
+    the md5 hash of (seed, u, v) — same uniform-tie role, deterministic
+    and cluster-reproducible like every other derandomized draw in this
+    engine.  The rank is computed with the range-partition + offset
+    pattern (functions/ordering.py), never a single-task global window."""
+    from networkit_spark.functions.hashing import md5_long_sql
+    from networkit_spark.functions.ordering import global_cumsum
+
+    m = scores.count()
+    if m == 1:
+        return scores.select("u", "v", F.lit(0.5).alias("lin_score"))
+    tb = F.expr(
+        md5_long_sql(
+            f"('{seed}:lin:' || CAST(u AS STRING) || ':' || CAST(v AS STRING))"
+        )
+    )
+    sign = -1.0 if inverse else 1.0
+    base = (
+        scores.withColumn("_s", F.col("score") * F.lit(sign))
+        .withColumn("_t", tb * F.lit(sign))
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = global_cumsum(base, ["_s", "_t", "u", "v"], ["_one"])
+    return ranked.select(
+        "u",
+        "v",
+        ((F.col("cum__one") - 1).cast("double") / F.lit(float(m - 1))).alias(
+            "lin_score"
+        ),
+    )

@@ -149,3 +149,37 @@ def test_quadrangle_score_simple_fixture(spark):
         (0, 1): 2, (0, 3): 2, (0, 4): 1, (0, 6): 1, (1, 2): 1,
         (1, 3): 1, (2, 3): 1, (3, 5): 1, (3, 6): 1, (4, 5): 1,
     }
+
+
+def _md5_tb(u, v, seed=42, n=12):
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:lin:{u}:{v}".encode()).hexdigest()[:n], 16)
+
+
+def test_linearizer_matches_referee(spark):
+    from networkit_spark.operators.edgescores import edge_score_linearizer
+
+    # duplicate scores guaranteed (18 edges, 8 distinct weights) so the
+    # md5 tiebreak path is exercised, both orderings
+    rows = _rand_scores(7)
+    df = _scores_df(spark, rows)
+    m = len(rows)
+    fwd = {(r["u"], r["v"]): r["lin_score"]
+           for r in edge_score_linearizer(df).collect()}
+    order = sorted(rows, key=lambda t: (t[2], _md5_tb(t[0], t[1]), t[0], t[1]))
+    for i, (u, v, _w) in enumerate(order):
+        assert abs(fwd[(u, v)] - i / (m - 1)) < 1e-12
+    inv = {(r["u"], r["v"]): r["lin_score"]
+           for r in edge_score_linearizer(df, inverse=True).collect()}
+    order = sorted(rows, key=lambda t: (-t[2], -_md5_tb(t[0], t[1]), t[0], t[1]))
+    for i, (u, v, _w) in enumerate(order):
+        assert abs(inv[(u, v)] - i / (m - 1)) < 1e-12
+
+
+def test_linearizer_single_edge(spark):
+    from networkit_spark.operators.edgescores import edge_score_linearizer
+
+    # EdgeScoreLinearizer m==1 special case -> 0.5
+    df = _scores_df(spark, [(0, 1, 3.0)])
+    assert edge_score_linearizer(df).collect()[0]["lin_score"] == 0.5
