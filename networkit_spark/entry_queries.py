@@ -616,6 +616,44 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_community_clustering_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphClusteringTools over the LP partition: the compacted
+    communication graph (cut weights between clusters) widened with the
+    scalar utilities — imbalance, proper/one/singleton predicates, and
+    edge-level equality vs the CC partition
+    (community/GraphClusteringTools.cpp:10-116)."""
+    from networkit_spark.operators.clustering_tools import (
+        communication_graph,
+        equal_clusterings,
+        imbalance,
+        is_one_clustering,
+        is_proper_clustering,
+        is_singleton_clustering,
+    )
+
+    g, _ = L.events_graph(spark, sf_dir)
+    # 1 sweep keeps several clusters per component, so the communication
+    # graph is non-trivial (fully-converged LP == components -> no cut edges)
+    lp = label_propagation(g, theta=-1, max_iterations=1)
+    cc = connected_components(g, max_iterations=CC_ITERS)
+    scal = spark.createDataFrame(
+        [(
+            round(imbalance(lp), 6) + 0.0,
+            is_proper_clustering(g, lp),
+            is_one_clustering(g, lp),
+            is_singleton_clustering(g, lp),
+            equal_clusterings(lp, cc, g),
+        )],
+        "imbalance double, is_proper boolean, is_one boolean,"
+        " is_singleton boolean, equals_cc boolean",
+    )
+    return (
+        communication_graph(g, lp)
+        .select("src", "dst", F.round("weight", 6).alias("weight"))
+        .crossJoin(scal)
+    )
+
+
 def q_community_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.labelprop import stable_partition_fraction
 
@@ -1612,6 +1650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_pretrain_corpus": q_pipeline_corpus,
     "graph_umsf": q_graph_umsf,
     "community_hash_overlap": q_community_hash_overlap,
+    "community_clustering_tools": q_community_clustering_tools,
     # ---- block 2: registered in r2, judge-verified but never driver-checked
     "community_conductance": q_community_conductance,
     "community_stability": q_community_stability,
@@ -1829,6 +1868,7 @@ def build_oracles() -> dict[str, str]:
         "graph_msf": L.sql_msf(),
         "graph_umsf": L.sql_umsf(),
         "community_hash_overlap": L.sql_hash_overlap(LP_ITERS, CC_ITERS),
+        "community_clustering_tools": L.sql_clustering_tools(1, CC_ITERS),
         "graph_maxflow": L.sql_maxflow(MAXFLOW_K, MAXFLOW_S, MAXFLOW_T),
         "graph_diff": L.sql_graph_diff(),
         "graph_randomize_invariants": L.sql_degree_histogram(),

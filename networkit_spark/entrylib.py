@@ -4385,6 +4385,56 @@ ORDER BY o.id"""
     return _with_graph(body)
 
 
+def sql_clustering_tools(lp_iters: int, cc_iters: int) -> str:
+    """GraphClusteringTools.cpp:10-116 over the LP partition: compacted
+    communication graph (dense cids ascending by label, Partition::compact
+    order) cross-joined with the scalar utilities — imbalance
+    (max size / ceil(n/k)), proper/one/singleton predicates, and
+    edge-level equality vs the CC partition."""
+    lp, cc = f"lp{lp_iters}", f"cc{cc_iters}"
+    body = f"""{', '.join(_lp_ctes(lp_iters))},
+{', '.join(_cc_ctes(cc_iters))},
+cdict AS MATERIALIZED (
+    SELECT label, CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS cid
+    FROM (SELECT DISTINCT label FROM {lp})
+),
+comm AS (
+    SELECT least(ca.cid, cb.cid) AS src, greatest(ca.cid, cb.cid) AS dst,
+           SUM(e.weight) AS weight
+    FROM edges e
+    JOIN {lp} la ON la.id = e.src
+    JOIN {lp} lb ON lb.id = e.dst
+    JOIN cdict ca ON ca.label = la.label
+    JOIN cdict cb ON cb.label = lb.label
+    WHERE e.src < e.dst AND la.label <> lb.label
+    GROUP BY 1, 2
+),
+scal AS (
+    SELECT
+        ROUND(
+            (SELECT CAST(MAX(sz) AS DOUBLE) FROM
+                (SELECT count(*) AS sz FROM {lp} GROUP BY label))
+            / (SELECT CEIL(CAST(count(*) AS DOUBLE)
+                           / (SELECT count(DISTINCT label) FROM {lp}))
+               FROM {lp}), 6) + 0.0 AS imbalance,
+        (SELECT count(*) FROM vertices v JOIN {lp} l ON l.id = v.id
+         WHERE l.label IS NOT NULL)
+            = (SELECT count(*) FROM vertices) AS is_proper,
+        (SELECT count(DISTINCT label) FROM {lp}) = 1 AS is_one,
+        (SELECT count(DISTINCT label) FROM {lp})
+            = (SELECT count(*) FROM vertices) AS is_singleton,
+        (SELECT count(*) FROM edges e
+         JOIN {lp} a ON a.id = e.src JOIN {lp} b ON b.id = e.dst
+         JOIN {cc} x ON x.id = e.src JOIN {cc} y ON y.id = e.dst
+         WHERE (a.label = b.label) <> (x.label = y.label)) = 0 AS equals_cc
+)
+SELECT c.src, c.dst, ROUND(CAST(c.weight AS DOUBLE), 6) AS weight,
+       s.imbalance, s.is_proper, s.is_one, s.is_singleton, s.equals_cc
+FROM comm c CROSS JOIN scal s
+ORDER BY c.src, c.dst"""
+    return _with_graph(body)
+
+
 def sql_umsf() -> str:
     """Union of all maximum spanning forests
     (graph/UnionMaximumSpanningForest.cpp:46-80): edge (u, v, w) is in the
