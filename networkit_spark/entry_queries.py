@@ -616,6 +616,29 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPARSIFY_RATIO = 0.3
+
+
+def q_graph_sparsify_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """getSparsifiedGraphOfSize (sparsification.pyx:696-786) Spark-first:
+    keep the top ceil(ratio*m) canonical edges under (random score DESC,
+    md5 tiebreak) with ONE distributed exact-rank pass instead of the
+    reference's binary-search probe loop."""
+    from networkit_spark.operators.sparsification import random_edge_score
+    from networkit_spark.operators.sparsifiers import sparsify_to_ratio
+
+    g, _ = L.events_graph(spark, sf_dir)
+    sc = random_edge_score(g, seed=42)
+    g2 = sparsify_to_ratio(g, sc, SPARSIFY_RATIO, seed=42)
+    return (
+        g2.edges.filter(F.col("src") < F.col("dst"))
+        .select(
+            "src", "dst",
+            F.round(F.col("weight").cast("double"), 6).alias("weight"),
+        )
+    )
+
+
 def q_community_clustering_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphClusteringTools over the LP partition: the compacted
     communication graph (cut weights between clusters) widened with the
@@ -1651,6 +1674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_umsf": q_graph_umsf,
     "community_hash_overlap": q_community_hash_overlap,
     "community_clustering_tools": q_community_clustering_tools,
+    "graph_sparsify_ratio": q_graph_sparsify_ratio,
     # ---- block 2: registered in r2, judge-verified but never driver-checked
     "community_conductance": q_community_conductance,
     "community_stability": q_community_stability,
@@ -1869,6 +1893,7 @@ def build_oracles() -> dict[str, str]:
         "graph_umsf": L.sql_umsf(),
         "community_hash_overlap": L.sql_hash_overlap(LP_ITERS, CC_ITERS),
         "community_clustering_tools": L.sql_clustering_tools(1, CC_ITERS),
+        "graph_sparsify_ratio": L.sql_sparsify_ratio(SPARSIFY_RATIO, 42),
         "graph_maxflow": L.sql_maxflow(MAXFLOW_K, MAXFLOW_S, MAXFLOW_T),
         "graph_diff": L.sql_graph_diff(),
         "graph_randomize_invariants": L.sql_degree_histogram(),

@@ -4385,6 +4385,36 @@ ORDER BY o.id"""
     return _with_graph(body)
 
 
+def sql_sparsify_ratio(ratio: float, seed: int = 42) -> str:
+    """Top-ceil(ratio*m) canonical edges under (derandomized random score
+    DESC, md5 tiebreak, u, v) — sparsify_to_ratio's exact selection."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    rand = md5_long_sql(
+        f"('{seed}:re:' || CAST(u AS STRING) || ':' || CAST(v AS STRING))"
+    )
+    tb = md5_long_sql(
+        f"('{seed}:ratio:' || CAST(u AS STRING) || ':' || CAST(v AS STRING))"
+    )
+    return _with_graph(f"""
+canon AS (
+    SELECT least(src, dst) AS u, greatest(src, dst) AS v, MAX(weight) AS w
+    FROM edges WHERE src <> dst GROUP BY 1, 2
+),
+scored AS (
+    SELECT u, v, w, ROUND({rand} / 281474976710656.0, 9) AS score, {tb} AS tb
+    FROM canon
+),
+mm AS (SELECT CAST(CEIL({ratio} * count(*)) AS BIGINT) AS k FROM scored),
+rk AS (
+    SELECT u, v, w, row_number() OVER (ORDER BY score DESC, tb, u, v) AS rn
+    FROM scored
+)
+SELECT u AS src, v AS dst, ROUND(CAST(w AS DOUBLE), 6) AS weight
+FROM rk CROSS JOIN mm WHERE rn <= mm.k
+ORDER BY src, dst""")
+
+
 def sql_clustering_tools(lp_iters: int, cc_iters: int) -> str:
     """GraphClusteringTools.cpp:10-116 over the LP partition: compacted
     communication graph (dense cids ascending by label, Partition::compact
