@@ -617,6 +617,36 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPARSIFY_RATIO = 0.3
+BFS_SAMPLE_K = 40
+
+
+def q_graph_bfs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bfsSample (networkit/sampling.py:5-27): node-induced subgraph of
+    the k nodes closest to source 0, levels filled in (dist, id) order."""
+    from networkit_spark.operators.sampling import bfs_sample
+
+    g, _ = L.events_graph(spark, sf_dir)
+    s = bfs_sample(g, source=0, k=BFS_SAMPLE_K, max_iterations=BFS_ITERS)
+    return s.edges.select(
+        "src", "dst", F.col("weight").cast("double").alias("weight")
+    )
+
+
+def q_graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the degree and weighted-degree distributions
+    (networkit/stats.pyx gini over centrality scores — the fork's
+    inequality diagnostic)."""
+    from networkit_spark.operators.sampling import gini
+
+    g, _ = L.events_graph(spark, sf_dir)
+    deg = g.degrees()
+    return spark.createDataFrame(
+        [(
+            round(gini(deg, "degree"), 9) + 0.0,
+            round(gini(deg, "wdeg"), 9) + 0.0,
+        )],
+        "degree_gini double, wdeg_gini double",
+    )
 
 
 def q_graph_sparsify_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1675,6 +1705,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "community_hash_overlap": q_community_hash_overlap,
     "community_clustering_tools": q_community_clustering_tools,
     "graph_sparsify_ratio": q_graph_sparsify_ratio,
+    "graph_bfs_sample": q_graph_bfs_sample,
+    "graph_degree_gini": q_graph_degree_gini,
     # ---- block 2: registered in r2, judge-verified but never driver-checked
     "community_conductance": q_community_conductance,
     "community_stability": q_community_stability,
@@ -1894,6 +1926,8 @@ def build_oracles() -> dict[str, str]:
         "community_hash_overlap": L.sql_hash_overlap(LP_ITERS, CC_ITERS),
         "community_clustering_tools": L.sql_clustering_tools(1, CC_ITERS),
         "graph_sparsify_ratio": L.sql_sparsify_ratio(SPARSIFY_RATIO, 42),
+        "graph_bfs_sample": L.sql_bfs_sample(BFS_ITERS, BFS_SAMPLE_K, 0),
+        "graph_degree_gini": L.sql_degree_gini(),
         "graph_maxflow": L.sql_maxflow(MAXFLOW_K, MAXFLOW_S, MAXFLOW_T),
         "graph_diff": L.sql_graph_diff(),
         "graph_randomize_invariants": L.sql_degree_histogram(),

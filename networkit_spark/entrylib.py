@@ -4385,6 +4385,40 @@ ORDER BY o.id"""
     return _with_graph(body)
 
 
+def sql_bfs_sample(iters: int, k: int, source: int = 0) -> str:
+    """Induced edges of the k (dist, id)-closest nodes to ``source``."""
+    bfs_sql = sql_bfs(iters, source)
+    # inner already carries the graph CTEs (sql_bfs wraps _with_graph)
+    inner = bfs_sql[len("WITH "):bfs_sql.rindex(" SELECT id, dist")]
+    return (f"""WITH {inner.rstrip().rstrip(',')},
+sel AS MATERIALIZED (
+    SELECT id FROM (
+        SELECT id, row_number() OVER (ORDER BY dist, id) AS rn FROM b{iters}
+    ) WHERE rn <= {k}
+)
+SELECT e.src, e.dst, CAST(e.weight AS DOUBLE) AS weight
+FROM edges e
+JOIN sel a ON a.id = e.src
+JOIN sel b ON b.id = e.dst
+ORDER BY e.src, e.dst""")
+
+
+def sql_degree_gini() -> str:
+    """Gini of degree / weighted degree: G = 2*sum(i*x_(i))/(n*S)-(n+1)/n."""
+    return _with_graph(f"""{DEG_CTE.strip()},
+rk AS (
+    SELECT CAST(degree AS DOUBLE) AS d, CAST(wdeg AS DOUBLE) AS w,
+           row_number() OVER (ORDER BY degree) AS i,
+           row_number() OVER (ORDER BY wdeg) AS j
+    FROM degrees
+)
+SELECT ROUND(2.0 * SUM(i * d) / (count(*) * SUM(d))
+             - (count(*) + 1.0) / count(*), 9) + 0.0 AS degree_gini,
+       ROUND(2.0 * SUM(j * w) / (count(*) * SUM(w))
+             - (count(*) + 1.0) / count(*), 9) + 0.0 AS wdeg_gini
+FROM rk""")
+
+
 def sql_sparsify_ratio(ratio: float, seed: int = 42) -> str:
     """Top-ceil(ratio*m) canonical edges under (derandomized random score
     DESC, md5 tiebreak, u, v) — sparsify_to_ratio's exact selection."""

@@ -70,3 +70,47 @@ def sort_edges_by_weight(graph: Graph, decreasing: bool = False) -> DataFrame:
     return graph.edges.select(
         "src", "dst", "weight", (F.row_number().over(w) - 1).alias("pos")
     )
+
+
+def bfs_sample(
+    graph: Graph, source: int, k: int, max_iterations: int | None = None
+) -> Graph:
+    """Node-induced subgraph of the k nodes closest to ``source``
+    (networkit/sampling.py:5-27 bfsSample).
+
+    Documented deviation: the reference truncates mid-scan of a FIFO
+    queue, so its node set depends on adjacency storage order; here the
+    BFS is level-synchronous and the k nodes are taken in (dist, id)
+    order — same "first k discovered" role, deterministic at any
+    parallelism. The selection is a distributed TakeOrderedAndProject
+    (k is sample-sized by definition, never graph-sized)."""
+    from networkit_spark.operators.centrality import bfs_hops
+
+    dist = bfs_hops(graph, source=source, max_iterations=max_iterations)
+    sel = dist.orderBy("dist", "id").limit(int(k)).select("id")
+    return graph.subgraph_from_nodes(sel)
+
+
+def gini(values: DataFrame, col: str) -> float:
+    """Gini coefficient of a value column (networkit/stats.pyx gini):
+    with x_(1) <= ... <= x_(n), G = 2*sum(i*x_(i))/(n*S) - (n+1)/n —
+    algebraically identical to the reference's height/area fold. The rank
+    is the range-partition cumsum (ties share arbitrary rank order, which
+    cancels in sum(i*x) over equal values), so no single-task sort."""
+    from networkit_spark.functions.ordering import global_cumsum
+
+    base = (
+        values.select(F.col(col).cast("double").alias("_x"))
+        .withColumn("_t", F.monotonically_increasing_id())
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = global_cumsum(base, ["_x", "_t"], ["_one"])
+    row = ranked.agg(
+        F.sum(F.col("cum__one") * F.col("_x")).alias("ws"),
+        F.sum("_x").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    n, s = row["n"], row["s"]
+    if not n or not s:
+        return 0.0
+    return 2.0 * row["ws"] / (n * s) - (n + 1.0) / n
