@@ -618,6 +618,17 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPARSIFY_RATIO = 0.3
 BFS_SAMPLE_K = 40
+FIEDLER_ITERS = 20
+
+
+def q_graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpectralPartitioner count=2 (networkit/partitioning.py:56-176) as
+    supersteps: deflated power iteration for the Fiedler vector, balanced
+    split at the floor(n/2)-th smallest value."""
+    from networkit_spark.operators.spectral import spectral_bisection
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return spectral_bisection(g, num_iters=FIEDLER_ITERS, balanced=True)
 
 
 def q_graph_bfs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1707,6 +1718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_sparsify_ratio": q_graph_sparsify_ratio,
     "graph_bfs_sample": q_graph_bfs_sample,
     "graph_degree_gini": q_graph_degree_gini,
+    "graph_spectral_bisection": q_graph_spectral_bisection,
     # ---- block 2: registered in r2, judge-verified but never driver-checked
     "community_conductance": q_community_conductance,
     "community_stability": q_community_stability,
@@ -1928,6 +1940,7 @@ def build_oracles() -> dict[str, str]:
         "graph_sparsify_ratio": L.sql_sparsify_ratio(SPARSIFY_RATIO, 42),
         "graph_bfs_sample": L.sql_bfs_sample(BFS_ITERS, BFS_SAMPLE_K, 0),
         "graph_degree_gini": L.sql_degree_gini(),
+        "graph_spectral_bisection": L.sql_spectral_bisection(FIEDLER_ITERS, 42),
         "graph_maxflow": L.sql_maxflow(MAXFLOW_K, MAXFLOW_S, MAXFLOW_T),
         "graph_diff": L.sql_graph_diff(),
         "graph_randomize_invariants": L.sql_degree_histogram(),

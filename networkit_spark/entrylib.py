@@ -4385,6 +4385,69 @@ ORDER BY o.id"""
     return _with_graph(body)
 
 
+def sql_spectral_bisection(iters: int, seed: int = 42) -> str:
+    """Unrolled deflated power iteration on M = cI - L (c = Anderson-
+    Morley edge bound), sign-canonicalized, rounded to 6, then the
+    balanced split at the floor(n/2)-th smallest (f, id) value — the
+    exact replay of operators/spectral.py."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(f"('{seed}:fv:' || CAST(id AS STRING))")
+    ctes = [
+        """se AS MATERIALIZED (
+    SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM edges WHERE src <> dst
+)""",
+        """wd AS MATERIALIZED (
+    SELECT v.id, COALESCE(s.wd, 0.0) AS wd
+    FROM vertices v LEFT JOIN (
+        SELECT dst AS id, SUM(w) AS wd FROM se GROUP BY dst
+    ) s ON s.id = v.id
+)""",
+        """cb AS (
+    SELECT COALESCE(MAX(a.wd + b.wd), 1.0) AS c
+    FROM se e JOIN wd a ON a.id = e.src JOIN wd b ON b.id = e.dst
+)""",
+        f"fx0 AS (SELECT id, ({h} / 281474976710656.0 - 0.5) AS x FROM vertices)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""fy{k} AS MATERIALIZED (
+    SELECT x.id, ((SELECT c FROM cb) - w.wd) * x.x + COALESCE(m.mass, 0.0) AS y
+    FROM fx{k-1} x JOIN wd w ON w.id = x.id
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.x * e.w) AS mass
+        FROM se e JOIN fx{k-1} p ON p.id = e.src GROUP BY e.dst
+    ) m ON m.id = x.id
+),
+fc{k} AS MATERIALIZED (
+    SELECT id, y - (SELECT AVG(y) FROM fy{k}) AS y FROM fy{k}
+),
+fx{k} AS MATERIALIZED (
+    SELECT id, y / (SELECT COALESCE(NULLIF(sqrt(SUM(y*y)), 0.0), 1.0) FROM fc{k}) AS x
+    FROM fc{k}
+)"""
+        )
+    tail = f""",
+sgn AS (
+    SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+    FROM fx{iters} WHERE abs(x) > 1e-12 ORDER BY id LIMIT 1
+),
+fv AS MATERIALIZED (
+    SELECT id, ROUND(x * COALESCE((SELECT s FROM sgn), 1.0), 6) + 0.0 AS f
+    FROM fx{iters}
+),
+spl AS (
+    SELECT f AS split FROM (
+        SELECT f, row_number() OVER (ORDER BY f, id) AS rn FROM fv
+    ) WHERE rn = (SELECT count(*) // 2 + 1 FROM fv)
+)
+SELECT id, f,
+       CAST(CASE WHEN f < (SELECT split FROM spl) THEN 0 ELSE 1 END AS BIGINT)
+           AS label
+FROM fv ORDER BY id"""
+    return _with_graph(", ".join(ctes) + tail)
+
+
 def sql_bfs_sample(iters: int, k: int, source: int = 0) -> str:
     """Induced edges of the k (dist, id)-closest nodes to ``source``."""
     bfs_sql = sql_bfs(iters, source)

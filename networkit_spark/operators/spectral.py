@@ -1,0 +1,161 @@
+"""Spectral partitioning — networkit/partitioning.py:56-200
+(SpectralPartitioner) re-expressed as supersteps.
+
+The reference calls scipy.sparse.linalg eigensolvers on the Laplacian
+(networkit/algebraic.py laplacianEigenvectors) — driver-side dense math.
+Here the Fiedler vector comes from deflated power iteration on
+M = cI - L with c = 2 * max weighted degree (so M is PSD and its top
+eigenvector is the constant vector): each step is one matvec superstep
+(the exact join+groupBy shape of eigenvector_centrality), followed by
+mean-subtraction (deflating the constant eigenvector) and L2
+normalization — both single-row aggregates. Gershgorin bounds every
+eigenvalue of L by 2*max_wdeg, so c - lambda_2(L) is the dominant
+eigenvalue on the deflated subspace and the iteration converges to the
+Fiedler vector.
+
+Self-loops are dropped (they cancel in L by definition).
+
+Bisection follows the reference exactly: balanced=True splits at the
+floor(n/2)-th smallest value (partitioning.py:88-99 _getQuantiles with
+count=1), balanced=False at the mean (_getMean); label 0 iff f < split.
+The split rank is computed with the distributed range-partition cumsum,
+never a global window. The sign of an eigenvector is arbitrary — the
+vector is canonicalized so its first nonzero coordinate (by id order)
+is positive, making the labels deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkit_spark.graph import Graph
+from networkit_spark.plans.checkpoint import IterationState, materialize
+
+
+def fiedler_vector(
+    graph: Graph, num_iters: int = 30, seed: int = 42
+) -> DataFrame:
+    """(id, f) — unit-norm approximate Fiedler vector (second-smallest
+    Laplacian eigenvector) after ``num_iters`` deflated power steps from
+    a hash-derandomized start."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    spark = graph.vertices.sparkSession
+    g = graph.to_undirected() if graph.directed else graph
+    edges = materialize(
+        g.edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", F.col("weight").cast("double").alias("w")
+        )
+    )
+    wdeg = edges.groupBy(F.col("dst").alias("id")).agg(F.sum("w").alias("wd"))
+    verts = materialize(
+        graph.vertices.select("id")
+        .join(wdeg, "id", "left")
+        .fillna({"wd": 0.0})
+    )
+    # lambda_max(L) <= max over edges of wd(u) + wd(v) (Anderson-Morley),
+    # tighter than 2*max_wd -> larger per-step contraction toward lambda_2
+    c = (
+        edges.join(
+            verts.select(F.col("id").alias("src"), F.col("wd").alias("wu")),
+            "src",
+        )
+        .join(
+            verts.select(F.col("id").alias("dst"), F.col("wd").alias("wv")),
+            "dst",
+        )
+        .agg(F.max(F.col("wu") + F.col("wv")))
+        .first()[0]
+        or 1.0
+    )
+
+    h = F.expr(md5_long_sql(f"('{seed}:fv:' || CAST(id AS STRING))"))
+    x = verts.select("id", "wd", (h / F.lit(2.0**48) - 0.5).alias("x"))
+    state = IterationState(None, "fiedler")
+    x = state.advance(0, x)
+
+    for it in range(1, num_iters + 1):
+        # one matvec superstep: y = (c - wd) * x + W @ x, then deflate+normalize
+        msgs = (
+            edges.join(
+                x.select(F.col("id").alias("src"), F.col("x").alias("xs")), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("xs") * F.col("w")).alias("mass"))
+        )
+        raw = state.advance(
+            it,
+            x.join(msgs, "id", "left")
+            .select(
+                "id",
+                "wd",
+                (
+                    (F.lit(c) - F.col("wd")) * F.col("x")
+                    + F.coalesce("mass", F.lit(0.0))
+                ).alias("y"),
+            ),
+        )
+        stats = raw.agg(
+            F.avg("y").alias("mu"), F.count(F.lit(1)).alias("n")
+        ).first()
+        centered = raw.select(
+            "id", "wd", (F.col("y") - F.lit(stats["mu"])).alias("y")
+        )
+        nrm = centered.agg(F.sqrt(F.sum(F.col("y") * F.col("y")))).first()[0]
+        x = centered.select(
+            "id", "wd", (F.col("y") / F.lit(nrm or 1.0)).alias("x")
+        )
+
+    # canonical sign: first nonzero coordinate in id order is positive
+    first = (
+        x.filter(F.abs("x") > 1e-12)
+        .orderBy("id")
+        .limit(1)
+        .select("x")
+        .first()
+    )
+    sign = -1.0 if (first and first["x"] < 0) else 1.0
+    return x.select("id", (F.col("x") * F.lit(sign)).alias("f"))
+
+
+def spectral_bisection(
+    graph: Graph,
+    num_iters: int = 30,
+    balanced: bool = True,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, f, label) — SpectralPartitioner._bisect for count=2
+    (partitioning.py:140-176): label 0 iff f < split, split = the
+    floor(n/2)-th smallest f (balanced) or the mean f. The comparison
+    runs on f ROUNDED to 6 decimals so the discrete decision is
+    reproducible across engines (the same robustness contract as the
+    eigenvector-score oracle). k > 2 in the reference is recursive
+    bisection per block with higher eigenvectors — apply this per
+    subgraph to reproduce it."""
+    from networkit_spark.functions.ordering import global_cumsum
+
+    fv = fiedler_vector(graph, num_iters=num_iters, seed=seed).select(
+        "id", F.round("f", 6).alias("f")
+    )
+    fv = materialize(fv)
+    if balanced:
+        n = fv.count()
+        ranked = global_cumsum(
+            fv.withColumn("_one", F.lit(1)), ["f", "id"], ["_one"]
+        )
+        split = (
+            ranked.filter(F.col("cum__one") == n // 2 + 1)
+            .select("f")
+            .first()["f"]
+        )
+    else:
+        split = fv.agg(F.avg("f")).first()[0]
+    return fv.select(
+        "id",
+        "f",
+        F.when(F.col("f") < F.lit(split), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("label"),
+    )
