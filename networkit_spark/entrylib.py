@@ -4419,12 +4419,15 @@ def sql_spectral_bisection(iters: int, seed: int = 42) -> str:
         FROM se e JOIN fx{k-1} p ON p.id = e.src GROUP BY e.dst
     ) m ON m.id = x.id
 ),
-fc{k} AS MATERIALIZED (
-    SELECT id, y - (SELECT AVG(y) FROM fy{k}) AS y FROM fy{k}
+fs{k} AS (
+    SELECT AVG(y) AS mu,
+           COALESCE(NULLIF(sqrt(GREATEST(SUM(y*y) - count(*) * AVG(y) * AVG(y),
+                                         0.0)), 0.0), 1.0) AS nrm
+    FROM fy{k}
 ),
 fx{k} AS MATERIALIZED (
-    SELECT id, y / (SELECT COALESCE(NULLIF(sqrt(SUM(y*y)), 0.0), 1.0) FROM fc{k}) AS x
-    FROM fc{k}
+    SELECT id, (y - (SELECT mu FROM fs{k})) / (SELECT nrm FROM fs{k}) AS x
+    FROM fy{k}
 )"""
         )
     tail = f""",

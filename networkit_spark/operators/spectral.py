@@ -96,15 +96,17 @@ def fiedler_vector(
                 ).alias("y"),
             ),
         )
-        stats = raw.agg(
-            F.avg("y").alias("mu"), F.count(F.lit(1)).alias("n")
+        # ONE action per superstep: ||y - mu||^2 == sum(y^2) - n*mu^2
+        # (y is near-centered unit-scale after step 1, so no cancellation)
+        st = raw.agg(
+            F.avg("y").alias("mu"),
+            F.sum(F.col("y") * F.col("y")).alias("ss"),
+            F.count(F.lit(1)).alias("n"),
         ).first()
-        centered = raw.select(
-            "id", "wd", (F.col("y") - F.lit(stats["mu"])).alias("y")
-        )
-        nrm = centered.agg(F.sqrt(F.sum(F.col("y") * F.col("y")))).first()[0]
-        x = centered.select(
-            "id", "wd", (F.col("y") / F.lit(nrm or 1.0)).alias("x")
+        nrm = max(st["ss"] - st["n"] * st["mu"] * st["mu"], 0.0) ** 0.5 or 1.0
+        x = raw.select(
+            "id", "wd",
+            ((F.col("y") - F.lit(st["mu"])) / F.lit(nrm)).alias("x"),
         )
 
     # canonical sign: first nonzero coordinate in id order is positive
