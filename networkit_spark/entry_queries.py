@@ -792,6 +792,16 @@ def q_token_stats(spark, sf_dir):
     return textstats.token_stats(_docs(spark, sf_dir))
 
 
+PACK_CAPACITY = 2048
+
+
+def q_text_pack_sequences(spark, sf_dir):
+    """Contiguous-fill sequence packing into PACK_CAPACITY-token training
+    bins along a deterministic hash order (functions/textstats.py
+    pack_sequences)."""
+    return textstats.pack_sequences(_docs(spark, sf_dir), capacity=PACK_CAPACITY)
+
+
 def q_quality(spark, sf_dir):
     return textstats.quality_score(_docs(spark, sf_dir))
 
@@ -1719,6 +1729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_bfs_sample": q_graph_bfs_sample,
     "graph_degree_gini": q_graph_degree_gini,
     "graph_spectral_bisection": q_graph_spectral_bisection,
+    "text_pack_sequences": q_text_pack_sequences,
     # ---- block 2: registered in r2, judge-verified but never driver-checked
     "community_conductance": q_community_conductance,
     "community_stability": q_community_stability,
@@ -1941,6 +1952,7 @@ def build_oracles() -> dict[str, str]:
         "graph_bfs_sample": L.sql_bfs_sample(BFS_ITERS, BFS_SAMPLE_K, 0),
         "graph_degree_gini": L.sql_degree_gini(),
         "graph_spectral_bisection": L.sql_spectral_bisection(FIEDLER_ITERS, 42),
+        "text_pack_sequences": L.sql_pack_sequences(PACK_CAPACITY, 42),
         "graph_maxflow": L.sql_maxflow(MAXFLOW_K, MAXFLOW_S, MAXFLOW_T),
         "graph_diff": L.sql_graph_diff(),
         "graph_randomize_invariants": L.sql_degree_histogram(),

@@ -577,6 +577,30 @@ docs_tok AS MATERIALIZED (
 """
 
 
+def sql_pack_sequences(capacity: int, seed: int = 42) -> str:
+    """Contiguous-fill packing replay: cumsum of token counts along
+    (md5(seed:pack:doc_id), doc_id); bin = floor(start/capacity)."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(f"('{seed}:pack:' || CAST(doc_id AS STRING))")
+    return f"""WITH {DOCS_CTE},
+nt AS (
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, {h} AS h
+    FROM docs_tok
+),
+rk AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM nt
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR((cum - n_tokens) / CAST({capacity} AS DOUBLE)) AS BIGINT) AS bin,
+       CAST((cum - n_tokens) % {capacity} AS BIGINT) AS bin_offset
+FROM rk ORDER BY doc_id"""
+
+
 def sql_token_stats() -> str:
     return f"""WITH {DOCS_CTE}
 SELECT doc_id,

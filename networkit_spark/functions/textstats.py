@@ -320,3 +320,43 @@ def pii_redact(
         ).cast("bigint").alias("n_phones"),
         F.md5(redacted).alias("redacted_fp"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, n_tokens, bin, bin_offset) — contiguous-fill sequence packing
+    for pretraining batch construction (a training-data op beyond the
+    reference): documents are laid out in a deterministic md5-hash order
+    (a seeded shuffle that is a pure function of the ids — identical at
+    any parallelism), token counts accumulate along that order with the
+    distributed range-partition cumsum, and a document is assigned to the
+    training bin where it STARTS: bin = floor((cumsum - n_tokens) /
+    capacity). Bins average ``capacity`` tokens and overflow by at most
+    one document's tail — the standard contiguous greedy fill, with no
+    sequential packer in the loop. ``bin_offset`` is the document's token
+    offset inside its bin."""
+    from networkit_spark.functions.hashing import md5_long_sql
+    from networkit_spark.functions.ordering import global_cumsum
+
+    h = F.expr(
+        md5_long_sql(f"('{seed}:pack:' || CAST({id_col} AS STRING))")
+    )
+    base = (
+        token_stats(df, id_col=id_col, text_col=text_col)
+        .select(id_col, "n_tokens")
+        .withColumn("_h", h)
+        .withColumn("_one", F.lit(1))
+    )
+    ranked = global_cumsum(base, ["_h", id_col], ["n_tokens"])
+    start = F.col("cum_n_tokens") - F.col("n_tokens")
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        F.floor(start / F.lit(float(capacity))).cast("bigint").alias("bin"),
+        (start % F.lit(capacity)).cast("bigint").alias("bin_offset"),
+    )

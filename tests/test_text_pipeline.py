@@ -184,3 +184,40 @@ def test_pii_redact_hand_fixture(spark):
     }
     for i, s in exp.items():
         assert got[i]["redacted_fp"] == hashlib.md5(s.encode()).hexdigest(), i
+
+
+def test_pack_sequences_referee(spark):
+    import hashlib
+
+    from networkit_spark.functions.textstats import pack_sequences
+
+    docs = [(i, " ".join(f"tok{j}" for j in range(3 + (i * 7) % 11)))
+            for i in range(25)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cap = 20
+    got = {r["doc_id"]: (r["n_tokens"], r["bin"], r["bin_offset"])
+           for r in pack_sequences(df, capacity=cap).collect()}
+
+    def h(i):
+        return int(hashlib.md5(f"42:pack:{i}".encode()).hexdigest()[:12], 16)
+
+    order = sorted(docs, key=lambda d: (h(d[0]), d[0]))
+    cum = 0
+    for doc_id, text in order:
+        n = len(text.split())
+        start = cum
+        cum += n
+        assert got[doc_id] == (n, start // cap, start % cap), doc_id
+    # bins are contiguous 0..max with every bin preceding the last full-ish:
+    bins = sorted({b for _, b, _ in got.values()})
+    assert bins == list(range(bins[-1] + 1))
+
+
+def test_pack_sequences_parallelism_invariant(spark):
+    from networkit_spark.functions.textstats import pack_sequences
+
+    docs = [(i, "w " * (5 + i % 9)) for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = {tuple(r) for r in pack_sequences(df, capacity=16).collect()}
+    b = {tuple(r) for r in pack_sequences(df.repartition(13), capacity=16).collect()}
+    assert a == b
