@@ -1943,8 +1943,10 @@ def sql_linkpred_katz(
 ) -> str:
     """KatzIndex (maxPathLength=3) damped walk counts on the distance-2
     candidates; walks1 = 0 for non-adjacent pairs, so
-    score = beta^2*walks2 + beta^3*walks3 (same literal multiply chain as
-    the Spark side for bit-equal doubles)."""
+    score = beta^2*walks2 + beta^3*walks3.  The score is rounded to 6dp on
+    both sides (walks2/walks3 stay exact integers): the engines fold the
+    double chain in different orders, so raw doubles hash-mismatch below
+    1e-9 even though the algorithm agrees."""
     return _with_graph(f"""{_linkpred_split_ctes(test_per_mille, cap, seed)},
 w2 AS (
     SELECT c.u, c.v, CAST(count(*) AS BIGINT) AS walks2
@@ -1964,9 +1966,9 @@ w3 AS (
 SELECT c.u, c.v,
        COALESCE(w2.walks2, 0) AS walks2,
        COALESCE(w3.walks3, 0) AS walks3,
-       {beta} * {beta} * CAST(COALESCE(w2.walks2, 0) AS DOUBLE)
-       + {beta} * {beta} * {beta} * CAST(COALESCE(w3.walks3, 0) AS DOUBLE)
-           AS score
+       round({beta} * {beta} * CAST(COALESCE(w2.walks2, 0) AS DOUBLE)
+             + {beta} * {beta} * {beta} * CAST(COALESCE(w3.walks3, 0) AS DOUBLE),
+             6) AS score
 FROM cand c
 LEFT JOIN w2 ON w2.u = c.u AND w2.v = c.v
 LEFT JOIN w3 ON w3.u = c.u AND w3.v = c.v

@@ -39,6 +39,29 @@ def test_gate_rotation_puts_unchecked_queries_first():
     assert keys[: len(never)] == never, "unchecked queries must lead the dict"
 
 
+def test_driver_green_set_matches_correctness_artifacts():
+    # _DRIVER_HASH_GREEN is bookkeeping over the driver's published
+    # CORRECTNESS_r*.json artifacts; a name may only be marked green if some
+    # round actually recorded hash_match=true for it.  This prevents a
+    # hash-red query (linkpred_katz in r3) from ever being hand-waved green
+    # and silently dropped out of the rotation window.
+    import glob
+    import json
+
+    from networkit_spark.entry_queries import _DRIVER_HASH_GREEN
+
+    artifacts = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    if not artifacts:
+        pytest.skip("no driver correctness artifacts present")
+    green: set[str] = set()
+    for path in artifacts:
+        with open(path) as fh:
+            rows = json.load(fh)
+        green |= {k for k, v in rows.items() if v.get("hash_match")}
+    unearned = _DRIVER_HASH_GREEN - green
+    assert not unearned, f"marked green without a green driver row: {sorted(unearned)}"
+
+
 def test_entry_runs_and_returns_rows(spark):
     e = _entry()
     df = e.entry(spark)
