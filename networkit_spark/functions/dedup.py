@@ -42,18 +42,28 @@ def exact_duplicates(
 def shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) — distinct word n-grams via posexplode + lead windows
-    (identically expressible with lead() in ANSI SQL)."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    """(id, shingle) — distinct word n-grams built per row with staged array
+    expressions, then exploded.
+
+    Scale note: an earlier version built grams with lead() over
+    Window.partitionBy(id), which shuffles the EXPLODED token table (~10x
+    the corpus row count) by doc id — at 100 TB that was the single largest
+    exchange in every shingle consumer. The per-row array build
+    (staged_tokens_and_grams) produces identical values with zero shuffle;
+    the only exchange left in the consumers is their own groupBy/join.
+    The DuckDB oracle keeps its lead()-window formulation (values are
+    identical; the oracle runs at gate scale only)."""
+    from networkit_spark.functions.textstats import staged_tokens_and_grams
+
+    staged = staged_tokens_and_grams(
+        df.select(F.col(id_col).alias("id"), F.col(text_col)),
+        ["id"],
+        text_col,
+        n,
     )
-    w = Window.partitionBy("id").orderBy("pos")
-    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    sh = ex.select("id", F.concat_ws(" ", *cols).alias("shingle"), *[
-        F.lead("tok", n - 1).over(w).alias("__last")
-    ])
-    return sh.filter(F.col("__last").isNotNull()).select("id", "shingle").distinct()
+    return (
+        staged.select("id", F.explode("__g").alias("shingle")).distinct()
+    )
 
 
 def minhash_bands(

@@ -131,3 +131,24 @@ def test_supersteps_whole_stage_codegen(spark):
     # (simple-mode shows `WholeStageCodegen (N)` spans); accept either
     assert "WholeStageCodegen" in plan or "\n   * HashAggregate" in plan or "* HashAggregate" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_shingle_consumers_have_no_window(spark):
+    """shingles() must build n-grams per row (array exprs, zero shuffle) —
+    a lead()-window formulation shuffles the exploded token table (~10x the
+    corpus) by doc id, the single largest exchange in every shingle
+    consumer at 100 TB (VERDICT round 3, 'What's wrong' #2)."""
+    from networkit_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3) for i in range(6)],
+        "doc_id long, text string",
+    )
+    sh = dedup.shingles(docs)
+    bands = dedup.minhash_bands(sh, num_hashes=16, bands=4)
+    deco = dedup.decontaminate(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    )
+    for df in (sh, bands, deco):
+        plan = _plan(df)
+        assert "Window" not in plan, plan
