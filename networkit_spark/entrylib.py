@@ -1027,8 +1027,10 @@ FROM kz{iters} ORDER BY id"""
     return _with_graph(body)
 
 
-def sql_bfs(iters: int, source: int = 0) -> str:
-    """Unrolled min-plus BFS from ``source``; unreachable vertices absent."""
+def _bfs_ctes(iters: int, source: int = 0) -> list[str]:
+    """Shared unrolled min-plus BFS CTE chain (b0..b{iters}) — composed by
+    sql_bfs and sql_bfs_sample (like _cc_ctes/_lp_ctes) so neither slices
+    the other's SQL text."""
     ctes = [f"b0 AS (SELECT CAST({source} AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist)"]
     for k in range(1, iters + 1):
         ctes.append(
@@ -1041,7 +1043,12 @@ def sql_bfs(iters: int, source: int = 0) -> str:
     ) GROUP BY id
 )"""
         )
-    body = ", ".join(ctes) + f" SELECT id, dist FROM b{iters} ORDER BY id"
+    return ctes
+
+
+def sql_bfs(iters: int, source: int = 0) -> str:
+    """Unrolled min-plus BFS from ``source``; unreachable vertices absent."""
+    body = ", ".join(_bfs_ctes(iters, source)) + f" SELECT id, dist FROM b{iters} ORDER BY id"
     return _with_graph(body)
 
 
@@ -4479,10 +4486,8 @@ FROM fv ORDER BY id"""
 
 def sql_bfs_sample(iters: int, k: int, source: int = 0) -> str:
     """Induced edges of the k (dist, id)-closest nodes to ``source``."""
-    bfs_sql = sql_bfs(iters, source)
-    # inner already carries the graph CTEs (sql_bfs wraps _with_graph)
-    inner = bfs_sql[len("WITH "):bfs_sql.rindex(" SELECT id, dist")]
-    return (f"""WITH {inner.rstrip().rstrip(',')},
+    inner = ", ".join(_bfs_ctes(iters, source))
+    return _with_graph(f"""{inner},
 sel AS MATERIALIZED (
     SELECT id FROM (
         SELECT id, row_number() OVER (ORDER BY dist, id) AS rn FROM b{iters}

@@ -39,12 +39,22 @@ def imbalance(labels: DataFrame) -> float:
 
 def compact_labels(labels: DataFrame) -> DataFrame:
     """(label, cid) dictionary with dense 0-based cids in ascending label
-    order — Partition::compact's std::map iteration order. Zero-padding
-    makes the lexicographic dictionary order numeric."""
+    order — Partition::compact's std::map iteration order. The key is the
+    16-hex-digit encoding of (label XOR LONG_MIN): flipping the sign bit
+    maps signed ordering onto unsigned bit ordering, so the lexicographic
+    dictionary order is numeric for NEGATIVE labels too (a zero-padded
+    decimal key embeds '-' mid-string and mis-sorts them)."""
     from networkit_spark.edges import mint_dense_ids
 
     keys = labels.select(
-        F.lpad(F.col("label").cast("string"), 20, "0").alias("key"), "label"
+        F.lpad(
+            F.hex(
+                F.col("label").cast("long").bitwiseXOR(F.lit(-(1 << 63)))
+            ),
+            16,
+            "0",
+        ).alias("key"),
+        "label",
     ).distinct()
     dct = mint_dense_ids(keys.select("key"))
     return keys.join(dct, "key").select("label", F.col("id").alias("cid"))

@@ -82,7 +82,10 @@ def bfs_sample(
     queue, so its node set depends on adjacency storage order; here the
     BFS is level-synchronous and the k nodes are taken in (dist, id)
     order — same "first k discovered" role, deterministic at any
-    parallelism. The selection is a distributed TakeOrderedAndProject
+    parallelism. Count deviation: the reference seeds closest={source}
+    and then counts up to k *discovered* nodes, so it typically returns
+    k+1 nodes (source + k); this port returns exactly k nodes including
+    the source (pass k+1 to reproduce the reference's size). The selection is a distributed TakeOrderedAndProject
     (k is sample-sized by definition, never graph-sized)."""
     from networkit_spark.operators.centrality import bfs_hops
 

@@ -142,6 +142,7 @@ def forest_weight(forest: DataFrame) -> float:
 def union_max_spanning_forest(
     graph: Graph,
     checkpoint: CheckpointManager | None = None,
+    max_levels: int = 4096,
 ) -> DataFrame:
     """umsf(u: long, v: long, weight: double, in_umsf: boolean), u < v —
     per canonical edge of the undirected simple support, whether it belongs
@@ -167,7 +168,13 @@ def union_max_spanning_forest(
     Scale note: the stacked size is sum_e rank(w(e)) <= m * |weight
     domain|; entity-graph weights are small integer counts, so the level
     count is bounded by the weight domain, not by n. The driver holds one
-    scalar per distinct level (same bound)."""
+    scalar per distinct level (same bound). Because both bounds break
+    silently on a continuous weight domain (e.g. a graph weighted by
+    edge_score_as_weight, where |levels| ~= m makes the stacked build
+    O(m^2) and the driver list m rows), ``max_levels`` ENFORCES the
+    assumption: >max_levels distinct weights raises ValueError with a
+    pointer at quantizing weights first (documented-lossy) instead of
+    degrading silently."""
     from networkit_spark.operators.components import connected_components
 
     g = graph.to_undirected() if graph.directed else graph
@@ -182,6 +189,16 @@ def union_max_spanning_forest(
         .groupBy("u", "v")
         .agg(F.max("w").alias("w"))
     )
+    n_levels = canon.select("w").distinct().limit(max_levels + 1).count()
+    if n_levels > max_levels:
+        raise ValueError(
+            f"union_max_spanning_forest: >{max_levels} distinct edge weights "
+            "(continuous weight domain?) — the stacked-strata build is "
+            "O(m * |levels|) and holds one driver scalar per level, which "
+            "only scales for bounded weight ladders. Quantize weights first "
+            "(e.g. F.round(weight, k) — documented-lossy) or raise max_levels "
+            "explicitly."
+        )
     levels = [
         r["w"] for r in canon.select("w").distinct().orderBy(F.desc("w")).collect()
     ]

@@ -99,3 +99,11 @@ def test_equal_clusterings_edge_level(spark):
     # split {3,4,5} vs {3,4},{5} differs only on edges (3,5),(4,5) -> visible
     d = _labels(spark, {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2})
     assert not equal_clusterings(a, d, g)
+
+
+def test_compact_labels_negative_labels_numeric_order(spark):
+    # sign-aware key: negative labels must compact in numeric ascending
+    # order (a zero-padded decimal key embeds '-' and mis-sorts them)
+    lab = _labels(spark, {0: -5, 1: 3, 2: -40, 3: 0, 4: 3})
+    got = {r["label"]: r["cid"] for r in compact_labels(lab).collect()}
+    assert got == {-40: 0, -5: 1, 0: 2, 3: 3}

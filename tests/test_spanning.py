@@ -133,3 +133,22 @@ def test_umsf_uniform_weights_marks_everything(spark):
     edges = [(0, 1, 2.0), (1, 2, 2.0), (2, 0, 2.0), (2, 3, 2.0)]
     got = _umsf_run(spark, edges)
     assert all(got.values()) and len(got) == 4
+
+
+def test_umsf_rejects_unbounded_weight_domain(spark):
+    import pytest
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.spanning import union_max_spanning_forest
+
+    # a float-weighted path (e.g. after edge_score_as_weight): |levels| == m,
+    # which would silently make the stacked build O(m^2) — must raise instead
+    edges = [(i, i + 1, 1.0 + i * 0.123) for i in range(8)]
+    g = from_edge_rows(spark, edges, weighted=True)
+    with pytest.raises(ValueError, match="distinct edge weights"):
+        union_max_spanning_forest(g, max_levels=4)
+    # raising the cap explicitly takes the normal path on the same graph
+    got = {
+        (r["u"], r["v"]): r["in_umsf"]
+        for r in union_max_spanning_forest(g, max_levels=8).collect()
+    }
+    assert all(got.values()) and len(got) == 8
