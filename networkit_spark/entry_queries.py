@@ -1263,6 +1263,27 @@ def q_embed_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_sgns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec walks -> synchronous mean-gradient SGNS embeddings
+    (embedding/LearnEmbedding.cpp role; deviations + bit-exact grid
+    protocol documented in operators/sgns.py)."""
+    from networkit_spark.operators.node2vec import biased_random_walks
+    from networkit_spark.operators.sgns import train_sgns
+
+    g, _ = L.events_graph(spark, sf_dir)
+    w = biased_random_walks(g, p=4.0, q=0.25, walk_length=5, walks_per_node=2, seed=42)
+    emb = train_sgns(
+        w, g.vertices, dim=8, window=2, negatives=2, lr=4.0, epochs=3, seed=42
+    )
+    return emb.select(
+        F.col("id").cast("bigint").alias("id"),
+        *[
+            (F.round(F.col("emb")[j], 6) + F.lit(0.0)).alias(f"e{j}")
+            for j in range(8)
+        ],
+    ).orderBy("id")
+
+
 def q_graph_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.spanning import max_spanning_forest
 
@@ -1751,6 +1772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "centrality_laplacian": q_centrality_laplacian,
     "centrality_sfigality": q_centrality_sfigality,
     "embed_node2vec_walks": q_embed_node2vec_walks,
+    "embed_sgns": q_embed_sgns,
     "graph_msf": q_graph_msf,
     "graph_maxflow": q_graph_maxflow,
     "graph_diff": q_graph_diff,
@@ -1968,6 +1990,7 @@ def build_oracles() -> dict[str, str]:
         "centrality_laplacian": L.sql_laplacian_centrality(True),
         "centrality_sfigality": L.sql_sfigality(),
         "embed_node2vec_walks": L.sql_node2vec_walks(4.0, 0.25, 5, 1, 42),
+        "embed_sgns": L.sql_sgns(8, 2, 2, 4.0, 3, 42, 4.0, 0.25, 5, 2),
         "graph_msf": L.sql_msf(),
         "graph_umsf": L.sql_umsf(),
         "community_hash_overlap": L.sql_hash_overlap(LP_ITERS, CC_ITERS),

@@ -2678,17 +2678,19 @@ ORDER BY v.id"""
 
 # ---- Node2Vec biased walks (embedding/BiasedRandomWalk.cpp) ----------------
 
-def sql_node2vec_walks(
+def _node2vec_ctes(
     p: float = 4.0,
     q: float = 0.25,
     walk_length: int = 5,
     walks_per_node: int = 1,
     seed: int = 42,
-) -> str:
-    """Unrolled walk steps mirroring operators/node2vec.py. The gate pins
-    p and q to powers of two: weights are integral counts, so every wadj
-    and every cumulative sum is an exact dyadic rational — window-sum
-    association order can't perturb the inverse-CDF pick in either engine."""
+) -> list[str]:
+    """Unrolled walk-step CTE chain ending in ``wk(walk_id, step, node)``,
+    mirroring operators/node2vec.py — composed by sql_node2vec_walks and
+    sql_sgns. The gate pins p and q to powers of two: weights are integral
+    counts, so every wadj and every cumulative sum is an exact dyadic
+    rational — window-sum association order can't perturb the inverse-CDF
+    pick in either engine."""
     from networkit_spark.functions.hashing import md5_long_sql
 
     def draw(step: int) -> str:
@@ -2737,11 +2739,134 @@ st{i} AS MATERIALIZED (
     rows = ["SELECT walk_id, 0 AS step, node FROM starts"]
     for i in range(1, walk_length):
         rows.append(f"SELECT walk_id, {i} AS step, v AS node FROM st{i}")
-    body = ", ".join(ctes) + f""",
-wk AS ({' UNION ALL '.join(rows)})
+    ctes.append(f"wk AS ({' UNION ALL '.join(rows)})")
+    return ctes
+
+
+def sql_node2vec_walks(
+    p: float = 4.0,
+    q: float = 0.25,
+    walk_length: int = 5,
+    walks_per_node: int = 1,
+    seed: int = 42,
+) -> str:
+    body = ", ".join(_node2vec_ctes(p, q, walk_length, walks_per_node, seed)) + """
 SELECT CAST(walk_id AS BIGINT) AS walk_id, CAST(step AS INT) AS step,
        CAST(node AS BIGINT) AS node
 FROM wk ORDER BY walk_id, step"""
+    return _with_graph(body)
+
+
+def sql_sgns(
+    dim: int = 8,
+    window: int = 2,
+    negatives: int = 2,
+    lr: float = 4.0,
+    epochs: int = 3,
+    seed: int = 42,
+    p: float = 4.0,
+    q: float = 0.25,
+    walk_length: int = 5,
+    walks_per_node: int = 2,
+) -> str:
+    """Unrolled synchronous mean-gradient SGNS epochs mirroring
+    operators/sgns.py (module docstring there has the bit-exact grid
+    protocol: the per-pair coefficient snaps to the 2^-24 grid after the
+    sigmoid, every gradient contribution snaps to the 2^-30 grid before the
+    per-(node, dim) SUM, so sums are order-exact and weights stay dyadic)."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    Q24, Q30 = float(1 << 24), float(1 << 30)
+    P48 = float(1 << 48)
+    negdraw = md5_long_sql(
+        f"('{seed}:neg:' || CAST(i AS STRING) || ':' || "
+        "CAST(walk_id AS STRING) || ':' || CAST(cs AS STRING) || ':' || "
+        "CAST(os AS STRING))"
+    )
+    initdraw = md5_long_sql(
+        f"('{seed}:init:' || CAST(id AS STRING) || ':' || CAST(j AS STRING))"
+    )
+    ctes = _node2vec_ctes(p, q, walk_length, walks_per_node, seed)
+    ctes += [
+        """vr AS (
+    SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS rk
+    FROM vertices
+)""",
+        "nv AS (SELECT COUNT(*) AS n FROM vertices)",
+        f"""pos AS MATERIALIZED (
+    SELECT a.walk_id, a.step AS cs, b.step AS os, a.node AS c, b.node AS o
+    FROM wk a JOIN wk b ON b.walk_id = a.walk_id
+    WHERE a.step <> b.step AND ABS(a.step - b.step) <= {window}
+)""",
+        f"""neg AS (
+    SELECT d.walk_id, d.cs, d.os, d.i, d.c, v.id AS o
+    FROM (
+        SELECT walk_id, cs, os, c, o AS po, i.i,
+               {negdraw} % (SELECT n FROM nv) AS rk
+        FROM pos, generate_series(0, {negatives - 1}) i(i)
+    ) d JOIN vr v ON v.rk = d.rk
+    WHERE v.id <> d.po
+)""",
+        f"""sgp AS MATERIALIZED (
+    SELECT walk_id, cs, os, -1 AS i, c, o, 1.0 AS label FROM pos
+    UNION ALL
+    SELECT walk_id, cs, os, i, c, o, 0.0 AS label FROM neg
+)""",
+        "np AS (SELECT COUNT(*) AS cnt FROM sgp)",
+        f"""win0 AS MATERIALIZED (
+    SELECT id, j.j,
+           FLOOR((({initdraw}) / {P48} - 0.5) / {float(dim)} * {Q30} + 0.5) / {Q30} AS w
+    FROM vertices, generate_series(0, {dim - 1}) j(j)
+)""",
+        f"""wout0 AS MATERIALIZED (
+    SELECT id, j.j, 0.0 AS w FROM vertices, generate_series(0, {dim - 1}) j(j)
+)""",
+    ]
+    for e in range(epochs):
+        ctes.append(
+            f"""sc{e} AS MATERIALIZED (
+    SELECT pr.walk_id, pr.cs, pr.os, pr.i, pr.c, pr.o,
+           FLOOR({lr} * (pr.label - 1.0 / (1.0 + EXP(-SUM(wi.w * wo.w))))
+                 / (SELECT cnt FROM np) * {Q24} + 0.5) / {Q24} AS g
+    FROM sgp pr
+    JOIN win{e} wi ON wi.id = pr.c
+    JOIN wout{e} wo ON wo.id = pr.o AND wo.j = wi.j
+    GROUP BY pr.walk_id, pr.cs, pr.os, pr.i, pr.c, pr.o, pr.label
+)"""
+        )
+        ctes.append(
+            f"""dwi{e} AS (
+    SELECT g.c AS id, wo.j,
+           SUM(FLOOR(g.g * wo.w * {Q30} + 0.5) / {Q30}) AS dv
+    FROM sc{e} g JOIN wout{e} wo ON wo.id = g.o GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""dwo{e} AS (
+    SELECT g.o AS id, wi.j,
+           SUM(FLOOR(g.g * wi.w * {Q30} + 0.5) / {Q30}) AS dv
+    FROM sc{e} g JOIN win{e} wi ON wi.id = g.c GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""win{e + 1} AS MATERIALIZED (
+    SELECT w.id, w.j, w.w + COALESCE(d.dv, 0.0) AS w
+    FROM win{e} w LEFT JOIN dwi{e} d ON d.id = w.id AND d.j = w.j
+)"""
+        )
+        ctes.append(
+            f"""wout{e + 1} AS MATERIALIZED (
+    SELECT w.id, w.j, w.w + COALESCE(d.dv, 0.0) AS w
+    FROM wout{e} w LEFT JOIN dwo{e} d ON d.id = w.id AND d.j = w.j
+)"""
+        )
+    outs = ", ".join(
+        f"ROUND(MAX(CASE WHEN j = {j} THEN w END), 6) + 0.0 AS e{j}"
+        for j in range(dim)
+    )
+    body = ", ".join(ctes) + f"""
+SELECT CAST(id AS BIGINT) AS id, {outs}
+FROM win{epochs} GROUP BY id ORDER BY id"""
     return _with_graph(body)
 
 
