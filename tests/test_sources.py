@@ -413,3 +413,66 @@ def test_powerlaw_degree_sequence_feeds_havel_hakimi(spark):
         (r["degree"] for r in g.degrees().collect()), reverse=True
     )
     assert got == seq  # powerlaw sequences are graphical after parity fix
+
+
+def test_mat_roundtrip_and_errors(spark, tmp_path):
+    """MAT level-5 reader/writer (graphio.pyx:840-886 readMat/writeMat):
+    roundtrip, zlib-compressed elements (scipy do_compression=True shape),
+    missing-key / non-square errors, dense numeric fallback."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.sources.mat import (
+        _MI_COMPRESSED, _MI_MATRIX, _tagged, read_mat, write_mat,
+    )
+
+    g = from_edge_rows(
+        spark, [(0, 1, 2.0), (1, 2, 1.0), (3, 3, 1.0), (0, 4, 5.0)],
+        num_nodes=6, weighted=True,
+    )
+    p = str(tmp_path / "g.mat")
+    write_mat(g, p, key="G")
+    g2 = read_mat(spark, p, key="G")
+    canon = lambda gr: sorted(
+        {(min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+         for r in gr.edges.collect()}
+    )
+    assert canon(g2) == canon(g)
+    assert g2.vertices.count() == 6
+
+    raw = open(p, "rb").read()
+    pc = str(tmp_path / "gc.mat")
+    with open(pc, "wb") as fh:
+        fh.write(raw[:128] + _tagged(_MI_COMPRESSED, zlib.compress(raw[128:])))
+    assert canon(read_mat(spark, pc, key="G")) == canon(g)
+
+    import pytest
+
+    with pytest.raises(KeyError, match="not found"):
+        read_mat(spark, p, key="A")
+
+    pns = str(tmp_path / "ns.mat")
+    body = (
+        _tagged(6, struct.pack("<II", 6, 0))
+        + _tagged(5, struct.pack("<ii", 2, 3))
+        + _tagged(1, b"B")
+        + _tagged(9, np.arange(6, dtype="<f8").tobytes())
+    )
+    with open(pns, "wb") as fh:
+        fh.write(raw[:128] + _tagged(_MI_MATRIX, body))
+    with pytest.raises(ValueError, match="not square"):
+        read_mat(spark, pns, key="B")
+
+    pd_ = str(tmp_path / "d.mat")
+    body = (
+        _tagged(6, struct.pack("<II", 6, 0))
+        + _tagged(5, struct.pack("<ii", 2, 2))
+        + _tagged(1, b"D")
+        + _tagged(9, np.array([0.0, 1.0, 1.0, 0.0], dtype="<f8").tobytes())
+    )
+    with open(pd_, "wb") as fh:
+        fh.write(raw[:128] + _tagged(_MI_MATRIX, body))
+    assert canon(read_mat(spark, pd_, key="D")) == [(0, 1)]
