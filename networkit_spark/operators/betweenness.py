@@ -35,14 +35,16 @@ from networkit_spark.plans.checkpoint import IterationState, materialize
 
 def betweenness(
     graph: Graph,
-    sources: list[int] | None = None,
+    sources: list[int] | DataFrame | None = None,
     normalized: bool = False,
     scale_to_n: bool = False,
     max_depth: int | None = None,
 ) -> DataFrame:
     """scores(id, score). ``sources=None`` = exact (all vertices as
-    sources); a list runs the sampled estimator over that pinned source
-    set. ``scale_to_n`` multiplies sampled scores by n/|sources|
+    sources); a list (or an (id) DataFrame — stays distributed, nothing
+    collected: the Dyn* updaters pass graph-sized affected sets) runs the
+    sampled estimator over that pinned source set. ``scale_to_n``
+    multiplies sampled scores by n/|sources|
     (EstimateBetweenness.cpp:49-57). ``normalized`` divides by (n-1)(n-2).
     Directed graphs follow out-edges, like the reference's BFS."""
     spark = graph.vertices.sparkSession
@@ -57,6 +59,9 @@ def betweenness(
     if sources is None:
         src_df = graph.vertices.select(F.col("id").alias("s"))
         n_sources = n
+    elif isinstance(sources, DataFrame):
+        src_df = materialize(sources.select(F.col(sources.columns[0]).alias("s")))
+        n_sources = src_df.count()
     else:
         src_df = spark.createDataFrame([(int(s),) for s in sources], "s long")
         n_sources = len(sources)

@@ -27,10 +27,13 @@ from networkit_spark.plans.checkpoint import IterationState, materialize
 
 
 def multi_source_hops(
-    graph: Graph, sources: list[int] | None = None, max_depth: int | None = None
+    graph: Graph, sources: list[int] | DataFrame | None = None,
+    max_depth: int | None = None,
 ) -> DataFrame:
     """(s, id, dist) — unweighted hop distances from every source (None =
-    all vertices); unreachable pairs absent. Batched frontier BFS: one
+    all vertices; a list, or an (id) DataFrame that stays distributed —
+    the Dyn* updaters pass event-batch endpoint sets that can be
+    graph-sized); unreachable pairs absent. Batched frontier BFS: one
     join + agg + anti-join per level advances all sources at once."""
     spark = graph.vertices.sparkSession
     edges = materialize(
@@ -39,6 +42,8 @@ def multi_source_hops(
 
     if sources is None:
         src_df = graph.vertices.select(F.col("id").alias("s"))
+    elif isinstance(sources, DataFrame):
+        src_df = materialize(sources.select(F.col(sources.columns[0]).alias("s")))
     else:
         src_df = spark.createDataFrame([(int(s),) for s in sources], "s long")
 

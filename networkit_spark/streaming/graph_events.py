@@ -560,9 +560,10 @@ def update_betweenness_incremental(
         .unionByName(added_edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    endpoints = [int(r["id"]) for r in eps.collect()]
-    # d(endpoint, q) on the OLD graph = d(q, endpoint) (undirected)
-    dp = multi_source_hops(graph_before, sources=endpoints)
+    # d(endpoint, q) on the OLD graph = d(q, endpoint) (undirected); the
+    # endpoint set stays a DataFrame — an event batch touching many
+    # vertices never becomes a driver-side Python list
+    dp = multi_source_hops(graph_before, sources=eps)
     add = added_edges.select("src", "dst")
     BIG = F.lit(2**62)
     a_tab = dp.select(
@@ -583,11 +584,10 @@ def update_betweenness_incremental(
         .select(F.col("q").alias("id"))
         .distinct()
     )
-    srcs = [int(r["id"]) for r in affected.collect()]
-    if not srcs:
+    if affected.limit(1).count() == 0:  # one scalar, not the id list
         return old_bc
-    old_part = betweenness(graph_before, sources=srcs)
-    new_part = betweenness(graph_after, sources=srcs)
+    old_part = betweenness(graph_before, sources=affected)
+    new_part = betweenness(graph_after, sources=affected)
     return (
         old_bc.withColumnRenamed("score", "bc")
         .join(old_part.withColumnRenamed("score", "o"), "id", "left")
@@ -649,8 +649,7 @@ def affected_nodes(graph_before: Graph, added_edges: DataFrame) -> DataFrame:
         .unionByName(added_edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    endpoints = [int(r["id"]) for r in eps.collect()]
-    dp = multi_source_hops(g, sources=endpoints)
+    dp = multi_source_hops(g, sources=eps)
     add = added_edges.select("src", "dst")
     BIG = F.lit(2**62)
     a_tab = dp.select(

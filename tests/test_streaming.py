@@ -488,3 +488,61 @@ def test_incremental_weakly_cc_on_directed_events(spark):
     # 0,1,2,3 merged weakly; 4,5 untouched
     assert len({got[i] for i in (0, 1, 2, 3)}) == 1
     assert got[4] == got[5] != got[0]
+
+
+def test_affected_nodes_large_event_batch(spark):
+    """A 10^3-edge EVENT batch must stay distributed end-to-end (the
+    endpoint set is passed as a DataFrame, never a driver-side Python
+    list) and still match a BFS referee on the affectedness criterion."""
+    import random
+    from collections import deque
+
+    from networkit_spark.streaming.graph_events import affected_nodes
+
+    rng = random.Random(99)
+    n = 120
+    base = set()
+    while len(base) < 240:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v:
+            base.add((min(u, v), max(u, v)))
+    adds = set()
+    while len(adds) < 1000:
+        u, v = rng.randrange(n), rng.randrange(n)
+        if u != v and (min(u, v), max(u, v)) not in base:
+            adds.add((min(u, v), max(u, v)))
+    g = from_edge_rows(spark, [(u, v, 1.0) for u, v in sorted(base)],
+                       num_nodes=n, weighted=True)
+    add = spark.createDataFrame(
+        [(u, v, 1.0) for u, v in sorted(adds)],
+        "src long, dst long, weight double",
+    )
+    got = sorted(r["id"] for r in affected_nodes(g, add).collect())
+
+    adj = {i: [] for i in range(n)}
+    for u, v in base:
+        adj[u].append(v)
+        adj[v].append(u)
+
+    def hops(src):
+        d = {src: 0}
+        dq = deque([src])
+        while dq:
+            x = dq.popleft()
+            for y in adj[x]:
+                if y not in d:
+                    d[y] = d[x] + 1
+                    dq.append(y)
+        return d
+
+    dist = {e: hops(e) for e in {x for uv in adds for x in uv}}
+    BIG = 2 ** 62
+    want = sorted(
+        q for q in range(n)
+        if any(
+            dist[u].get(q, BIG) + 1 <= dist[v].get(q, BIG)
+            or dist[v].get(q, BIG) + 1 <= dist[u].get(q, BIG)
+            for u, v in adds
+        )
+    )
+    assert got == want
