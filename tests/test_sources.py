@@ -476,3 +476,85 @@ def test_mat_roundtrip_and_errors(spark, tmp_path):
     with open(pd_, "wb") as fh:
         fh.write(raw[:128] + _tagged(_MI_MATRIX, body))
     assert canon(read_mat(spark, pd_, key="D")) == [(0, 1)]
+
+
+def test_thrill_binary_roundtrip(spark, tmp_path):
+    """ThrillGraphBinaryReader/Writer (io/ThrillGraphBinaryReader.cpp:14-97):
+    varint degree + uint32-LE u<=v half-edges per sequential node,
+    symmetrized on read; multi-file concatenation; max-id guard."""
+    import struct
+
+    import pytest
+
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.sources.foreign_binary import read_thrill, write_thrill
+
+    canon = lambda gr: sorted(
+        {(min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+         for r in gr.edges.collect()}
+    )
+    g = from_edge_rows(
+        spark, [(0, 1, 1.0), (1, 2, 1.0), (0, 4, 1.0), (3, 3, 1.0)],
+        num_nodes=6, weighted=False,
+    )
+    p = str(tmp_path / "g.thrill")
+    write_thrill(g, p)
+    g2 = read_thrill(spark, p)
+    assert canon(g2) == canon(g)
+    assert g2.vertices.count() == 6
+
+    raw = open(p, "rb").read()
+    # the reference concatenates files at node-record boundaries; node 0's
+    # record here = varint(2) + 2 uint32 = 9 bytes
+    p1, p2 = str(tmp_path / "part1"), str(tmp_path / "part2")
+    open(p1, "wb").write(raw[:9])
+    open(p2, "wb").write(raw[9:])
+    assert canon(read_thrill(spark, [p1, p2])) == canon(g)
+
+    bad = str(tmp_path / "bad.thrill")
+    open(bad, "wb").write(bytes([1]) + struct.pack("<I", 99))
+    with pytest.raises(ValueError, match="larger than number of nodes"):
+        read_thrill(spark, bad)
+
+
+def test_graphtool_binary_roundtrip(spark, tmp_path):
+    """GraphToolBinaryReader/Writer (io/GraphToolBinaryReader.cpp:16-133):
+    magic+version+endianness header, directed byte, adaptive neighbor-id
+    width (2-byte path via n=300), both endiannesses."""
+    import pytest
+
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.sources.foreign_binary import (
+        read_graphtool, write_graphtool,
+    )
+
+    canon = lambda gr: sorted(
+        {(min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+         for r in gr.edges.collect()}
+    )
+    g = from_edge_rows(
+        spark, [(0, 1, 1.0), (1, 2, 1.0), (0, 4, 1.0), (3, 3, 1.0)],
+        num_nodes=6, weighted=False,
+    )
+    for le in (True, False):
+        p = str(tmp_path / f"g_{le}.gt")
+        write_graphtool(g, p, little_endian=le)
+        gg = read_graphtool(spark, p)
+        assert canon(gg) == canon(g) and not gg.directed
+
+    dg = from_edge_rows(
+        spark, [(0, 1, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        num_nodes=300, directed=True, weighted=False,
+    )
+    pd_ = str(tmp_path / "d.gt")
+    write_graphtool(dg, pd_)
+    dg2 = read_graphtool(spark, pd_)
+    assert dg2.directed and dg2.vertices.count() == 300
+    assert sorted((r["src"], r["dst"]) for r in dg2.edges.collect()) == [
+        (0, 1), (1, 0), (2, 0)
+    ]
+
+    bad = str(tmp_path / "bad.gt")
+    open(bad, "wb").write(b"notamagic")
+    with pytest.raises(ValueError, match="header is broken"):
+        read_graphtool(spark, bad)
