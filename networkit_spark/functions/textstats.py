@@ -124,7 +124,14 @@ def token_topk(
     df: DataFrame, text_col: str = "text", k: int = 20
 ) -> DataFrame:
     """Global top-k tokens by (count desc, token asc)."""
-    t = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    # explode_outer + null drop: keeps InferFiltersFromGenerate from pushing
+    # a size(tokens(text))>0 filter to the scan, where the tokenizer would
+    # run a second time per row (see dedup.shingles for the measured cost).
+    t = (
+        df.select(tokens(F.col(text_col)).alias("__t"))
+        .select(F.explode_outer("__t").alias("token"))
+        .filter(F.col("token").isNotNull())
+    )
     return (
         t.groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
