@@ -1377,6 +1377,30 @@ def q_graph_randomize_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_global_curveball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant-style oracle (like graph_randomize_invariants): global
+    curveball trades preserve the unweighted non-loop degree histogram
+    EXACTLY (every accepted trade re-deals |pool| arcs with per-member
+    counts fixed; reverts keep state), so the oracle computes the
+    histogram of the ORIGINAL graph in SQL while Spark computes it over
+    the traded graph."""
+    from networkit_spark.operators.randomization import global_curveball
+
+    g, _ = L.events_graph(spark, sf_dir)
+    r = global_curveball(g, rounds=3, seed=42)
+    return (
+        r.edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(
+            F.col("deg").cast("bigint").alias("degree"),
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        )
+    )
+
+
 CTD_PAIRS = [(0, 1), (0, 2), (1, 3)]
 CTD_ITERS, CTD_OMEGA = 30, 0.5
 
@@ -1777,6 +1801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_maxflow": q_graph_maxflow,
     "graph_diff": q_graph_diff,
     "graph_randomize_invariants": q_graph_randomize_invariants,
+    "graph_global_curveball": q_graph_global_curveball,
     "graph_commute_time": q_graph_commute_time,
     "centrality_group_closeness": q_centrality_group_closeness,
     "centrality_group_harmonic": q_centrality_group_harmonic,
@@ -2003,6 +2028,7 @@ def build_oracles() -> dict[str, str]:
         "graph_maxflow": L.sql_maxflow(MAXFLOW_K, MAXFLOW_S, MAXFLOW_T),
         "graph_diff": L.sql_graph_diff(),
         "graph_randomize_invariants": L.sql_degree_histogram(),
+        "graph_global_curveball": L.sql_degree_histogram(),
         "graph_commute_time": L.sql_commute_time(CTD_PAIRS, CTD_ITERS, CTD_OMEGA),
         "centrality_group_closeness": L.sql_group_closeness(GROUP_CLOSENESS_K),
         "centrality_group_harmonic": L.sql_group_harmonic(GROUP_CLOSENESS_K),

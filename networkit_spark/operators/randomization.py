@@ -223,3 +223,213 @@ def degree_preserving_shuffle(
         graph.vertices, edges, directed=graph.directed, weighted=graph.weighted
     )
     return g, mapping
+
+
+def global_curveball(graph: Graph, rounds: int = 5, seed: int = 42) -> Graph:
+    """Degree-preserving randomization by global curveball trades (ref:
+    networkit/cpp/randomization/GlobalCurveball.cpp:1-71 wrapping the
+    EM-GCB algorithm of GlobalCurveballImpl.hpp:125-320, Carstens et al.
+    ESA 2018; tests randomization/test/GlobalCurveballGTest.cpp).
+
+    Reference semantics per global trade: a round permutation orders the
+    vertices; consecutive pairs (u, v) trade — common neighbours stay with
+    both, the symmetric-difference neighbours are pooled and re-dealt
+    uniformly at random, u drawing |N(u) \\ N(v)| of them. Every vertex
+    participates in exactly one trade per round, every edge belongs to the
+    trade of its earlier-ordered endpoint.
+
+    Spark-first deviation (documented): the reference processes the n/2
+    trades of a round SEQUENTIALLY in permutation order, re-queueing a
+    traded edge into the same round when its new holder is a later-ordered
+    vertex (GlobalCurveballImpl.hpp:205-216) — that intra-round cascade is
+    what keeps simultaneous trades from colliding. Here all trades of a
+    round run in PARALLEL, and collisions are handled like
+    ``edge_switching`` handles them: a trade whose re-deal would recreate
+    an edge that existed before the round outside the trade itself, or
+    would collide with another trade's proposal, REVERTS wholesale to its
+    original arcs (conservative Metropolis-style reject — state unchanged,
+    degrees untouched, graph stays simple). Each accepted trade is exactly
+    one reference curveball trade, so every round applies a disjoint union
+    of valid trades; rejects only slow mixing, never bias a single trade's
+    redistribution. All randomness is md5-derandomized: identical output
+    at any parallelism, replayable by the serial referee in
+    tests/test_randomization.py.
+
+    Scale shape per round: one distributed rank (range partition, no
+    global window), then joins/groupBys keyed on pair id; per-pair windows
+    are bounded by deg(u)+deg(v) — the same hub-trade cost profile as the
+    reference's per-trade neighbourhood scan.
+
+    Undirected simple graphs (the reference's default contract;
+    allowSelfLoops requires directed input there, Globals checked at
+    GlobalCurveball.cpp:23-31). Self-loops in the input are frozen, like
+    ``edge_switching``.
+    """
+    if graph.directed:
+        raise ValueError("global_curveball randomizes undirected graphs")
+    from networkit_spark.functions.ordering import global_cumsum
+    from networkit_spark.plans.checkpoint import materialize
+
+    base = graph.edges.select("src", "dst")
+    loops = base.filter(F.col("src") == F.col("dst")).distinct()
+    canon = materialize(base.filter(F.col("src") < F.col("dst")).distinct())
+    verts = graph.vertices.select("id")
+
+    for r in range(rounds):
+        tag = f"{seed}:{r}"
+        # -- 1. round permutation -> disjoint vertex pairs (pair, side) ----
+        perm = verts.withColumn(
+            "h",
+            F.expr(
+                md5_long_sql(f"concat_ws(':', '{tag}', 'perm', CAST(id AS STRING))")
+            ),
+        )
+        ranked = global_cumsum(
+            perm.withColumn("one", F.lit(1)), ["h", "id"], ["one"]
+        ).select(
+            "id",
+            "h",
+            ((F.col("cum_one") - 1) / 2).cast("long").alias("pair"),
+            (F.col("cum_one") % 2).alias("side"),  # 1 = first member (u)
+            F.col("cum_one").alias("rk"),
+        )
+        n_rows = ranked.count()  # also materializes the rank
+        # the last rank of an odd-order graph has no partner: deactivate
+        pairing = ranked.withColumn(
+            "active",
+            F.when(
+                (F.lit(n_rows % 2 == 1)) & (F.col("rk") == n_rows), F.lit(False)
+            ).otherwise(F.lit(True)),
+        ).select("id", "h", "pair", "side", "active")
+
+        # -- 2. edge ownership: the earlier-ordered endpoint's trade -------
+        pa = pairing.select(
+            F.col("id").alias("src"), F.col("h").alias("h_src"),
+            F.col("pair").alias("pair_src"), F.col("active").alias("act_src"),
+        )
+        pb = pairing.select(
+            F.col("id").alias("dst"), F.col("h").alias("h_dst"),
+            F.col("pair").alias("pair_dst"), F.col("active").alias("act_dst"),
+        )
+        owned = (
+            canon.join(pa, "src")
+            .join(pb, "dst")
+            .withColumn(
+                "owner_is_src",
+                (F.col("h_src") < F.col("h_dst"))
+                | ((F.col("h_src") == F.col("h_dst")) & (F.col("src") < F.col("dst"))),
+            )
+            .select(
+                "src",
+                "dst",
+                F.when(F.col("owner_is_src"), F.col("src")).otherwise(F.col("dst")).alias("owner"),
+                F.when(F.col("owner_is_src"), F.col("dst")).otherwise(F.col("src")).alias("nb"),
+                F.when(F.col("owner_is_src"), F.col("pair_src")).otherwise(F.col("pair_dst")).alias("pair"),
+                F.when(F.col("owner_is_src"), F.col("act_src")).otherwise(F.col("act_dst")).alias("act"),
+            )
+        )
+        untouched = owned.filter(~F.col("act")).select("src", "dst")
+        arcs = owned.filter(F.col("act")).select("src", "dst", "owner", "nb", "pair")
+
+        # partner lookup + per-pair member ids (u = side-1 member, v = other)
+        members = (
+            pairing.filter(F.col("active"))
+            .groupBy("pair")
+            .agg(
+                F.max(F.when(F.col("side") == 1, F.col("id"))).alias("u"),
+                F.max(F.when(F.col("side") == 0, F.col("id"))).alias("v"),
+            )
+        )
+        arcs = arcs.join(members, "pair")
+        # edge between the trade partners is pinned (reference pops it
+        # before the re-deal, GlobalCurveballImpl.hpp:152-173)
+        partner_edge = (F.col("nb") == F.col("u")) | (F.col("nb") == F.col("v"))
+
+        # -- 3. common vs disjoint neighbours per trade --------------------
+        per_nb = arcs.withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("pair", "nb"))
+        )
+        fixed = per_nb.filter(partner_edge | (F.col("cnt") == 2)).select("src", "dst")
+        pool = per_nb.filter(~partner_edge & (F.col("cnt") == 1)).select(
+            "pair", "u", "v", "owner", "nb", "src", "dst"
+        )
+
+        # -- 4. re-deal the pool: owner u draws k_u = |pool arcs from u| ---
+        pool = pool.withColumn(
+            "k_u",
+            F.sum(F.when(F.col("owner") == F.col("u"), 1).otherwise(0)).over(
+                Window.partitionBy("pair")
+            ),
+        ).withColumn(
+            "deal_h",
+            F.expr(
+                md5_long_sql(
+                    f"concat_ws(':', '{tag}', 'deal', CAST(pair AS STRING), CAST(nb AS STRING))"
+                )
+            ),
+        )
+        pool = pool.withColumn(
+            "deal_rk",
+            F.row_number().over(Window.partitionBy("pair").orderBy("deal_h", "nb")),
+        ).withColumn(
+            "new_owner",
+            F.when(F.col("deal_rk") <= F.col("k_u"), F.col("u")).otherwise(F.col("v")),
+        )
+        proposals = pool.select(
+            "pair",
+            "src",
+            "dst",
+            F.least(F.col("new_owner"), F.col("nb")).alias("nsrc"),
+            F.greatest(F.col("new_owner"), F.col("nb")).alias("ndst"),
+        )
+
+        # -- 5. conservative conflict reverts (edge_switching pattern) -----
+        # pre-round edges annotated with their owning pair (null = inactive)
+        pre = owned.select(
+            "src", "dst", F.when(F.col("act"), F.col("pair")).alias("own_pair")
+        )
+        clash_pre = (
+            proposals.join(
+                pre.select(
+                    F.col("src").alias("nsrc"), F.col("dst").alias("ndst"), "own_pair"
+                ),
+                ["nsrc", "ndst"],
+                "left",
+            )
+            .filter(
+                F.col("own_pair").isNull()
+                | (F.col("own_pair") != F.col("pair"))
+            )
+            .join(
+                pre.select(
+                    F.col("src").alias("nsrc"), F.col("dst").alias("ndst")
+                ).withColumn("pre_hit", F.lit(1)),
+                ["nsrc", "ndst"],
+                "semi",
+            )
+            .select("pair")
+        )
+        clash_dup = (
+            proposals.groupBy("nsrc", "ndst")
+            .agg(F.count(F.lit(1)).alias("np"), F.collect_set("pair").alias("ps"))
+            .filter(F.col("np") > 1)
+            .select(F.explode("ps").alias("pair"))
+        )
+        bad_pairs = clash_pre.unionByName(clash_dup).distinct()
+
+        accepted = proposals.join(bad_pairs, "pair", "anti").select(
+            F.col("nsrc").alias("src"), F.col("ndst").alias("dst")
+        )
+        reverted = proposals.join(bad_pairs, "pair", "semi").select("src", "dst")
+
+        canon = materialize(
+            untouched.unionByName(fixed)
+            .unionByName(reverted)
+            .unionByName(accepted)
+        )
+
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = sym.unionByName(loops).withColumn("weight", F.lit(1.0).cast("float"))
+    return Graph(graph.vertices, out, directed=False, weighted=False)
