@@ -902,6 +902,19 @@ def q_source_profile(spark, sf_dir):
     return textstats.source_profile(_docs(spark, sf_dir))
 
 
+LM_VOCAB, LM_ADD_K = 1000, 0.5
+
+
+def q_text_lm_score(spark, sf_dir):
+    """Unigram-LM quality proxy (CCNet-style perplexity filter with the
+    KenLM n-gram replaced by a corpus-trained unigram — textstats.
+    lm_quality_score): top-LM_VOCAB vocabulary + one <unk> bucket, add-k
+    smoothing, per-doc mean ln p(token)."""
+    return textstats.lm_quality_score(
+        _docs(spark, sf_dir), vocab_size=LM_VOCAB, add_k=LM_ADD_K
+    )
+
+
 def q_minhash_bands(spark, sf_dir):
     sh = dedup.shingles(_docs(spark, sf_dir))
     return dedup.minhash_bands(sh, num_hashes=16, bands=4)
@@ -1829,6 +1842,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lang_id": q_lang_id,
     "text_fingerprint": q_fingerprint,
     "text_token_topk": q_token_topk,
+    "text_lm_score": q_text_lm_score,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_bands": q_minhash_bands,
     "dedup_canonical": q_dedup_canonical,
@@ -2076,6 +2090,7 @@ def build_oracles() -> dict[str, str]:
         "text_lang_id": L.sql_lang_id(),
         "text_fingerprint": L.sql_fingerprint(),
         "text_token_topk": L.sql_token_topk(20),
+        "text_lm_score": L.sql_lm_score(LM_VOCAB, LM_ADD_K),
         "dedup_exact": L.sql_dedup_exact(),
         "graph_quadrangles": L.sql_quadrangles(),
         "text_ngram_repetition": L.sql_ngram_repetition(2),

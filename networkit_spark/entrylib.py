@@ -673,6 +673,33 @@ FROM tok GROUP BY token
 ORDER BY cnt DESC, token ASC LIMIT {k}"""
 
 
+def sql_lm_score(vocab_size: int, add_k: float) -> str:
+    """Unigram-LM quality proxy twin of textstats.lm_quality_score: same
+    top-V vocabulary (count DESC, token ASC), same add-k smoothing over
+    V+1 events with residual-count <unk>, same 6dp-rounded mean logprob."""
+    return f"""WITH {DOCS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs_tok),
+counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tok),
+vocab AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT {vocab_size}),
+stats AS (
+    SELECT (SELECT count(*) FROM tok) AS n_total,
+           (SELECT COALESCE(sum(cnt), 0) FROM vocab) AS sv,
+           (SELECT count(*) FROM vocab) AS v
+),
+scored AS (
+    SELECT t.doc_id,
+           ln((COALESCE(vb.cnt, s.n_total - s.sv) + {add_k})
+              / (s.n_total + {add_k} * (s.v + 1))) AS lp
+    FROM tok t
+    CROSS JOIN stats s
+    LEFT JOIN vocab vb ON t.tok = vb.tok
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id"""
+
+
 def sql_dedup_exact() -> str:
     return """SELECT md5(text) AS text_hash,
        CAST(count(*) AS BIGINT) AS dup_count,

@@ -367,3 +367,66 @@ def pack_sequences(
         F.floor(start / F.lit(float(capacity))).cast("bigint").alias("bin"),
         (start % F.lit(capacity)).cast("bigint").alias("bin_offset"),
     )
+
+
+def lm_quality_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — unigram-LM quality proxy: train
+    token counts over the corpus itself, smooth add-k over the
+    top-``vocab_size`` vocabulary plus one OOV bucket, score each document
+    by its mean ln p(token). The CCNet-style perplexity filter (Wenzek et
+    al., LREC 2020) with the KenLM 5-gram replaced by a corpus-trained
+    unigram model — the filtering signal (low mean logprob = gibberish /
+    boilerplate / wrong-language text) survives the order reduction, and
+    everything stays engine-neutral for the DuckDB oracle.
+
+    Model: vocab = top ``vocab_size`` tokens by (count DESC, token ASC);
+    every other token collapses into one <unk> event with the residual
+    count, so probabilities sum to 1 over V+1 events:
+    p(x) = (cnt_x + k) / (N + k * (V + 1)).
+
+    100 TB shape: one groupBy(token) for counts (uniform keys), a
+    TakeOrderedAndProject for the bounded top-V (per-partition top-V, no
+    global sort), a broadcast join of the <=vocab_size vocab onto the
+    token stream, and one partial-agg groupBy(doc). The model "scalars"
+    (N, V, sum of vocab counts) travel as a broadcast 1-row DataFrame —
+    no driver-side collect. Zero-token documents produce no token rows
+    and are absent from the output (same contract as shingles()).
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    )
+    # explode_outer + null drop: see dedup.shingles — keeps the tokenizer
+    # out of an inferred size()>0 filter at the scan
+    tok = staged.select("doc_id", F.explode_outer("__t").alias("tok")).filter(
+        F.col("tok").isNotNull()
+    )
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    vocab = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(vocab_size)
+    stats = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n_total")).crossJoin(
+        vocab.agg(
+            F.sum("cnt").cast("bigint").alias("sv"),
+            F.count(F.lit(1)).cast("bigint").alias("v"),
+        )
+    )
+    k = float(add_k)
+    scored = (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "lp",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.col("n_total") - F.col("sv")) + F.lit(k))
+                / (F.col("n_total") + F.lit(k) * (F.col("v") + 1))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )

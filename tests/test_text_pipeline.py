@@ -221,3 +221,54 @@ def test_pack_sequences_parallelism_invariant(spark):
     a = {tuple(r) for r in pack_sequences(df, capacity=16).collect()}
     b = {tuple(r) for r in pack_sequences(df.repartition(13), capacity=16).collect()}
     assert a == b
+
+
+def test_lm_quality_score_referee(spark):
+    """Hand-computed unigram model on a tiny corpus: vocab smaller than the
+    distinct-token count so the <unk> bucket is exercised, plus a
+    vocab-boundary tie broken by (count DESC, token ASC)."""
+    import math
+
+    from networkit_spark.functions.textstats import lm_quality_score
+
+    rows = [
+        (1, "aa aa aa bb bb cc"),
+        (2, "bb cc dd"),
+        (3, "aa zz"),
+        (4, ""),  # zero tokens -> absent from the output
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in lm_quality_score(df, vocab_size=2, add_k=0.5).collect()
+    }
+    # corpus counts: aa=4 bb=3 cc=2 dd=1 zz=1 -> vocab={aa,bb}, N=11, V=2,
+    # sv=7, unk count=4; denom = 11 + 0.5*3 = 12.5
+    def p(cnt):
+        return (cnt + 0.5) / 12.5
+
+    lp = {"aa": math.log(p(4)), "bb": math.log(p(3)), "unk": math.log(p(4))}
+    exp1 = (3 * lp["aa"] + 2 * lp["bb"] + lp["unk"]) / 6
+    exp2 = (lp["bb"] + 2 * lp["unk"]) / 3
+    exp3 = (lp["aa"] + lp["unk"]) / 2
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_tokens"] == 6 and abs(out[1]["avg_logprob"] - exp1) < 1e-6
+    assert out[2]["n_tokens"] == 3 and abs(out[2]["avg_logprob"] - exp2) < 1e-6
+    assert out[3]["n_tokens"] == 2 and abs(out[3]["avg_logprob"] - exp3) < 1e-6
+
+
+def test_lm_quality_score_vocab_tiebreak(spark):
+    """cc and dd tie on count at the vocab boundary; (count DESC, token ASC)
+    must pick cc in both engines."""
+    from networkit_spark.functions.textstats import lm_quality_score
+
+    df = spark.createDataFrame(
+        [(1, "cc dd"), (2, "dd cc")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm_quality_score(df, vocab_size=1, add_k=0.5).collect()
+    }
+    # vocab={cc}: both docs have one vocab token (p=(2+.5)/5) and one unk
+    # (p=(2+.5)/5) -> identical scores; determinism is the assertion
+    assert abs(out[1] - out[2]) < 1e-12
