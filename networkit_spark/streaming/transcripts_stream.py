@@ -171,3 +171,67 @@ def read_degrees(spark: SparkSession, state_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.sum("deg").alias("deg"))
     )
+
+
+# ---- streaming exact dedup -------------------------------------------------
+
+_DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text_hash", T.StringType()),
+        T.StructField("is_dup", T.BooleanType()),
+        T.StructField("rep_id", T.LongType()),
+    ]
+)
+
+_DEDUP_STATE_SCHEMA = T.StructType([T.StructField("rep_id", T.LongType())])
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-content-hash stateful kernel: the first-seen document becomes the
+    canonical representative (min doc_id inside the first micro-batch that
+    carries the hash — deterministic at any parallelism), every later
+    arrival is flagged a duplicate of it. One 8-byte state row per distinct
+    text, forever — the streaming analogue of exact_duplicates' min-id
+    survivor election."""
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if state.exists:
+        (rep,) = state.get
+    else:
+        rep = int(rows["doc_id"].min())
+        state.update((rep,))
+    yield pd.DataFrame(
+        {
+            "doc_id": rows["doc_id"].astype("int64"),
+            "text_hash": key[0],
+            "is_dup": rows["doc_id"] != rep,
+            "rep_id": rep,
+        }
+    )
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Streaming exact deduplication over a document stream: annotate every
+    arriving document with (is_dup, rep_id) against all content seen so far.
+
+    Spark-first shape: md5 the text per row (JVM expr), group by the digest,
+    ``applyInPandasWithState`` holds exactly one LONG per distinct text —
+    the same state-store discipline as tool_transitions_stream. At ingest
+    scale the state store is the distinct-content set; production pipelines
+    bound it with a ``GroupStateTimeout`` TTL when the stream outlives the
+    dedup horizon (exact-forever here, matching the batch operator's
+    contract so the streaming and batch answers agree on replay).
+    """
+    hashed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.md5(F.col("text")).alias("text_hash"),
+    )
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

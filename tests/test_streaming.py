@@ -546,3 +546,48 @@ def test_affected_nodes_large_event_batch(spark):
         )
     )
     assert got == want
+
+
+def test_streaming_dedup_state_across_batches(spark, tmp_path):
+    """First-seen content election must survive micro-batch boundaries: a
+    LOWER doc_id arriving in a later batch is still flagged as a duplicate
+    of the first batch's representative."""
+    import time
+
+    from networkit_spark.streaming.transcripts_stream import dedup_stream
+
+    src = os.path.join(str(tmp_path), "docs_in")
+    schema = "doc_id long, text string"
+    batch1 = [(11, "same text"), (10, "same text"), (12, "other text")]
+    batch2 = [(1, "same text"), (2, "third text")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)  # order the file mtimes so batch1 is the first trigger
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql("select * from dedup_out").collect()}
+    assert set(rows) == {1, 2, 10, 11, 12}
+    # batch-1 election: min id IN THE FIRST BATCH (10), not the global min
+    assert rows[10]["is_dup"] is False and rows[10]["rep_id"] == 10
+    assert rows[11]["is_dup"] is True and rows[11]["rep_id"] == 10
+    # cross-batch: id 1 carries the same text but arrives after -> duplicate
+    assert rows[1]["is_dup"] is True and rows[1]["rep_id"] == 10
+    # singletons are their own representatives
+    assert rows[12]["is_dup"] is False and rows[12]["rep_id"] == 12
+    assert rows[2]["is_dup"] is False and rows[2]["rep_id"] == 2
+    # exactly one representative per content hash
+    import collections
+
+    per_hash = collections.Counter(
+        r["text_hash"] for r in rows.values() if not r["is_dup"]
+    )
+    assert all(v == 1 for v in per_hash.values())
