@@ -87,6 +87,12 @@ def test_no_forced_vertex_sized_broadcasts():
         "operators/spanning.py": ["F.broadcast(lvls)"],
         # 1-row global min agg (k==0 degenerate clustering)
         "operators/overlap.py": ["F.broadcast(one)"],
+        # lm_quality_score: vocab is .limit(vocab_size) (<=1000 rows by
+        # construction); stats is a 1-row crossJoin of two global aggs
+        "functions/textstats.py": [
+            "F.broadcast(vocab)",
+            "F.broadcast(stats)",
+        ],
         # query-set-sized tables, O(len(query_ids) [x n_tables]), and the
         # k-row centroid table of the IVF index
         "functions/similarity.py": [
