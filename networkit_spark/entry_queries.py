@@ -1753,6 +1753,31 @@ def q_embed_ivf_ann(spark, sf_dir):
     )
 
 
+SEMDEDUP_CELLS, SEMDEDUP_EPS, SEMDEDUP_MAX_CELL = 8, 0.35, 200
+
+
+def q_dedup_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup (similarity.semdedup): cluster-scoped
+    cosine pruning over the embedding table, farthest-from-centroid
+    survivor per duplicate group (Abbas et al. 2023)."""
+    emb = L.load(spark, sf_dir, "embeddings")
+    return similarity.semdedup(
+        emb, n_cells=SEMDEDUP_CELLS, eps=SEMDEDUP_EPS, max_cell=SEMDEDUP_MAX_CELL
+    )
+
+
+SPAN_DEDUP_N, SPAN_DEDUP_THRESHOLD = 3, 0.65
+
+
+def q_text_span_dedup(spark, sf_dir):
+    """Cross-document duplicated-span filter (dedup.span_dedup): fraction
+    of each doc's distinct word n-grams shared with any OTHER document,
+    keep=false above the threshold (C4 repeated-span tier)."""
+    return dedup.span_dedup(
+        _docs(spark, sf_dir), n=SPAN_DEDUP_N, threshold=SPAN_DEDUP_THRESHOLD
+    )
+
+
 # ---- registry -------------------------------------------------------------
 
 # Driver-gate rotation (VERDICT r2 task 1): the driver's correctness gate
@@ -1837,6 +1862,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_volume": q_graph_volume,
     "dedup_embed_pairs": q_embed_near_dup,
     "embed_ivf_ann": q_embed_ivf_ann,
+    "dedup_semdedup": q_dedup_semdedup,
+    "text_span_dedup": q_text_span_dedup,
     "text_token_stats": q_token_stats,
     "text_quality": q_quality,
     "text_lang_id": q_lang_id,
@@ -2067,6 +2094,10 @@ def build_oracles() -> dict[str, str]:
         "graph_volume": L.sql_volume(VOLUME_RS, 25, 42),
         "dedup_embed_pairs": L.sql_embed_near_dup(0.2, 8, 2, 42, 64),
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
+        "dedup_semdedup": L.sql_semdedup(
+            SEMDEDUP_CELLS, SEMDEDUP_EPS, SEMDEDUP_MAX_CELL
+        ),
+        "text_span_dedup": L.sql_span_dedup(SPAN_DEDUP_N, SPAN_DEDUP_THRESHOLD),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),
         "centrality_permanence": L.sql_permanence(1),
         "centrality_spanning_edge": L.sql_spanning_edge(4, 30, 0.5),

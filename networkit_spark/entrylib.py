@@ -5021,3 +5021,75 @@ SELECT doc_id, n_emails, n_ips,
        CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
        md5(regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
 FROM r ORDER BY doc_id"""
+
+
+def sql_span_dedup(n: int = 3, threshold: float = 0.3) -> str:
+    """Mirror of dedup.span_dedup: distinct per-doc word n-grams, cross-
+    document frequency, per-doc duplicated-span fraction. The keep compare
+    uses the UNROUNDED fraction on both sides (one IEEE division of exact
+    integers — bit-identical across engines); dup_fraction is rounded for
+    the value hash only."""
+    return f"""WITH {DOCS_CTE},
+shd AS (
+    SELECT doc_id AS id, unnest(list_distinct({_sql_grams_expr(n)})) AS shingle
+    FROM docs_tok
+),
+freq AS (SELECT shingle, COUNT(*) AS df FROM shd GROUP BY shingle),
+per_doc AS (
+    SELECT s.id,
+           COUNT(*) AS n_sh,
+           SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+    FROM shd s JOIN freq f ON f.shingle = s.shingle
+    GROUP BY s.id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_sh, 0) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+       ROUND(CASE WHEN COALESCE(p.n_sh, 0) = 0 THEN 0.0
+                  ELSE CAST(p.n_dup AS DOUBLE) / p.n_sh END, 6) AS dup_fraction,
+       (CASE WHEN COALESCE(p.n_sh, 0) = 0 THEN 0.0
+             ELSE CAST(p.n_dup AS DOUBLE) / p.n_sh END) < {threshold} AS keep
+FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
+ORDER BY d.doc_id"""
+
+
+def sql_semdedup(n_cells: int = 8, eps: float = 0.95, max_cell: int = 200) -> str:
+    """Mirror of similarity.semdedup: sampled-vector centroids (vec_id <
+    n_cells), nearest-cell assignment with the rounded csim kept as the
+    scan-order key, within-cell precedes-join at the rounded-6dp eps
+    compare, un-deduplicated wide cells (sz > max_cell) kept whole."""
+    adot = _DOT.format(a="n.e", b="c.cv")
+    pdot = _DOT.format(a="na.e", b="nb.e")
+    return f"""WITH {EMB_CTE},
+cells AS MATERIALIZED (
+    SELECT vec_id AS cell, e AS cv, nrm AS cnrm FROM norms WHERE vec_id < {n_cells}
+),
+asim AS MATERIALIZED (
+    SELECT n.vec_id, c.cell,
+           ROUND({adot} / (n.nrm * c.cnrm), 6) AS csim
+    FROM norms n CROSS JOIN cells c
+),
+assign AS MATERIALIZED (
+    SELECT vec_id, cell, csim FROM (
+        SELECT vec_id, cell, csim,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+        FROM asim
+    ) WHERE rn = 1
+),
+width AS (SELECT cell, COUNT(*) AS sz FROM assign GROUP BY cell),
+ded AS (
+    SELECT a.vec_id, a.cell, a.csim
+    FROM assign a JOIN width w ON w.cell = a.cell AND w.sz <= {max_cell}
+),
+dropped AS (
+    SELECT DISTINCT b.vec_id
+    FROM ded a JOIN ded b ON a.cell = b.cell
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    WHERE (a.csim > b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+      AND ROUND({pdot} / (na.nrm * nb.nrm), 6) >= {eps}
+)
+SELECT s.vec_id, s.cell, s.csim,
+       (d.vec_id IS NULL) AS kept
+FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+ORDER BY s.vec_id"""

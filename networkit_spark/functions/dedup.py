@@ -281,3 +281,76 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_dup_shingles, dup_fraction, keep) — CROSS-
+    document duplicated-span filter (the RefinedWeb / C4 "repeated span"
+    tier): for every document, the fraction of its distinct word n-grams
+    that also occur in at least one OTHER document; documents whose
+    duplicated-span fraction reaches ``threshold`` are flagged keep=false.
+
+    Complements the existing dedup family: exact/minhash/simhash judge
+    WHOLE documents, ngram_repetition is WITHIN-document — this is the
+    between-document partial-overlap tier (boilerplate headers, quoted
+    spans, templated pages) that C4 handles with its three-sentence-span
+    rule (Raffel et al., JMLR 2020 §2.2; here sentences -> word n-grams
+    because the corpus has no sentence boundaries).
+
+    Shape at 100 TB: shingles() is a zero-shuffle per-row array build +
+    explode; document frequency is ONE groupBy on uniform shingle keys
+    (partial-agg absorbs hot shingles map-side); the join back to per-doc
+    rows re-shuffles on the same shingle key (no new key, AQE reuses the
+    layout), and the final per-doc agg shuffles doc-sized rows. No stage
+    holds a per-document all-pairs product, so corpus size only scales the
+    shuffle linearly. Documents with fewer than n tokens have no shingles
+    and are reported with n_shingles=0, keep=true (same contract as
+    decontaminate's left join).
+    """
+    sh = shingles(docs, id_col, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_shingles"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_dup_shingles", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_shingles"),
+            F.round(
+                F.when(
+                    F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.coalesce("n_dup_shingles", F.lit(0))
+                    / F.coalesce("n_shingles", F.lit(1))
+                ),
+                6,
+            ).alias("dup_fraction"),
+            (
+                F.when(
+                    F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0.0)
+                ).otherwise(
+                    F.coalesce("n_dup_shingles", F.lit(0))
+                    / F.coalesce("n_shingles", F.lit(1))
+                )
+                < threshold
+            ).alias("keep"),
+        )
+    )

@@ -342,3 +342,94 @@ def ivf_ann_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    n_cells: int = 8,
+    eps: float = 0.95,
+    max_cell: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, csim, kept) — SemDeDup semantic deduplication (Abbas
+    et al. 2023, arXiv:2303.09540): cluster the embedding space, then
+    within each cluster drop every vector whose cosine similarity to a
+    PRECEDING cluster member reaches ``eps``. Following the paper's
+    released algorithm, cluster members are ordered by similarity to their
+    centroid DESCENDING (ties by id ascending) and an item is dropped when
+    the max pairwise similarity against items before it in that order
+    reaches eps — so of any duplicate group the member FARTHEST from the
+    centroid survives. Clustering reuses the IVF sampled-vector quantizer
+    (ivf_centroids + nearest-cell assignment; lloyd_refine is the offline
+    trainer, exactly as for ivf_ann_topk) which keeps the whole pass a
+    pure deterministic function of the data for the DuckDB oracle.
+
+    Shape at 100 TB: centroid assignment is one broadcast join + per-row
+    argmax (k centroids, k ~ sqrt(N) in the paper -> expected cell width
+    ~ sqrt(N)); the within-cell pairwise stage is an equi-join ON CELL, so
+    its cost is sum_c |c|^2, bounded by ``max_cell``: cells wider than the
+    cap are left un-deduplicated (kept whole, conservative — same contract
+    as the minhash stop-bucket cap) rather than exploding one skewed cell
+    into an n^2 product. cos(a,b) is rounded to 6dp before the eps compare
+    and the ordering key csim is the same rounded value, so Spark and
+    DuckDB make identical keep/drop decisions.
+    """
+    cent = ivf_centroids(emb, n_cells, id_col, vec_col)
+    vecs = emb.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("iv"))
+    sims = F.broadcast(cent).crossJoin(vecs).select(
+        "nid",
+        "cell",
+        F.round(
+            _dot(F.col("iv"), F.col("cv")) / (_norm(F.col("iv")) * _norm(F.col("cv"))),
+            6,
+        ).alias("csim"),
+    )
+    w = Window.partitionBy("nid").orderBy(F.desc("csim"), F.asc("cell"))
+    assign = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("nid").alias("vec_id"), "cell", "csim")
+    )
+    width = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    dedupable = assign.join(
+        width.filter(F.col("sz") <= max_cell).select("cell"), "cell", "semi"
+    )
+    v = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    a = dedupable.join(v, "vec_id").select(
+        "cell",
+        F.col("vec_id").alias("ida"),
+        F.col("csim").alias("csa"),
+        F.col("v").alias("va"),
+    )
+    b = dedupable.join(v, "vec_id").select(
+        "cell",
+        F.col("vec_id").alias("idb"),
+        F.col("csim").alias("csb"),
+        F.col("v").alias("vb"),
+    )
+    # a precedes b in the paper's scan order: csim desc, then id asc
+    precedes = (F.col("csa") > F.col("csb")) | (
+        (F.col("csa") == F.col("csb")) & (F.col("ida") < F.col("idb"))
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(precedes)
+        .filter(
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                6,
+            )
+            >= eps
+        )
+        .select(F.col("idb").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return assign.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "csim",
+        F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
+    )

@@ -395,3 +395,33 @@ def test_forest_fire_score_invariants(spark):
     assert {(r["src"], r["dst"]): r["score"] for r in s2.collect()} == {
         (r["src"], r["dst"]): r["score"] for r in rows
     }
+
+
+def test_semdedup_hand_fixture(spark):
+    """SemDeDup keep/drop on a 2-cell fixture: the planted near-duplicate
+    pair loses its more-central member (the paper keeps the item farthest
+    from the centroid); everything below eps survives; max_cell=1 disables
+    dedup entirely (wide cells kept whole)."""
+    from networkit_spark.functions.similarity import semdedup
+
+    vecs = [
+        (0, [1.0, 0.0]),        # centroid of cell 0
+        (1, [0.0, 1.0]),        # centroid of cell 1
+        (2, [0.8, 0.6]),        # cell 0, near-dup pair with 3
+        (3, [0.8001, 0.6]),     # cell 0, minutely closer to the centroid
+        (4, [0.95, 0.05]),      # cell 0, cos(0,4)=0.99862 < eps
+        (5, [0.1, 0.9]),        # cell 1, alone with its centroid
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in semdedup(emb, n_cells=2, eps=0.999).collect()}
+    assert {i: got[i]["cell"] for i in got} == {0: 0, 1: 1, 2: 0, 3: 0, 4: 0, 5: 1}
+    # cos(2,3) ~ 0.99999 >= eps; 3 has the higher centroid-sim so it
+    # precedes 2 in the scan order and 2 is the one dropped
+    assert not got[2]["kept"]
+    assert all(got[i]["kept"] for i in (0, 1, 3, 4, 5))
+    # the skew guard: cells wider than max_cell are left un-deduplicated
+    capped = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup(emb, n_cells=2, eps=0.999, max_cell=1).collect()
+    }
+    assert all(capped.values())

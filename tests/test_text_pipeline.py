@@ -272,3 +272,28 @@ def test_lm_quality_score_vocab_tiebreak(spark):
     # vocab={cc}: both docs have one vocab token (p=(2+.5)/5) and one unk
     # (p=(2+.5)/5) -> identical scores; determinism is the assertion
     assert abs(out[1] - out[2]) < 1e-12
+
+
+def test_span_dedup_hand_fixture(spark):
+    from networkit_spark.functions.dedup import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),   # trigrams: tqb qbf bfj
+            (1, "the quick brown cat sleeps"),  # shares "the quick brown" with 0
+            (2, "nothing in common here at all"),
+            (3, "xy"),                          # < n tokens -> no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(docs, n=3, threshold=0.34).collect()}
+    # doc 0: 3 shingles, 1 shared ("the quick brown") -> 1/3 < 0.34 is False?
+    # 1/3 = 0.3333 < 0.34 -> keep
+    assert got[0]["n_shingles"] == 3 and got[0]["n_dup_shingles"] == 1
+    assert abs(got[0]["dup_fraction"] - 1 / 3) < 1e-6 and got[0]["keep"]
+    assert got[1]["n_shingles"] == 3 and got[1]["n_dup_shingles"] == 1
+    assert got[2]["n_dup_shingles"] == 0 and got[2]["keep"]
+    assert got[3]["n_shingles"] == 0 and got[3]["keep"]
+    # tighter threshold drops both sharers
+    strict = {r["doc_id"]: r for r in span_dedup(docs, n=3, threshold=0.3).collect()}
+    assert not strict[0]["keep"] and not strict[1]["keep"] and strict[2]["keep"]
