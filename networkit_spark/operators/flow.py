@@ -148,3 +148,67 @@ def edmonds_karp(
 def max_flow_value(graph: Graph, source: int, sink: int) -> float:
     value, _ = edmonds_karp(graph, source, sink)
     return value
+
+
+def cut_clustering(graph: Graph, alpha: float, max_paths: int = 10_000) -> DataFrame:
+    """(id, label) — CutClustering (Flake et al., "Graph Clustering and
+    Minimum Cut Trees", Internet Mathematics 2004; ref
+    community/CutClustering.cpp:19-84): augment the graph with a sink t
+    joined to every node by an alpha-weight edge, then, visiting nodes in
+    (degree DESC, id ASC) order (the reference's bucket sort,
+    CutClustering.cpp:40-64), give every not-yet-assigned node u the
+    min-cut source side between u and t as its cluster, labelled u.  A
+    later source side may absorb earlier labels, exactly like the
+    reference's overwrite loop (CutClustering.cpp:70-79).
+
+    Determinism: edmonds_karp's ``source_set`` is the inclusion-MINIMAL
+    min-cut side (residual reachability), which is unique for a given
+    (graph, u, t) regardless of which max flow the path order found — so
+    the partition matches the reference's bit-for-bit without replicating
+    its path choices.
+
+    Fixture-tier by design, like the reference: the outer loop is
+    sequential in the number of clusters (each iteration one max flow,
+    itself sequential in augmenting paths — see the module scale note).
+    The alpha=0 / alpha>max-weight endpoints of the reference's
+    getClusterHierarchy are closed-form (connected components /
+    singletons, both implemented elsewhere); the interior breakpoint
+    search is repeated run() calls at bracketing alphas.
+    """
+    if graph.directed:
+        raise ValueError("cut_clustering expects an undirected graph")
+    spark = graph.vertices.sparkSession
+    order = [
+        (int(r["id"]), int(r["degree"]))
+        for r in graph.degrees().select("id", "degree").collect()
+    ]
+    order.sort(key=lambda p: (-p[1], p[0]))
+    if not order:
+        return spark.createDataFrame([], "id long, label long")
+    t = max(i for i, _ in order) + 1
+    sink_rows = [(i, t, float(alpha)) for i, _ in order]
+    sink_edges = spark.createDataFrame(
+        [(u, v, w) for u, v, w in sink_rows]
+        + [(v, u, w) for u, v, w in sink_rows],
+        "src long, dst long, weight double",
+    )
+    aug = Graph(
+        graph.vertices.unionByName(
+            spark.createDataFrame([(t,)], "id long")
+        ),
+        graph.edges.select(
+            "src", "dst", F.col("weight").cast("double").alias("weight")
+        ).unionByName(sink_edges),
+        directed=False,
+        weighted=True,
+    )
+    labels: dict[int, int] = {}
+    for u, _deg in order:
+        if u in labels:
+            continue
+        _, source_set = edmonds_karp(aug, u, t, max_paths=max_paths)
+        for r in source_set.collect():
+            labels[int(r["id"])] = u
+    return spark.createDataFrame(
+        sorted(labels.items()), "id long, label long"
+    )

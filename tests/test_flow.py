@@ -51,3 +51,49 @@ def test_maxflow_directed_asymmetry(spark):
     g = from_edge_rows(spark, [(0, 1), (1, 2)], num_nodes=3, directed=True)
     assert max_flow_value(g, 0, 2) == 1.0
     assert max_flow_value(g, 2, 0) == 0.0
+
+
+def test_cut_clustering_two_cliques(spark):
+    # Two 4-cliques joined by one bridge edge. With alpha=0.5 the min cut
+    # between any clique member and the artificial sink is its whole clique
+    # (cost 1 + 4*0.5 = 3 < singleton 3.5/4.5 < whole graph 4), so
+    # CutClustering must recover exactly the two cliques
+    # (community/CutClustering.cpp:19-84 run()).
+    from networkit_spark.operators.flow import cut_clustering
+
+    clique_a = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    clique_b = [(u, v) for u in range(4, 8) for v in range(u + 1, 8)]
+    g = from_edge_rows(spark, clique_a + clique_b + [(3, 4)], num_nodes=8)
+    labels = {r["id"]: r["label"] for r in cut_clustering(g, alpha=0.5).collect()}
+    assert set(labels) == set(range(8))  # every node assigned
+    assert len({labels[i] for i in range(4)}) == 1
+    assert len({labels[i] for i in range(4, 8)}) == 1
+    assert labels[0] != labels[4]
+    # first processed node is the max-degree, min-id one: node 3 labels
+    # clique A, node 4 labels clique B (degree-desc, id-asc order)
+    assert labels[0] == 3 and labels[4] == 4
+
+
+def test_cut_clustering_alpha_endpoints(spark):
+    # alpha above every edge weight -> singletons; tiny alpha -> one
+    # cluster per connected component (the closed-form endpoints of the
+    # reference's getClusterHierarchy, CutClustering.cpp:86-130).
+    from networkit_spark.operators.flow import cut_clustering
+
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (3, 4)], num_nodes=5)
+    hi = {r["id"]: r["label"] for r in cut_clustering(g, alpha=10.0).collect()}
+    assert hi == {i: i for i in range(5)}
+    lo = {r["id"]: r["label"] for r in cut_clustering(g, alpha=0.01).collect()}
+    assert len({lo[0], lo[1], lo[2]}) == 1 and len({lo[3], lo[4]}) == 1
+    assert lo[0] != lo[3]
+
+
+def test_cut_clustering_rejects_directed(spark):
+    from networkit_spark.operators.flow import cut_clustering
+
+    g = from_edge_rows(spark, [(0, 1)], directed=True, num_nodes=2)
+    try:
+        cut_clustering(g, alpha=1.0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
