@@ -1767,6 +1767,14 @@ def q_dedup_semdedup(spark, sf_dir):
 
 
 SPAN_DEDUP_N, SPAN_DEDUP_THRESHOLD = 3, 0.65
+MIXING_TARGET = 200
+
+
+def q_text_source_mixing(spark, sf_dir):
+    """Temperature-weighted source mixing (textstats.source_mixing):
+    sqrt-weighted per-source take rates + derandomized md5 Bernoulli
+    sampled counts (GPT-3/Pile corpus-mixture step)."""
+    return textstats.source_mixing(_docs(spark, sf_dir), target=MIXING_TARGET)
 
 
 def q_text_span_dedup(spark, sf_dir):
@@ -1864,6 +1872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivf_ann": q_embed_ivf_ann,
     "dedup_semdedup": q_dedup_semdedup,
     "text_span_dedup": q_text_span_dedup,
+    "text_source_mixing": q_text_source_mixing,
     "text_token_stats": q_token_stats,
     "text_quality": q_quality,
     "text_lang_id": q_lang_id,
@@ -2098,6 +2107,7 @@ def build_oracles() -> dict[str, str]:
             SEMDEDUP_CELLS, SEMDEDUP_EPS, SEMDEDUP_MAX_CELL
         ),
         "text_span_dedup": L.sql_span_dedup(SPAN_DEDUP_N, SPAN_DEDUP_THRESHOLD),
+        "text_source_mixing": L.sql_source_mixing(MIXING_TARGET),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),
         "centrality_permanence": L.sql_permanence(1),
         "centrality_spanning_edge": L.sql_spanning_edge(4, 30, 0.5),

@@ -5093,3 +5093,37 @@ SELECT s.vec_id, s.cell, s.csim,
        (d.vec_id IS NULL) AS kept
 FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
 ORDER BY s.vec_id"""
+
+
+def sql_source_mixing(target: int, seed: int = 42) -> str:
+    """Mirror of textstats.source_mixing: sqrt-temperature mixture weights
+    (sqrt is IEEE-correctly-rounded in both engines, unlike pow), 6dp-
+    rounded take rate used for BOTH the md5-bucket Bernoulli filter and
+    the emitted column, per-source sampled counts."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    h = md5_long_sql(
+        f"('mix{seed}:' || CAST(d.source AS STRING) || ':' "
+        f"|| CAST(d.doc_id AS STRING))"
+    )
+    return f"""WITH per AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+),
+z AS (SELECT SUM(sqrt(CAST(n_docs AS DOUBLE))) AS z FROM per),
+rated AS (
+    SELECT p.source, p.n_docs,
+           sqrt(CAST(p.n_docs AS DOUBLE)) / z.z AS w,
+           ROUND(LEAST(1.0, {float(target)} * (sqrt(CAST(p.n_docs AS DOUBLE)) / z.z)
+                             / p.n_docs), 6) AS rate
+    FROM per p CROSS JOIN z
+),
+kept AS (
+    SELECT d.source AS ksrc, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM documents d JOIN rated r ON r.source = d.source
+    WHERE ({h} % 1048576) < r.rate * 1048576
+    GROUP BY d.source
+)
+SELECT r.source, r.n_docs, ROUND(r.w, 6) AS weight, r.rate,
+       CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM rated r LEFT JOIN kept k ON k.ksrc = r.source
+ORDER BY r.source"""

@@ -430,3 +430,67 @@ def lm_quality_score(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+def source_mixing(
+    df: DataFrame,
+    target: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """(source, n_docs, weight, rate, n_sampled) — temperature-weighted
+    source mixing (the GPT-3/Pile-style corpus-mixture step: up-weight
+    small high-quality sources, down-weight the dominant crawl): source s
+    gets mixture weight W_s = sqrt(n_s) / sum_t sqrt(n_t) (temperature
+    alpha = 0.5 via an explicit sqrt — IEEE requires sqrt correctly
+    rounded, unlike pow, so both engines compute the identical double),
+    a per-doc take rate min(1, target * W_s / n_s) rounded to 6dp, and a
+    derandomized md5-bucket Bernoulli (same rule as stratified_sample) so
+    any parallelism draws the identical sample.
+
+    Shape at 100 TB: one partial-agg groupBy(source) whose shuffle carries
+    |sources| rows, a 1-row total, a rate join back onto the corpus that
+    AQE broadcasts (rate table is |sources| rows), and a stateless per-row
+    hash filter — no global shuffle of the corpus.
+    """
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    z = per.agg(F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"))
+    rated = per.crossJoin(z).select(
+        "source",
+        "n_docs",
+        (F.sqrt(F.col("n_docs").cast("double")) / F.col("z")).alias("__w"),
+    )
+    rated = rated.select(
+        "source",
+        "n_docs",
+        "__w",
+        F.round(
+            F.least(F.lit(1.0), F.lit(float(target)) * F.col("__w") / F.col("n_docs")),
+            6,
+        ).alias("rate"),
+    )
+    h = md5_long_sql(
+        f"('mix{seed}:' || CAST({source_col} AS STRING) || ':' "
+        f"|| CAST({id_col} AS STRING))"
+    )
+    kept = (
+        df.select(F.col(source_col).alias("source"), F.col(id_col))
+        .withColumn("__b", F.expr(h) % (1 << 20))
+        .join(rated.select("source", "rate"), "source")
+        .filter(F.col("__b") < F.col("rate") * (1 << 20))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
+    )
+    return (
+        rated.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("__w", 6).alias("weight"),
+            "rate",
+            F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
+    )

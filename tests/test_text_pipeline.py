@@ -297,3 +297,31 @@ def test_span_dedup_hand_fixture(spark):
     # tighter threshold drops both sharers
     strict = {r["doc_id"]: r for r in span_dedup(docs, n=3, threshold=0.3).collect()}
     assert not strict[0]["keep"] and not strict[1]["keep"] and strict[2]["keep"]
+
+
+def test_source_mixing_sqrt_temperature(spark):
+    from networkit_spark.functions.textstats import source_mixing
+
+    # 100 crawl docs vs 4 curated docs: sqrt weights 10/12 vs 2/12, so with
+    # target=24 the crawl is sampled at 24*(10/12)/100 = 0.2 while the small
+    # source saturates at rate 1.0 (up-weighting small sources is the point
+    # of temperature mixing)
+    rows = [(i, "crawl") for i in range(100)] + [
+        (100 + i, "curated") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r for r in source_mixing(docs, target=24).collect()}
+    assert got["crawl"]["n_docs"] == 100 and got["curated"]["n_docs"] == 4
+    assert abs(got["crawl"]["weight"] - 10 / 12) < 1e-6
+    assert abs(got["curated"]["weight"] - 2 / 12) < 1e-6
+    assert abs(got["crawl"]["rate"] - 0.2) < 1e-9
+    assert got["curated"]["rate"] == 1.0
+    # saturated rate keeps every doc; the hash Bernoulli keeps ~20 of 100
+    assert got["curated"]["n_sampled"] == 4
+    assert 5 <= got["crawl"]["n_sampled"] <= 40
+    # derandomized: identical at different parallelism
+    again = {
+        r["source"]: r["n_sampled"]
+        for r in source_mixing(docs.repartition(7), target=24).collect()
+    }
+    assert again == {s: got[s]["n_sampled"] for s in got}
