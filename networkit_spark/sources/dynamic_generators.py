@@ -52,21 +52,42 @@ def _edge_adds(df: DataFrame, t, u, v, w=None) -> DataFrame:
 
 
 def fold_events(spark: SparkSession, events: DataFrame, directed: bool = False,
-                up_to: int | None = None) -> Graph:
+                up_to: int | None = None, stepwise: bool = False) -> Graph:
     """Replay a (t, etype, u, v, w) stream into a Graph — the GraphUpdater
     fold (dynamics/GraphUpdater.cpp) from an empty graph, optionally only
-    the prefix t <= up_to."""
+    the prefix t <= up_to.
+
+    Default is ONE set-oriented apply_events over the whole prefix —
+    exact for streams that never re-add a previously removed node/edge
+    (all the replay generators above emit additions only). Streams with
+    churn (dynamic_pub_web: an edge can be removed at step t and become
+    eligible again later) need ``stepwise=True``, which folds one t-batch
+    at a time exactly like the reference's sequential GraphUpdater,
+    checkpointing between steps to keep the plan bounded."""
     from networkit_spark.streaming.graph_events import apply_events
 
     if up_to is not None:
         events = events.filter(F.col("t") <= up_to)
-    empty = Graph(
+    g = Graph(
         spark.createDataFrame([], "id long"),
         spark.createDataFrame([], EDGE_SCHEMA),
         directed=directed,
         weighted=False,
     )
-    return apply_events(empty, events.select("etype", "u", "v", "w"))
+    if not stepwise:
+        return apply_events(g, events.select("etype", "u", "v", "w"))
+    events = events.localCheckpoint(eager=True)
+    steps = sorted(r["t"] for r in events.select("t").distinct().collect())
+    for t in steps:
+        batch = events.filter(F.col("t") == t).select("etype", "u", "v", "w")
+        g = apply_events(g, batch)
+        g = Graph(
+            g.vertices.localCheckpoint(eager=True),
+            g.edges.localCheckpoint(eager=True),
+            g.directed,
+            g.weighted,
+        )
+    return g
 
 
 def dynamic_path(spark: SparkSession, n_steps: int) -> DataFrame:
@@ -183,3 +204,125 @@ def dynamic_forest_fire(
                 out_adj[w].add(v)
                 in_adj[v].add(w)
     return spark.createDataFrame(rows, EVENTS_T_SCHEMA)
+
+
+def dynamic_pub_web(
+    spark: SparkSession,
+    n: int,
+    n_steps: int,
+    num_dense_areas: int = 4,
+    neighborhood_radius: float = 0.15,
+    max_neighbors: int = 8,
+    churn: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """generators/DynamicPubWebGenerator.cpp:24-180 — dynamic PubWeb event
+    stream: t=0 writes the initial graph (writeInitialGraphToStream), each
+    later step deletes floor(n*churn) nodes with their incident edges,
+    inserts as many fresh nodes at new PubWeb positions, then recomputes
+    the eligible-edge set (mutual <=max_neighbors nearest within the torus
+    radius, weight BASE_WEIGHT/d2 — _pubweb_eligible) over the CURRENT
+    points and emits the diff: EDGE_REMOVE for no-longer-eligible edges,
+    EDGE_WEIGHT_UPDATE for every surviving eligible edge (the reference
+    re-weights all survivors each step, cpp:134-147), EDGE_ADD for new
+    pairs. Derandomized: deletions are the lowest floor(n*churn) ids by a
+    per-step hash, insert positions reuse the static position law with a
+    per-step tag (documented deviation: the reference draws insert areas
+    uniformly over areas+noise, cpp:77-99; this port keeps the initial
+    70/30 mixture — same model family, different mixture constant).
+
+    Driver-sequential over steps, distributed within each step (the
+    DynamicForestFire fixture tier); every per-step state DataFrame is
+    localCheckpointed so plans stay bounded. Folding the stream prefix
+    with fold_events reproduces the step-t graph exactly (tested)."""
+    from networkit_spark.sources.generators import (
+        _pubweb_eligible,
+        _pubweb_points,
+        _torus_points,
+    )
+
+    centers = _torus_points(spark, num_dense_areas, seed, "pwc").localCheckpoint(
+        eager=True
+    )
+    pts = _pubweb_points(
+        spark.range(n).select(F.col("id").cast("long")),
+        centers,
+        num_dense_areas,
+        seed,
+        "dpw0",
+    ).localCheckpoint(eager=True)
+    e_prev = _pubweb_eligible(
+        pts, neighborhood_radius, max_neighbors
+    ).localCheckpoint(eager=True)
+
+    null_l = F.lit(None).cast("long")
+    null_f = F.lit(None).cast("float")
+
+    def _ev(t: int, etype: str, u, v, w) -> list:
+        return [
+            F.lit(t).cast("long").alias("t"),
+            F.lit(etype).alias("etype"),
+            u.cast("long").alias("u"),
+            v.cast("long").alias("v"),
+            w.cast("float").alias("w"),
+        ]
+
+    batches = [
+        pts.select(*_ev(0, "NODE_ADD", F.col("id"), null_l, null_f)),
+        e_prev.select(*_ev(0, "EDGE_ADD", F.col("src"), F.col("dst"), F.col("weight"))),
+    ]
+    n_churn = int(n * churn)
+    next_id = n
+    for t in range(1, n_steps + 1):
+        dele = (
+            pts.select(
+                "id",
+                F.xxhash64(F.lit(seed), F.lit(f"dpwdel{t}"), F.col("id")).alias("h"),
+            )
+            .orderBy("h", "id")
+            .limit(n_churn)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        new_ids = spark.range(next_id, next_id + n_churn).select(
+            F.col("id").cast("long")
+        )
+        next_id += n_churn
+        new_pts = _pubweb_points(new_ids, centers, num_dense_areas, seed, f"dpw{t}")
+        pts = (
+            pts.join(dele, "id", "anti").unionByName(new_pts).localCheckpoint(eager=True)
+        )
+        e_new = _pubweb_eligible(
+            pts, neighborhood_radius, max_neighbors
+        ).localCheckpoint(eager=True)
+
+        gone_src = dele.withColumnRenamed("id", "src")
+        gone_dst = dele.withColumnRenamed("id", "dst")
+        incident = e_prev.join(gone_src, "src", "semi").unionByName(
+            e_prev.join(gone_src, "src", "anti").join(gone_dst, "dst", "semi")
+        )
+        survivors = e_prev.join(gone_src, "src", "anti").join(gone_dst, "dst", "anti")
+        still = survivors.select("src", "dst").join(
+            e_new.withColumnRenamed("weight", "w2"), ["src", "dst"]
+        )
+        dropped = survivors.join(e_new.select("src", "dst"), ["src", "dst"], "anti")
+        added = e_new.join(survivors.select("src", "dst"), ["src", "dst"], "anti")
+
+        batches.extend(
+            [
+                incident.select(*_ev(t, "EDGE_REMOVE", F.col("src"), F.col("dst"), null_f)),
+                dele.select(*_ev(t, "NODE_REMOVE", F.col("id"), null_l, null_f)),
+                new_ids.select(*_ev(t, "NODE_ADD", F.col("id"), null_l, null_f)),
+                dropped.select(*_ev(t, "EDGE_REMOVE", F.col("src"), F.col("dst"), null_f)),
+                still.select(
+                    *_ev(t, "EDGE_WEIGHT_UPDATE", F.col("src"), F.col("dst"), F.col("w2"))
+                ),
+                added.select(*_ev(t, "EDGE_ADD", F.col("src"), F.col("dst"), F.col("weight"))),
+            ]
+        )
+        e_prev = e_new
+
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.unionByName(b)
+    return out.localCheckpoint(eager=True)

@@ -1068,3 +1068,82 @@ def edge_switching_markov_chain(
 
     g = havel_hakimi(spark, sequence)
     return edge_switching(g, rounds=rounds, seed=seed)
+
+
+PUBWEB_BASE_WEIGHT = 0.01  # PubWebGenerator.hpp:67
+
+
+def _pubweb_points(
+    ids: DataFrame,
+    centers: DataFrame,
+    num_dense_areas: int,
+    seed: int,
+    tag: str,
+) -> DataFrame:
+    """(id, x, y) PubWeb positions for the given id column: 70% clustered
+    around a hash-chosen dense-area center, 30% uniform noise — the same
+    position law as pub_web(), parameterized by ``tag`` so dynamic steps
+    can draw fresh coordinates for inserted nodes."""
+    base = ids.select(
+        "id",
+        (_u01(seed, F.lit(tag + ":m"), F.col("id")) < 0.7).alias("dense"),
+        _u01(seed, F.lit(tag + ":x"), F.col("id")).alias("ux"),
+        _u01(seed, F.lit(tag + ":y"), F.col("id")).alias("uy"),
+        (
+            F.abs(F.xxhash64(F.lit(seed), F.lit(tag + ":a"), F.col("id")))
+            % num_dense_areas
+        ).alias("area"),
+        (_u01(seed, F.lit(tag + ":r"), F.col("id")) * 0.05).alias("rad"),
+        (_u01(seed, F.lit(tag + ":t"), F.col("id")) * 2.0 * math.pi).alias("ang"),
+    )
+    return base.join(
+        centers.select(
+            F.col("id").alias("area"), F.col("x").alias("acx"), F.col("y").alias("acy")
+        ),
+        "area",
+        "left",
+    ).select(
+        "id",
+        F.when(F.col("dense"), (F.col("acx") + F.col("rad") * F.cos("ang") + 1.0) % 1.0)
+        .otherwise(F.col("ux"))
+        .alias("x"),
+        F.when(F.col("dense"), (F.col("acy") + F.col("rad") * F.sin("ang") + 1.0) % 1.0)
+        .otherwise(F.col("uy"))
+        .alias("y"),
+    )
+
+
+def _pubweb_eligible(pts: DataFrame, radius: float, max_neighbors: int) -> DataFrame:
+    """Canonical (src < dst, weight) eligible-edge set under the DYNAMIC
+    PubWeb rule (DynamicPubWebGenerator.cpp:106-131): each node marks its
+    <= max_neighbors nearest in-radius neighbors (torus metric), an edge
+    exists iff BOTH endpoints marked it (eligibleEdges[e] >= 2), weighted
+    BASE_WEIGHT / d2. Grid-cell spatial join + per-node rank instead of
+    the reference's quadratic scan (its own FIXME)."""
+    from pyspark.sql import Window
+
+    cand = _grid_pairs(pts, radius)
+    within = cand.withColumn(
+        "d2", _torus_d2(F.col("x"), F.col("y"), F.col("x2"), F.col("y2"))
+    ).filter(F.col("d2") <= radius * radius)
+    w = Window.partitionBy("id").orderBy("d2", "id2")
+    kept = within.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= max_neighbors
+    )
+    return (
+        kept.select(
+            F.least("id", "id2").alias("src"),
+            F.greatest("id", "id2").alias("dst"),
+            "d2",
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("marks"), F.first("d2").alias("d2"))
+        .filter(F.col("marks") >= 2)
+        .select(
+            "src",
+            "dst",
+            (F.lit(PUBWEB_BASE_WEIGHT) / F.greatest("d2", F.lit(1e-12)))
+            .cast("float")
+            .alias("weight"),
+        )
+    )

@@ -207,3 +207,66 @@ def test_gexf_reads_foreign_file_and_rejects_dynamic(spark, tmp_path):
 
     with _pytest.raises(NotImplementedError):
         read_gexf(spark, str(d))
+
+
+def test_dynamic_pub_web_fold_matches_recompute(spark):
+    # Folding the event stream to step t must equal the eligible-edge graph
+    # recomputed directly from the step-t point set — the same "events ==
+    # final structure" contract the reference's DynamicPubWebGenerator
+    # maintains by construction (DynamicPubWebGenerator.cpp:106-176).
+    from networkit_spark.sources.generators import (
+        _pubweb_eligible,
+        _pubweb_points,
+        _torus_points,
+    )
+
+    n, steps, churn, seed = 40, 3, 0.1, 9
+    ev = dg.dynamic_pub_web(
+        spark, n, steps, num_dense_areas=3, neighborhood_radius=0.25,
+        max_neighbors=5, churn=churn, seed=seed,
+    )
+    # replay the point-set evolution independently
+    centers = _torus_points(spark, 3, seed, "pwc")
+    pts = _pubweb_points(
+        spark.range(n).select(F.col("id").cast("long")), centers, 3, seed, "dpw0"
+    ).localCheckpoint(eager=True)
+    n_churn, next_id = int(n * churn), n
+    for t in range(1, steps + 1):
+        dele = (
+            pts.select(
+                "id", F.xxhash64(F.lit(seed), F.lit(f"dpwdel{t}"), F.col("id")).alias("h")
+            )
+            .orderBy("h", "id").limit(n_churn).select("id")
+        )
+        new_ids = spark.range(next_id, next_id + n_churn).select(F.col("id").cast("long"))
+        next_id += n_churn
+        pts = (
+            pts.join(dele, "id", "anti")
+            .unionByName(_pubweb_points(new_ids, centers, 3, seed, f"dpw{t}"))
+            .localCheckpoint(eager=True)
+        )
+    want = _pubweb_eligible(pts, 0.25, 5)
+    folded = dg.fold_events(spark, ev, stepwise=True)
+    assert {r["id"] for r in folded.vertices.collect()} == {
+        r["id"] for r in pts.collect()
+    }
+    got_edges = {
+        (r["src"], r["dst"], round(r["weight"], 4))
+        for r in folded.edges.collect()
+        if r["src"] < r["dst"]
+    }
+    want_edges = {
+        (r["src"], r["dst"], round(r["weight"], 4)) for r in want.collect()
+    }
+    assert got_edges == want_edges and len(want_edges) > 0
+    # mid-stream prefix folds to a graph whose node count is still n
+    mid = dg.fold_events(spark, ev, up_to=1, stepwise=True)
+    assert mid.vertices.count() == n
+    # determinism: same params -> identical stream
+    ev2 = dg.dynamic_pub_web(
+        spark, n, steps, num_dense_areas=3, neighborhood_radius=0.25,
+        max_neighbors=5, churn=churn, seed=seed,
+    )
+    a = {tuple(r) for r in ev.collect()}
+    b = {tuple(r) for r in ev2.collect()}
+    assert a == b
