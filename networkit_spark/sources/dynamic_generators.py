@@ -22,6 +22,8 @@ semantics match, the RNG sequence does not).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -318,6 +320,121 @@ def dynamic_pub_web(
                     *_ev(t, "EDGE_WEIGHT_UPDATE", F.col("src"), F.col("dst"), F.col("w2"))
                 ),
                 added.select(*_ev(t, "EDGE_ADD", F.col("src"), F.col("dst"), F.col("weight"))),
+            ]
+        )
+        e_prev = e_new
+
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.unionByName(b)
+    return out.localCheckpoint(eager=True)
+
+
+def dynamic_hyperbolic(
+    spark: SparkSession,
+    n: int,
+    n_steps: int,
+    R: float,
+    alpha: float = 1.0,
+    move_each_step: float = 0.3,
+    move_distance: float = 0.05,
+    seed: int = 42,
+    angular_buckets: int = 64,
+) -> DataFrame:
+    """generators/DynamicHyperbolicGenerator.cpp (T=0 threshold regime) —
+    node-MOVEMENT dynamic generator: t=0 writes the initial threshold
+    hyperbolic graph; each step a hash-selected ~move_each_step fraction
+    of nodes moves (cpp:263-265 Aux::Random::real < moveEachStep,
+    derandomized), with the reference's exact moveNode kinematics
+    (cpp:169-211): radial drift in cosh-CDF space with boundary bounce and
+    center crossing (both flip the node's radial-movement sign — per-node
+    STATE carried in the coordinates table), then angular drift
+    amove/new_r wrapped to [0, 2pi). Per-node movement magnitudes are
+    U(-d, d) angular and U(-10d, 10d) radial (initializeMovement's
+    scale=10, cpp:72-80), hash-derandomized.
+
+    Events per step: the canonical edge-set diff (EDGE_ADD / EDGE_REMOVE)
+    of the threshold graph before and after the move — equivalent to the
+    reference's per-wiggled-node neighborhood diff after its own
+    canonicalize-and-dedup pass (cpp:330-345), since edges between two
+    unmoved nodes never change. Fixture-tier note: this rebuilds the full
+    edge set per step via the static band join; the reference re-queries
+    only wiggled nodes, and a scale path would likewise band-query the
+    moved set — same events either way. Fold with stepwise=True (edges
+    re-appear when nodes drift back into range)."""
+    from networkit_spark.sources.generators import (
+        _hyperbolic_coords,
+        _hyperbolic_edges,
+        _u01,
+    )
+
+    maxcdf = math.cosh(alpha * R)
+    coords = _hyperbolic_coords(spark, n, R, alpha, seed)
+    state = coords.select(
+        "id",
+        "theta",
+        "r",
+        ((_u01(seed, F.lit("dham"), F.col("id")) - 0.5) * 2.0 * move_distance).alias(
+            "amove"
+        ),
+        (
+            (_u01(seed, F.lit("dhrm"), F.col("id")) - 0.5) * 2.0 * 10.0 * move_distance
+        ).alias("rmove"),
+    ).localCheckpoint(eager=True)
+    e_prev = _hyperbolic_edges(
+        state.select("id", "theta", "r"), R, angular_buckets
+    ).localCheckpoint(eager=True)
+
+    null_l = F.lit(None).cast("long")
+    null_f = F.lit(None).cast("float")
+
+    def _ev(t: int, etype: str, u, v, w) -> list:
+        return [
+            F.lit(t).cast("long").alias("t"),
+            F.lit(etype).alias("etype"),
+            u.cast("long").alias("u"),
+            v.cast("long").alias("v"),
+            w.cast("float").alias("w"),
+        ]
+
+    batches = [
+        state.select(*_ev(0, "NODE_ADD", F.col("id"), null_l, null_f)),
+        e_prev.select(*_ev(0, "EDGE_ADD", F.col("src"), F.col("dst"), F.col("weight"))),
+    ]
+    two_pi = 2.0 * math.pi
+    for t in range(1, n_steps + 1):
+        moved = _u01(seed, F.lit(f"dhmv{t}"), F.col("id")) < move_each_step
+        newcosh0 = F.cosh(F.lit(alpha) * F.col("r")) + F.lit(alpha) * F.col("rmove")
+        hi = newcosh0 > maxcdf
+        newcosh1 = F.when(hi, 2.0 * maxcdf - newcosh0).otherwise(newcosh0)
+        lo = newcosh1 < 1.0
+        newcosh2 = F.when(lo, 2.0 - newcosh1).otherwise(newcosh1)
+        crossed_phi = F.when(
+            F.col("theta") > math.pi, F.col("theta") - math.pi
+        ).otherwise(F.col("theta") + math.pi)
+        phi0 = F.when(lo, crossed_phi).otherwise(F.col("theta"))
+        new_r = F.least(
+            F.acosh(F.greatest(newcosh2, F.lit(1.0))) / F.lit(alpha),
+            F.lit(R - 1e-12),
+        )
+        new_phi = F.pmod(phi0 + F.col("amove") / new_r, F.lit(two_pi))
+        new_rmove = F.when(hi | lo, -F.col("rmove")).otherwise(F.col("rmove"))
+        state = state.select(
+            "id",
+            F.when(moved, new_phi).otherwise(F.col("theta")).alias("theta"),
+            F.when(moved, new_r).otherwise(F.col("r")).alias("r"),
+            "amove",
+            F.when(moved, new_rmove).otherwise(F.col("rmove")).alias("rmove"),
+        ).localCheckpoint(eager=True)
+        e_new = _hyperbolic_edges(
+            state.select("id", "theta", "r"), R, angular_buckets
+        ).localCheckpoint(eager=True)
+        added = e_new.join(e_prev.select("src", "dst"), ["src", "dst"], "anti")
+        removed = e_prev.join(e_new.select("src", "dst"), ["src", "dst"], "anti")
+        batches.extend(
+            [
+                added.select(*_ev(t, "EDGE_ADD", F.col("src"), F.col("dst"), F.col("weight"))),
+                removed.select(*_ev(t, "EDGE_REMOVE", F.col("src"), F.col("dst"), null_f)),
             ]
         )
         e_prev = e_new

@@ -417,8 +417,20 @@ def hyperbolic(
     ~O(sum_b Delta(r_b)/2pi * n_bucket) instead of O(n^2). The final
     exact distance filter makes pruning loss-free — the pytest checks
     the edge set EQUALS the brute-force O(n^2) evaluation."""
-    import math
+    coords = _hyperbolic_coords(spark, n, R, alpha, seed)
+    half = _hyperbolic_edges(coords, R, angular_buckets)
+    sym = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    vertices = spark.range(n).select(F.col("id").cast("long"))
+    return Graph(vertices, sym, directed=False, weighted=False)
 
+
+def _hyperbolic_coords(
+    spark: SparkSession, n: int, R: float, alpha: float, seed: int
+) -> DataFrame:
+    """(id, theta, r) hash-derandomized hyperbolic coordinates (the
+    HyperbolicSpace::fillPoints law), checkpointed."""
     pts = spark.range(n).select(F.col("id").cast("long"))
     u_theta = (
         F.abs(F.xxhash64(F.lit(seed * 17 + 1), "id")) % F.lit(1 << 48)
@@ -427,12 +439,19 @@ def hyperbolic(
         F.abs(F.xxhash64(F.lit(seed * 17 + 2), "id")) % F.lit(1 << 48)
     ).cast("double") / F.lit(float(1 << 48))
     cosh_aR = math.cosh(alpha * R)
-    coords = pts.select(
+    return pts.select(
         "id",
         (u_theta * F.lit(2.0 * math.pi)).alias("theta"),
         (F.acosh(F.lit(1.0) + u_r * F.lit(cosh_aR - 1.0)) / F.lit(alpha)).alias("r"),
     ).localCheckpoint(eager=True)
 
+
+def _hyperbolic_edges(
+    coords: DataFrame, R: float, angular_buckets: int = 64
+) -> DataFrame:
+    """Canonical (src < dst, weight 1.0) threshold-hyperbolic edge set over
+    a (id, theta, r) coordinate table — the core/periphery split +
+    per-node angular-bucket window join documented on hyperbolic()."""
     r0 = R / 2.0
     bw = 2.0 * math.pi / angular_buckets
 
@@ -496,16 +515,11 @@ def hyperbolic(
     peri_only = peri_pairs.join(
         core.select(F.col("id").alias("src")), "src", "anti"
     ).join(core.select(F.col("id").alias("dst")), "dst", "anti")
-    half = (
+    return (
         core_pairs.unionByName(peri_only.select("src", "dst"))
         .distinct()
         .select("src", "dst", F.lit(1.0).cast("float").alias("weight"))
     )
-    sym = half.unionByName(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-    )
-    vertices = pts
-    return Graph(vertices, sym, directed=False, weighted=False)
 
 
 def lfr(

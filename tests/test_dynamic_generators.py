@@ -270,3 +270,84 @@ def test_dynamic_pub_web_fold_matches_recompute(spark):
     a = {tuple(r) for r in ev.collect()}
     b = {tuple(r) for r in ev2.collect()}
     assert a == b
+
+
+def test_dynamic_hyperbolic_fold_matches_recompute(spark):
+    # Stepwise-folding the movement stream must equal the threshold graph
+    # recomputed from independently-evolved coordinates (the reference's
+    # "events == structure after moves" contract,
+    # DynamicHyperbolicGenerator.cpp:213-345). Kinematics replayed here
+    # with numpy to referee the column-expression moveNode port.
+    import math
+
+    import numpy as np
+
+    from networkit_spark.sources.generators import (
+        _hyperbolic_coords,
+        _hyperbolic_edges,
+    )
+
+    n, steps, R, alpha, med, md, seed = 50, 3, 3.0, 1.0, 0.4, 0.05, 13
+    ev = dg.dynamic_hyperbolic(
+        spark, n, steps, R=R, alpha=alpha, move_each_step=med,
+        move_distance=md, seed=seed,
+    )
+    folded = dg.fold_events(spark, ev, stepwise=True)
+
+    # independent numpy replay of the kinematics
+    coords = {
+        r["id"]: [r["theta"], r["r"]]
+        for r in _hyperbolic_coords(spark, n, R, alpha, seed).collect()
+    }
+
+    def u01(*cols):
+        from pyspark.sql import functions as FF
+        df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        from networkit_spark.sources.generators import _u01
+        return {
+            r["id"]: r["u"]
+            for r in df.select("id", _u01(seed, *cols, F.col("id")).alias("u")).collect()
+        }
+
+    am = {i: (u - 0.5) * 2 * md for i, u in u01(F.lit("dham")).items()}
+    rm = {i: (u - 0.5) * 2 * 10 * md for i, u in u01(F.lit("dhrm")).items()}
+    maxcdf = math.cosh(alpha * R)
+    for t in range(1, steps + 1):
+        mv = u01(F.lit(f"dhmv{t}"))
+        for i in range(n):
+            if mv[i] >= med:
+                continue
+            theta, r = coords[i]
+            newcosh = math.cosh(alpha * r) + alpha * rm[i]
+            flip = False
+            if newcosh > maxcdf:
+                newcosh = 2 * maxcdf - newcosh
+                flip = True
+            if newcosh < 1.0:
+                newcosh = 2.0 - newcosh
+                flip = True
+                theta = theta - math.pi if theta > math.pi else theta + math.pi
+            new_r = min(math.acosh(max(newcosh, 1.0)) / alpha, R - 1e-12)
+            theta = (theta + am[i] / new_r) % (2 * math.pi)
+            coords[i] = [theta, new_r]
+            if flip:
+                rm[i] = -rm[i]
+    pts = spark.createDataFrame(
+        [(i, c[0], c[1]) for i, c in coords.items()], "id long, theta double, r double"
+    )
+    want = {
+        (r["src"], r["dst"]) for r in _hyperbolic_edges(pts, R).collect()
+    }
+    got = {
+        (r["src"], r["dst"])
+        for r in folded.edges.collect()
+        if r["src"] < r["dst"]
+    }
+    assert got == want and len(want) > 0
+    assert folded.vertices.count() == n
+    # stream has both additions and removals after t=0 (movement churns edges)
+    kinds = {
+        (r["t"] > 0, r["etype"])
+        for r in ev.select("t", "etype").distinct().collect()
+    }
+    assert (True, "EDGE_ADD") in kinds and (True, "EDGE_REMOVE") in kinds
