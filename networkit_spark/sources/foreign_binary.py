@@ -184,3 +184,90 @@ def write_graphtool(
             fh.write(struct.pack(end + "Q", len(neigh)))
             for v in neigh:
                 fh.write(struct.pack(end + fmt, v))
+
+
+# ---- DibaP binary ----------------------------------------------------------
+
+
+def read_dibap(spark: SparkSession, path: str) -> Graph:
+    """DibapGraphReader.cpp:32-180 (Format.DibapBinary): network-byte-order
+    C structs — 'GI' magic short, int V, vertex-weight dim + values
+    (parsed, unused: the reference's own FIXME skips node weights), CSR
+    offsets (V+1 ints), neighbor ids (of[V] ints), edge-weight dim +
+    values, coordinate dim + float coords (parsed, dropped — the graph
+    carries no geometry). Undirected edges materialize from the v <= to[e]
+    half, weighted by ew[e] when dew > 0 (cpp:157-176)."""
+    buf = open(path, "rb").read()
+    pos = 0
+
+    def take(fmt: str, count: int):
+        nonlocal pos
+        size = struct.calcsize(fmt) * count
+        if pos + size > len(buf):
+            raise ValueError("bad file structure")
+        out = struct.unpack(f">{count}{fmt}", buf[pos : pos + size])
+        pos += size
+        return out
+
+    (magic,) = take("h", 1)
+    if magic != (ord("G") << 8 | ord("I")):
+        raise ValueError("bad file structure")
+    (v_cnt,) = take("i", 1)
+    (dvw,) = take("i", 1)
+    if dvw > 0:
+        take("i", v_cnt * dvw)  # vertex weights: parsed, unused (ref FIXME)
+    of = take("i", v_cnt + 1)
+    num_e2 = of[v_cnt]
+    to = take("i", num_e2) if num_e2 else ()
+    (dew,) = take("i", 1)
+    ew = take("i", num_e2 * dew) if dew > 0 else ()
+    (dxy,) = take("i", 1)
+    if dxy > 0:
+        take("f", v_cnt * dxy)  # coordinates: parsed, dropped
+
+    rows: list[tuple[int, int, float]] = []
+    for v in range(v_cnt):
+        for e in range(of[v], of[v + 1]):
+            if v <= to[e]:
+                rows.append((v, to[e], float(ew[e]) if dew > 0 else 1.0))
+    return from_edge_rows(
+        spark, rows, directed=False, weighted=dew > 0, num_nodes=v_cnt
+    )
+
+
+def write_dibap(graph: Graph, path: str) -> None:
+    """Inverse of read_dibap (the reference ships no writer; this one
+    exists for roundtrip fixtures): zero vertex-weight and coordinate
+    dims, CSR offsets over the symmetrized adjacency, edge-weight dim 1
+    iff the graph is weighted."""
+    if graph.directed:
+        raise ValueError("DibaP stores undirected graphs")
+    n = graph.num_nodes()
+    adj: dict[int, list[tuple[int, float]]] = {u: [] for u in range(n)}
+    for r in (
+        graph.edges.select("src", "dst", "weight")
+        .distinct()
+        .sort("src", "dst")
+        .collect()
+    ):
+        adj[int(r["src"])].append((int(r["dst"]), float(r["weight"])))
+    of = [0]
+    to: list[int] = []
+    ew: list[int] = []
+    for u in range(n):
+        for v, w in adj[u]:
+            to.append(v)
+            ew.append(int(w))
+        of.append(len(to))
+    dew = 1 if graph.weighted else 0
+    with open(path, "wb") as f:
+        f.write(struct.pack(">h", ord("G") << 8 | ord("I")))
+        f.write(struct.pack(">i", n))
+        f.write(struct.pack(">i", 0))  # dvw
+        f.write(struct.pack(f">{len(of)}i", *of))
+        if to:
+            f.write(struct.pack(f">{len(to)}i", *to))
+        f.write(struct.pack(">i", dew))
+        if dew and ew:
+            f.write(struct.pack(f">{len(ew)}i", *ew))
+        f.write(struct.pack(">i", 0))  # dxy

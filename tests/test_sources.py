@@ -558,3 +558,56 @@ def test_graphtool_binary_roundtrip(spark, tmp_path):
     open(bad, "wb").write(b"notamagic")
     with pytest.raises(ValueError, match="header is broken"):
         read_graphtool(spark, bad)
+
+
+def test_dibap_binary_roundtrip(spark, tmp_path):
+    """DibapGraphReader (io/DibapGraphReader.cpp:32-180): big-endian 'GI'
+    header, CSR adjacency, optional int edge weights, skipped vertex
+    weights / coordinates; edges materialize from the v <= to[e] half."""
+    import struct
+
+    import pytest
+
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.sources.foreign_binary import read_dibap, write_dibap
+
+    g = from_edge_rows(
+        spark, [(0, 1, 3.0), (1, 2, 2.0), (0, 4, 5.0), (3, 3, 7.0)],
+        num_nodes=6, weighted=True,
+    )
+    p = str(tmp_path / "g.dibap")
+    write_dibap(g, p)
+    g2 = read_dibap(spark, p)
+    want = sorted(
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]), r["weight"])
+        for r in g.edges.collect()
+    )
+    got = sorted(
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]), r["weight"])
+        for r in g2.edges.collect()
+    )
+    assert got == want
+    assert g2.vertices.count() == 6 and g2.weighted
+
+    # a hand-built file with vertex weights and coordinates: both skipped,
+    # like the reference's own FIXME (unweighted edges, dvw=1, dxy=2)
+    hb = str(tmp_path / "hand.dibap")
+    of, to = [0, 1, 2], [1, 0]
+    with open(hb, "wb") as f:
+        f.write(struct.pack(">h", (ord("G") << 8) | ord("I")))
+        f.write(struct.pack(">i", 2))       # V
+        f.write(struct.pack(">i", 1))       # dvw
+        f.write(struct.pack(">2i", 10, 20))  # vertex weights (skipped)
+        f.write(struct.pack(">3i", *of))
+        f.write(struct.pack(">2i", *to))
+        f.write(struct.pack(">i", 0))       # dew
+        f.write(struct.pack(">i", 2))       # dxy
+        f.write(struct.pack(">4f", 0.0, 0.1, 0.2, 0.3))  # coords (skipped)
+    g3 = read_dibap(spark, hb)
+    assert g3.vertices.count() == 2
+    assert {(r["src"], r["dst"]) for r in g3.edges.collect()} == {(0, 1), (1, 0)}
+
+    bad = str(tmp_path / "bad.dibap")
+    open(bad, "wb").write(struct.pack(">h", (ord("X") << 8) | ord("X")))
+    with pytest.raises(ValueError, match="bad file structure"):
+        read_dibap(spark, bad)
