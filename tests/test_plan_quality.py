@@ -181,3 +181,24 @@ def test_tokenizer_not_duplicated_into_scan_filters(spark):
         for line in _plan(df).splitlines():
             if "Filter" in line or "FileScan" in line:
                 assert "regexp" not in line, line
+
+
+def test_r4_pipeline_queries_stay_jvm_side(spark):
+    # the three r4 gate queries (span dedup, SemDeDup, source mixing) must
+    # keep every expression JVM-side (no row-at-a-time or Arrow Python in
+    # the plan) and prune document text out of scans that don't need it
+    from networkit_spark.entry_queries import (
+        q_dedup_semdedup,
+        q_text_source_mixing,
+        q_text_span_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (q_text_span_dedup, q_dedup_semdedup, q_text_source_mixing):
+        plan = _plan(q(spark, sf))
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+    # source mixing never reads the text column
+    mix_plan = _plan(q_text_source_mixing(spark, sf))
+    for chunk in mix_plan.split("ReadSchema")[1:]:
+        assert "text" not in chunk[:200]
