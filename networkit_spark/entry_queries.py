@@ -219,6 +219,19 @@ def q_centrality_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("id", F.round("score", 6).alias("score"))
 
 
+NFH_SAMPLES = 20
+
+
+def q_graph_neighborhood_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-BFS neighborhood function, SPLIT strategy
+    (anf.neighborhood_function_heuristic): degree-asc rank sampling,
+    n/s-scaled per-distance counts, exact N(1)/N(diameter) endpoints."""
+    from networkit_spark.operators.anf import neighborhood_function_heuristic
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return neighborhood_function_heuristic(g, n_samples=NFH_SAMPLES)
+
+
 def q_graph_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from networkit_spark.operators.distance import diameter_exact
 
@@ -1873,6 +1886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semdedup": q_dedup_semdedup,
     "text_span_dedup": q_text_span_dedup,
     "text_source_mixing": q_text_source_mixing,
+    "graph_neighborhood_heuristic": q_graph_neighborhood_heuristic,
     "text_token_stats": q_token_stats,
     "text_quality": q_quality,
     "text_lang_id": q_lang_id,
@@ -2019,6 +2033,7 @@ def build_oracles() -> dict[str, str]:
         "centrality_harmonic": L.sql_harmonic_closeness(APSP_ITERS),
         "centrality_closeness": L.sql_closeness(APSP_ITERS),
         "graph_diameter": L.sql_diameter(APSP_ITERS),
+        "graph_neighborhood_heuristic": L.sql_neighborhood_heuristic(APSP_ITERS, NFH_SAMPLES),
         "graph_sample_nodes": L.sql_sample_nodes(10, 42),
         "graph_sample_edges": L.sql_sample_edges(10, 42),
         "graph_scc": L.sql_scc(),

@@ -5127,3 +5127,78 @@ SELECT r.source, r.n_docs, ROUND(r.w, 6) AS weight, r.rate,
        CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled
 FROM rated r LEFT JOIN kept k ON k.ksrc = r.source
 ORDER BY r.source"""
+
+
+def sql_neighborhood_heuristic(iters: int, n_samples: int) -> str:
+    """Mirror of anf.neighborhood_function_heuristic (SPLIT strategy):
+    degree-asc/id-asc rank picks every (n // nSamples)-th node, sampled
+    unrolled BFS, interior increments FLOOR(count*n/s + 0.5) accumulated
+    cumulatively, exact endpoints N(1)=2m and N(dia)=n(n-1)."""
+    ctes = [
+        "uadj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        """nd AS (
+    SELECT v.id, CAST(COUNT(e.dst) AS BIGINT) AS degree
+    FROM vertices v LEFT JOIN edges e ON e.src = v.id GROUP BY v.id
+)""",
+        """consts AS (
+    SELECT CAST((SELECT COUNT(*) FROM vertices) AS BIGINT) AS n,
+           CAST((SELECT COUNT(*) FROM (
+               SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+               FROM edges)) AS BIGINT) AS m
+)""",
+        """ranked AS (
+    SELECT id, row_number() OVER (ORDER BY degree ASC, id ASC) - 1 AS rk
+    FROM nd
+)""",
+        f"""sp AS MATERIALIZED (
+    SELECT r.id FROM ranked r CROSS JOIN consts c
+    WHERE r.rk % (c.n // {n_samples}) = 0
+      AND r.rk < {n_samples} * (c.n // {n_samples})
+)""",
+        "b0 AS (SELECT id AS s, id AS v, CAST(0 AS BIGINT) AS dist FROM sp)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""bn{k} AS (
+    SELECT p.s, e.dst AS v, CAST({k} AS BIGINT) AS dist
+    FROM b{k-1} p JOIN uadj e ON e.src = p.v
+    WHERE p.dist = {k-1}
+    GROUP BY p.s, e.dst
+),
+b{k} AS MATERIALIZED (
+    SELECT s, v, dist FROM b{k-1}
+    UNION ALL
+    SELECT x.s, x.v, x.dist FROM bn{k} x
+    WHERE NOT EXISTS (SELECT 1 FROM b{k-1} o WHERE o.s = x.s AND o.v = x.v)
+)"""
+        )
+    body = ", ".join(ctes + _apsp_ctes(iters)[1:]) + f""",
+dia AS (SELECT CAST(MAX(dist) AS BIGINT) AS d FROM ap{iters}),
+grid AS (
+    SELECT UNNEST(range(2, (SELECT d FROM dia))) AS dist
+),
+nfc AS (
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS c FROM b{iters}
+    WHERE dist >= 2 AND dist <= (SELECT d FROM dia) - 1
+    GROUP BY dist
+),
+inc AS (
+    SELECT g.dist,
+           CAST(FLOOR(COALESCE(f.c, 0) * (CAST(cs.n AS DOUBLE) / {n_samples})
+                      + 0.5) AS BIGINT) AS ic
+    FROM grid g LEFT JOIN nfc f ON f.dist = g.dist CROSS JOIN consts cs
+),
+interior AS (
+    SELECT dist,
+           SUM(ic) OVER (ORDER BY dist
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           + (SELECT 2 * m FROM consts) AS nf
+    FROM inc
+)
+SELECT CAST(1 AS BIGINT) AS dist, CAST(2 * m AS BIGINT) AS nf FROM consts
+UNION ALL
+SELECT CAST(dist AS BIGINT), CAST(nf AS BIGINT) FROM interior
+UNION ALL
+SELECT (SELECT d FROM dia), CAST(n * (n - 1) AS BIGINT) FROM consts
+ORDER BY dist"""
+    return _with_graph(body)

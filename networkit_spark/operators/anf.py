@@ -191,3 +191,79 @@ def effective_diameter_approx(
         .select(F.coalesce("done_h", F.lit(max_h)).alias("done_h"))
         .agg(F.round(F.sum("done_h") / n, 6).alias("eff_diameter"))
     )
+
+
+def neighborhood_function_heuristic(
+    graph, n_samples: int = 0, max_depth: int = 32
+) -> DataFrame:
+    """(dist, nf) for dist = 1..diameter — sampled-BFS neighborhood
+    function (distance/NeighborhoodFunctionHeuristic.cpp:40-139, SPLIT
+    strategy): nodes sorted by degree ascending (ties by id — the
+    reference's parallel sort leaves equal-degree order unspecified; the
+    id tie-break pins it, same policy as every other ordering in this
+    engine), every (n // nSamples)-th node is a BFS source, per-distance
+    pair counts scale by n/nSamples, and the two exact enhancements
+    replace the estimated endpoints: N(1) = 2m, N(diameter) = n(n-1)
+    (cpp:76-83). Interior values accumulate floor(count*n/s + 0.5)
+    increments — floor(x+0.5) == std::round for these positive values,
+    and the identical expression runs on the oracle side so both engines
+    round the same doubles. Default nSamples = ceil(max(0.15 n, sqrt m))
+    (cpp:22-25). Raises on directed or disconnected input like the
+    reference (cpp:28-33).
+
+    Distributed shape: one global_cumsum rank (range-partitioned, no
+    single-task window) picks the sample set, multi_source_hops advances
+    all samples per superstep, and the only driver-side state is the
+    <= diameter-row per-distance histogram (bounded by the diameter, the
+    same class as distance.py's radius grid)."""
+    import math as _math
+
+    from networkit_spark.functions.ordering import global_cumsum
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.distance import (
+        diameter_exact,
+        multi_source_hops,
+    )
+
+    if graph.directed:
+        raise ValueError(
+            "neighborhood_function_heuristic expects an undirected graph"
+        )
+    if connected_components(graph).select("label").distinct().count() > 1:
+        raise ValueError(
+            "neighborhood_function_heuristic expects a connected graph"
+        )
+    spark = graph.vertices.sparkSession
+    n = graph.num_nodes()
+    m = graph.num_edges()
+    if n_samples <= 0:
+        n_samples = int(_math.ceil(max(0.15 * n, _math.sqrt(m))))
+    n_samples = min(n_samples, n)
+    dia = diameter_exact(graph)
+    if dia <= 1:
+        return spark.createDataFrame([(1, n * (n - 1))], "dist long, nf long")
+
+    ranked = global_cumsum(
+        graph.degrees().select("id", "degree").withColumn("_one", F.lit(1)),
+        ["degree", "id"],
+        ["_one"],
+    ).select("id", (F.col("cum__one") - 1).alias("rk"))
+    stepw = n // n_samples
+    samples = ranked.filter(
+        (F.col("rk") % stepw == 0) & (F.col("rk") < n_samples * stepw)
+    ).select("id")
+    hops = multi_source_hops(graph, sources=samples, max_depth=min(dia, max_depth))
+    counts = {
+        int(r["dist"]): int(r["c"])
+        for r in hops.filter((F.col("dist") >= 2) & (F.col("dist") <= dia - 1))
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    norm = n / n_samples
+    rows = [(1, 2 * m)]
+    for d in range(2, dia):
+        inc = int(_math.floor(counts.get(d, 0) * norm + 0.5))
+        rows.append((d, rows[-1][1] + inc))
+    rows.append((dia, n * (n - 1)))
+    return spark.createDataFrame(rows, "dist long, nf long")

@@ -305,3 +305,47 @@ def test_combined_scd_contains_seed_and_expands(spark):
     nodes = {r["node"] for r in out.collect()}
     assert 0 in nodes and len(nodes) >= 2
     assert {r["seed"] for r in out.collect()} == {0}
+
+
+def test_neighborhood_heuristic_exact_when_fully_sampled(spark):
+    # cycle C12 (regular ring lattice k=1): diameter 6; sampling EVERY node
+    # (stepwidth 1, norm factor 1) makes the interior estimates exact pair
+    # counts, so the result must equal the true neighborhood function with
+    # the two exact endpoints N(1)=2m and N(dia)=n(n-1)
+    # (NeighborhoodFunctionHeuristic.cpp:40-99).
+    import pytest
+    from pyspark.sql import functions as F
+
+    from networkit_spark.operators.anf import neighborhood_function_heuristic
+    from networkit_spark.operators.distance import multi_source_hops
+    from networkit_spark.sources.generators import regular_ring_lattice
+
+    g = regular_ring_lattice(spark, 12, 1)
+    got = {
+        r["dist"]: r["nf"]
+        for r in neighborhood_function_heuristic(g, n_samples=12).collect()
+    }
+    hops = multi_source_hops(g)
+    true_nf = {}
+    for d in range(1, 7):
+        true_nf[d] = hops.filter(
+            (F.col("dist") >= 1) & (F.col("dist") <= d)
+        ).count()
+    assert got == true_nf
+    assert got[1] == 2 * 12 and got[6] == 12 * 11
+    # sub-sampling keeps the exact endpoints and stays monotone
+    sub = {
+        r["dist"]: r["nf"]
+        for r in neighborhood_function_heuristic(g, n_samples=4).collect()
+    }
+    assert sub[1] == 24 and sub[6] == 132
+    assert all(sub[d] <= sub[d + 1] for d in range(1, 6))
+
+    from networkit_spark.graph import from_edge_rows
+
+    disc = from_edge_rows(spark, [(0, 1), (2, 3)], num_nodes=4)
+    with pytest.raises(ValueError, match="connected"):
+        neighborhood_function_heuristic(disc)
+    di = from_edge_rows(spark, [(0, 1)], directed=True, num_nodes=2)
+    with pytest.raises(ValueError, match="undirected"):
+        neighborhood_function_heuristic(di)
