@@ -248,3 +248,61 @@ def union_max_spanning_forest(
             ).alias("in_umsf"),
         )
     )
+
+
+def random_spanning_forest(graph: Graph, seed: int = 42) -> DataFrame:
+    """(src, dst) tree edges — uniform random spanning forest via the
+    Aldous-Broder first-entry walk (components/RandomSpanningForest.cpp:
+    20-52): per connected component, start a simple random walk at a
+    random root; the edge that FIRST enters each vertex joins the tree.
+    The walk visits the whole component, so the result spans; first-entry
+    edges cannot close a cycle, so it is a tree; Aldous-Broder samples
+    uniformly among all spanning trees of the component.
+
+    Fixture-tier driver-sequential like dynamic_forest_fire (adjacency in
+    Python sets, one seeded RNG) — the walk is inherently sequential (the
+    reference is too; its own skip rationale here for three rounds). The
+    neighbor draw is uniform over the DISTINCT sorted neighbor list; the
+    reference draws over its adjacency array — identical distribution on
+    simple graphs. Components are processed in min-node-id order and the
+    per-component root uses the reference's integer(size-1) draw shape,
+    so one seed fixes the whole forest."""
+    import numpy as np
+
+    from networkit_spark.operators.components import connected_components
+
+    spark = graph.vertices.sparkSession
+    adj: dict[int, list[int]] = {}
+    for r in graph.edges.select("src", "dst").distinct().collect():
+        u, v = int(r["src"]), int(r["dst"])
+        if u != v:
+            adj.setdefault(u, []).append(v)
+    for u in adj:
+        adj[u] = sorted(set(adj[u]))
+
+    comp_of = {
+        int(r["id"]): int(r["label"])
+        for r in connected_components(graph).collect()
+    }
+    comps: dict[int, list[int]] = {}
+    for node, lab in comp_of.items():
+        comps.setdefault(lab, []).append(node)
+
+    rng = np.random.default_rng(seed)
+    rows: list[tuple[int, int]] = []
+    for lab in sorted(comps):
+        comp = sorted(comps[lab])
+        curr = comp[int(rng.integers(0, len(comp)))]
+        visited = {curr}
+        steps, cap = 0, 1000 * max(1, len(comp)) ** 3
+        while len(visited) < len(comp):
+            steps += 1
+            if steps > cap:  # cover-time guard: O(n*m) expected, n^3 worst
+                raise RuntimeError("random walk exceeded the cover-time cap")
+            nbrs = adj.get(curr, [])
+            neigh = nbrs[int(rng.integers(0, len(nbrs)))]
+            if neigh not in visited:
+                rows.append((curr, neigh))
+                visited.add(neigh)
+            curr = neigh
+    return spark.createDataFrame(rows, "src long, dst long")

@@ -152,3 +152,45 @@ def test_umsf_rejects_unbounded_weight_domain(spark):
         for r in union_max_spanning_forest(g, max_levels=8).collect()
     }
     assert all(got.values()) and len(got) == 8
+
+
+def test_random_spanning_forest_invariants_and_uniformity(spark):
+    """components/RandomSpanningForest.cpp:20-52 (Aldous-Broder): the
+    result is a spanning forest of each component built from graph edges;
+    on the triangle the sampled tree is uniform over the 3 candidates."""
+    from networkit_spark.graph import Graph, from_edge_rows
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.spanning import random_spanning_forest
+
+    # two components: a 4-cycle + a path
+    rows = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6)]
+    g = from_edge_rows(spark, rows, num_nodes=7)
+    tree = random_spanning_forest(g, seed=5)
+    te = [(r["src"], r["dst"]) for r in tree.collect()]
+    assert len(te) == 7 - 2  # n - #components
+    ge = {(min(a, b), max(a, b)) for a, b in rows}
+    assert all((min(a, b), max(a, b)) in ge for a, b in te)
+    # the forest spans: same component structure as the graph
+    fg = from_edge_rows(spark, te, num_nodes=7)
+    cc_g = {r["id"]: r["label"] for r in connected_components(g).collect()}
+    cc_f = {r["id"]: r["label"] for r in connected_components(fg).collect()}
+    assert cc_g == cc_f
+    # determinism
+    te2 = [(r["src"], r["dst"]) for r in random_spanning_forest(g, seed=5).collect()]
+    assert te == te2
+
+    # uniformity on the triangle: 3 spanning trees, one per omitted edge;
+    # 60 seeds should hit each a fair number of times (expected 20 each;
+    # the per-seed cost is the operator's small CC job)
+    tri = from_edge_rows(spark, [(0, 1), (1, 2), (2, 0)], num_nodes=3)
+    omitted = {(0, 1): 0, (1, 2): 0, (0, 2): 0}
+    tri_edges = set(omitted)
+    for s in range(60):
+        t = {
+            (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+            for r in random_spanning_forest(tri, seed=s).collect()
+        }
+        assert len(t) == 2
+        (miss,) = tri_edges - t
+        omitted[miss] += 1
+    assert all(c >= 10 for c in omitted.values()), omitted
