@@ -161,3 +161,74 @@ def spectral_bisection(
         .cast("long")
         .alias("label"),
     )
+
+
+def spectral_coloring(graph: Graph, max_n: int = 4096) -> DataFrame:
+    """(id, color) — SpectralColoring (networkit/coloring.py:6-58, the
+    reference's experimental pure-Python class): compute the adjacency
+    spectrum, then recursively sign-split every color class on successive
+    eigenvectors (descending eigenvalue order, adjacencyEigenvectors'
+    LA ordering) until each class is an independent set. Faithful port of
+    the recursion including the validity re-probe per split; eigenvector
+    SIGNS are pinned (first nonzero component positive) because scipy
+    leaves them arbitrary — any sign choice yields a proper coloring, the
+    pin makes this one deterministic (documented deviation).
+
+    Fixture-tier by the reference's own construction (it densifies the
+    adjacency and takes the full spectrum); ``max_n`` guards the dense
+    eigendecomposition. Luby MIS (`graph_mis`) remains the distributed
+    independence operator."""
+    import numpy as np
+
+    ids = sorted(int(r["id"]) for r in graph.vertices.collect())
+    n = len(ids)
+    if n > max_n:
+        raise ValueError(
+            f"spectral_coloring densifies the adjacency; n={n} > max_n={max_n}"
+        )
+    spark = graph.vertices.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "id long, color long")
+    pos = {u: i for i, u in enumerate(ids)}
+    A = np.zeros((n, n))
+    nbrs: dict[int, set[int]] = {i: set() for i in range(n)}
+    for r in graph.edges.select("src", "dst", "weight").collect():
+        i, j = pos[int(r["src"])], pos[int(r["dst"])]
+        A[i, j] = float(r["weight"])
+        A[j, i] = float(r["weight"])
+        if i != j:
+            nbrs[i].add(j)
+            nbrs[j].add(i)
+    w, v = np.linalg.eigh(A)
+    order = np.argsort(w)[::-1]  # descending eigenvalue (LA mode)
+    vecs = v[:, order].T
+    for k in range(n):  # pin arbitrary eigenvector signs
+        nz = np.nonzero(vecs[k])[0]
+        if len(nz) and vecs[k][nz[0]] < 0:
+            vecs[k] = -vecs[k]
+
+    colors: dict[int, set[int]] = {0: set(range(n))}
+    next_color = [1]
+
+    def valid(c: int) -> bool:
+        members = colors[c]
+        return all(nbrs[x].isdisjoint(members) for x in members)
+
+    def split(c: int, depth: int = 0) -> None:
+        if depth >= n:
+            raise RuntimeError("spectral recursion exhausted the spectrum")
+        other = next_color[0]
+        next_color[0] += 1
+        vs = colors[c]
+        colors[c] = {x for x in vs if vecs[depth][x] >= 0}
+        colors[other] = {x for x in vs if vecs[depth][x] < 0}
+        if not valid(c):
+            split(c, depth + 1)
+        if not valid(other):
+            split(other, depth + 1)
+
+    split(0)
+    rows = [
+        (ids[x], c) for c, members in colors.items() for x in members
+    ]
+    return spark.createDataFrame(sorted(rows), "id long, color long")

@@ -79,3 +79,38 @@ def test_bisection_balanced_split_sizes(spark):
     g = from_edge_rows(spark, [(i, i + 1) for i in range(7)])
     labels = [r["label"] for r in spectral_bisection(g, num_iters=80).collect()]
     assert sorted([labels.count(0), labels.count(1)]) == [4, 4]
+
+
+def test_spectral_coloring_is_proper(spark):
+    """networkit/coloring.py:6-58 — the recursive sign-split must end with
+    every color class an independent set (no monochromatic edge)."""
+    import itertools
+
+    import pytest
+
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.spectral import spectral_coloring
+
+    cases = {
+        "triangle": [(0, 1), (1, 2), (2, 0)],
+        "c4": [(0, 1), (1, 2), (2, 3), (3, 0)],
+        "barbell": list(itertools.combinations(range(4), 2))
+        + [(u + 4, v + 4) for u, v in itertools.combinations(range(4), 2)]
+        + [(3, 4)],
+        "weighted_path": [(0, 1, 2.5), (1, 2, 0.5)],
+    }
+    for name, rows in cases.items():
+        g = from_edge_rows(spark, rows, weighted=(name == "weighted_path"))
+        col = {r["id"]: r["color"] for r in spectral_coloring(g).collect()}
+        assert set(col) == {r["id"] for r in g.vertices.collect()}, name
+        for e in rows:
+            u, v = e[0], e[1]
+            assert col[u] != col[v], (name, u, v)
+    # triangle needs >= 3 colors; determinism across calls
+    tri = from_edge_rows(spark, cases["triangle"])
+    c1 = {r["id"]: r["color"] for r in spectral_coloring(tri).collect()}
+    c2 = {r["id"]: r["color"] for r in spectral_coloring(tri).collect()}
+    assert len(set(c1.values())) >= 3 and c1 == c2
+    # the dense-spectrum guard
+    with pytest.raises(ValueError, match="max_n"):
+        spectral_coloring(tri, max_n=2)
