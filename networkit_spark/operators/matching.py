@@ -153,3 +153,57 @@ def _dominant_matching(
 def matching_weight(matching: DataFrame) -> float:
     """Total weight of a matching DataFrame (Matching.cpp::weight)."""
     return matching.agg(F.sum("weight")).first()[0] or 0.0
+
+
+def path_growing_matching(graph: Graph) -> DataFrame:
+    """matching(u, v, weight), u < v — PathGrowingMatcher
+    (matching/PathGrowingMatcher.cpp:31-156, Drake-Hougardy 1/2-approx):
+    repeatedly take the highest-degree alive vertex (the reference's
+    BucketPQ extractMin over -degree; ties by id ASC here — BucketPQ
+    leaves them unspecified), grow a path by always stepping over the
+    heaviest alive incident edge (ties to the SMALLEST neighbor id — the
+    reference keeps the first maximum in adjacency order), assign path
+    edges alternately to two matchings (the alternation flag persists
+    across paths, cpp:96-105), kill each visited vertex, and return the
+    heavier matching (m2 on ties, cpp:150-153 strict >).
+
+    Fixture-tier driver-sequential like the reference (the path walk IS
+    the algorithm); LocalMax and Suitor are the superstep-native matching
+    paths. Raises on directed graphs and self-loops (checkInput)."""
+    if graph.directed:
+        raise ValueError("path_growing_matching expects an undirected graph")
+    spark = graph.vertices.sparkSession
+    adj: dict[int, dict[int, float]] = {}
+    for r in graph.edges.select("src", "dst", "weight").collect():
+        u, v, w = int(r["src"]), int(r["dst"]), float(r["weight"])
+        if u == v:
+            raise ValueError("path_growing_matching expects no self-loops")
+        adj.setdefault(u, {})[v] = w
+        adj.setdefault(v, {})[u] = w
+
+    degrees = {u: len(nb) for u, nb in adj.items()}
+    alive = {u for u, d in degrees.items() if d > 0}
+    num_edges = sum(degrees.values()) // 2
+    m = [[], []]
+    take = 0
+    while num_edges > 0:
+        v = max(alive, key=lambda x: (degrees[x], -x))
+        while degrees[v] > 0:
+            best_u, best_w = None, 0.0
+            for u in sorted(adj[v]):
+                if u in alive and adj[v][u] > best_w:
+                    best_u, best_w = u, adj[v][u]
+            m[take].append((min(v, best_u), max(v, best_u), best_w))
+            take = 1 - take
+            for u in adj[v]:
+                if u in alive:
+                    degrees[u] -= 1
+                    num_edges -= 1
+                    if degrees[u] == 0:
+                        alive.discard(u)
+            alive.discard(v)
+            v = best_u
+    w0 = sum(w for _, _, w in m[0])
+    w1 = sum(w for _, _, w in m[1])
+    winner = m[0] if w0 > w1 else m[1]
+    return spark.createDataFrame(sorted(winner), "u long, v long, weight double")

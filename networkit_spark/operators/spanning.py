@@ -306,3 +306,45 @@ def random_spanning_forest(graph: Graph, seed: int = 42) -> DataFrame:
                 visited.add(neigh)
             curr = neigh
     return spark.createDataFrame(rows, "src long, dst long")
+
+
+def kruskal_msf(graph: Graph) -> DataFrame:
+    """forest(u, v, weight), u < v — maximum spanning forest via Kruskal
+    (graph/KruskalMSF.cpp:42-70: edges sorted DECREASING by weight, one
+    union-find scan). The reference's parallel sort leaves equal weights
+    in unspecified order; ties break by (u, v) DESCENDING here — the same
+    strict (w, u, v)-max total order max_spanning_forest's per-component
+    argmax uses — and under one strict order the maximum spanning forest
+    is unique, so the two algorithms return the IDENTICAL forest, not
+    just equal total weight (cross-checked in pytest).
+
+    Fixture-tier driver-sequential (the globally sorted union-find scan
+    is the algorithm); max_spanning_forest's superstep Boruvka is the
+    distributed path."""
+    spark = graph.vertices.sparkSession
+    canon = {}
+    for r in graph.edges.select("src", "dst", "weight").collect():
+        u, v = int(r["src"]), int(r["dst"])
+        if u == v:
+            continue
+        key = (min(u, v), max(u, v))
+        w = float(r["weight"])
+        if key not in canon or w > canon[key]:
+            canon[key] = w
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rows = []
+    for (u, v), w in sorted(
+        canon.items(), key=lambda kv: (kv[1], kv[0]), reverse=True
+    ):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            rows.append((u, v, w))
+    return spark.createDataFrame(sorted(rows), "u long, v long, weight double")

@@ -194,3 +194,29 @@ def test_random_spanning_forest_invariants_and_uniformity(spark):
         (miss,) = tri_edges - t
         omitted[miss] += 1
     assert all(c >= 10 for c in omitted.values()), omitted
+
+
+def test_kruskal_msf_matches_boruvka(spark):
+    """graph/KruskalMSF.cpp:42-70 — with ties broken by (u, v) asc, the
+    sorted union-find scan returns the identical maximum spanning forest
+    as the distributed Boruvka under the same (weight, u, v) order."""
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.spanning import (
+        forest_weight,
+        kruskal_msf,
+        max_spanning_forest,
+    )
+
+    rows = [
+        (0, 1, 4.0), (1, 2, 2.0), (2, 0, 5.0), (2, 3, 1.0), (3, 4, 3.0),
+        (4, 2, 3.0), (5, 6, 7.0),  # ties at weight 3; separate component
+    ]
+    g = from_edge_rows(spark, rows, num_nodes=7, weighted=True)
+    k = [(r["u"], r["v"], r["weight"]) for r in kruskal_msf(g).collect()]
+    b = sorted(
+        (r["u"], r["v"], r["weight"]) for r in max_spanning_forest(g).collect()
+    )
+    assert k == b
+    assert abs(forest_weight(kruskal_msf(g)) - forest_weight(max_spanning_forest(g))) < 1e-12
+    # n - #components edges
+    assert len(k) == 7 - 2

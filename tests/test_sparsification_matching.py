@@ -425,3 +425,45 @@ def test_semdedup_hand_fixture(spark):
         for r in semdedup(emb, n_cells=2, eps=0.999, max_cell=1).collect()
     }
     assert all(capped.values())
+
+
+def test_path_growing_matching(spark):
+    """PathGrowingMatcher.cpp:31-156 — result is a matching made of graph
+    edges whose weight is >= 1/2 the maximum-weight matching (Drake-
+    Hougardy guarantee), deterministic under the pinned tie-breaks."""
+    import itertools
+
+    import pytest
+
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.matching import path_growing_matching
+
+    rows = [
+        (0, 1, 5.0), (1, 2, 4.0), (2, 3, 6.0), (3, 0, 1.0), (2, 4, 2.0),
+        (4, 5, 8.0), (5, 0, 3.0),
+    ]
+    g = from_edge_rows(spark, rows, num_nodes=6, weighted=True)
+    got = [(r["u"], r["v"], r["weight"]) for r in path_growing_matching(g).collect()]
+    ge = {(min(a, b), max(a, b)): w for a, b, w in rows}
+    seen = set()
+    for u, v, w in got:
+        assert ge[(u, v)] == w
+        assert u not in seen and v not in seen  # vertex-disjoint
+        seen.update((u, v))
+    # brute-force maximum-weight matching for the 1/2 guarantee
+    best = 0.0
+    edges = list(ge.items())
+    for k in range(1, 4):
+        for combo in itertools.combinations(edges, k):
+            vs = [x for (u, v), _ in combo for x in (u, v)]
+            if len(vs) == len(set(vs)):
+                best = max(best, sum(w for _, w in combo))
+    assert sum(w for _, _, w in got) >= best / 2
+    # determinism
+    again = [(r["u"], r["v"], r["weight"]) for r in path_growing_matching(g).collect()]
+    assert got == again
+    # checkInput raise paths
+    with pytest.raises(ValueError, match="undirected"):
+        path_growing_matching(from_edge_rows(spark, [(0, 1)], directed=True))
+    with pytest.raises(ValueError, match="self-loops"):
+        path_growing_matching(from_edge_rows(spark, [(0, 0), (0, 1)]))
