@@ -433,3 +433,69 @@ def global_curveball(graph: Graph, rounds: int = 5, seed: int = 42) -> Graph:
     )
     out = sym.unionByName(loops).withColumn("weight", F.lit(1.0).cast("float"))
     return Graph(graph.vertices, out, directed=False, weighted=False)
+
+
+def curveball(
+    graph: Graph, trades: list[tuple[int, int]], seed: int = 42
+) -> Graph:
+    """Degree-preserving randomization by an ARBITRARY caller-supplied
+    trade sequence — the uniform-trade Curveball variant
+    (randomization/Curveball.cpp + CurveballImpl.cpp:395-527): each trade
+    (u, v) keeps the common neighbors of u and v (and the u-v edge, if
+    present) in place and redistributes the disjoint neighbors uniformly
+    at random, |N(u) \\ common| of them to u and the rest to v. Exactly
+    the reference's per-trade semantics over plain set adjacency — the
+    reference's edge-OWNERSHIP adjacency + trade-offset lists
+    (CurveballImpl.cpp:416-470 organize_neighbors) are an external-memory
+    optimization for streaming many trades, not part of the estimand, so
+    the fixture-tier port replaces them with a dict of neighbor sets and
+    processes trades driver-sequentially (trades within a sequence are
+    order-dependent by design; the reference is equally sequential).
+    global_curveball (above) is the distributed round-based path.
+
+    The disjoint shuffle derandomizes through one seeded numpy
+    Generator, so (graph, trades, seed) fixes the output graph."""
+    import numpy as np
+
+    if graph.directed:
+        raise ValueError("curveball randomizes undirected graphs")
+    spark = graph.vertices.sparkSession
+    adj: dict[int, set[int]] = {}
+    for r in graph.edges.select("src", "dst").distinct().collect():
+        u, v = int(r["src"]), int(r["dst"])
+        if u == v:
+            raise ValueError("curveball expects no self-loops")
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    rng = np.random.default_rng(seed)
+    for u, v in trades:
+        nu = adj.get(u, set()) - {v}
+        nv = adj.get(v, set()) - {u}
+        shared = v in adj.get(u, set())
+        common = nu & nv
+        du = sorted(nu - common)
+        dv = sorted(nv - common)
+        disjoint = sorted(du + dv)
+        u_setsize = len(du)
+        rng.shuffle(disjoint)
+        new_u = set(disjoint[:u_setsize]) | common
+        new_v = set(disjoint[u_setsize:]) | common
+        # detach old, attach new (neighbor sets of third parties update too)
+        for x in nu:
+            adj[x].discard(u)
+        for x in nv:
+            adj[x].discard(v)
+        adj[u] = new_u | ({v} if shared else set())
+        adj[v] = new_v | ({u} if shared else set())
+        for x in new_u:
+            adj.setdefault(x, set()).add(u)
+        for x in new_v:
+            adj.setdefault(x, set()).add(v)
+
+    half = sorted(
+        (u, x) for u, nb in adj.items() for x in nb if u < x
+    )
+    rows = [(u, x, 1.0) for u, x in half] + [(x, u, 1.0) for u, x in half]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight float")
+    return Graph(graph.vertices, edges, directed=False, weighted=False)

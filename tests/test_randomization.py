@@ -191,3 +191,41 @@ def test_global_curveball_rejects_directed(spark):
     )
     with pytest.raises(ValueError):
         global_curveball(Graph(verts, edges, directed=True))
+
+
+def test_curveball_uniform_trades(spark):
+    """Curveball.cpp / CurveballImpl.cpp:395-527 — arbitrary trade
+    sequences preserve every degree, keep the graph simple, keep common
+    neighbors (and the u-v edge) in place, and mix: across seeds a trade
+    must produce more than one outcome."""
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.randomization import curveball
+
+    rows = [(0, 1), (0, 2), (0, 3), (1, 4), (1, 5), (2, 4), (3, 5), (4, 5)]
+    g = from_edge_rows(spark, rows, num_nodes=6)
+    deg0 = {r["id"]: r["degree"] for r in g.degrees().collect()}
+    trades = [(0, 1), (2, 3), (4, 0), (1, 2)]
+    outcomes = set()
+    for s in range(8):
+        rg = curveball(g, trades, seed=s)
+        deg = {r["id"]: r["degree"] for r in rg.degrees().collect()}
+        assert deg == deg0, (s, deg)
+        es = {(r["src"], r["dst"]) for r in rg.edges.collect() if r["src"] < r["dst"]}
+        assert all(u != v for u, v in es)
+        assert len(es) == len(rows)  # simple, same edge count
+        outcomes.add(frozenset(es))
+    assert len(outcomes) > 1  # the shuffle actually mixes
+    # determinism: same seed -> same graph
+    a = {(r["src"], r["dst"]) for r in curveball(g, trades, seed=3).edges.collect()}
+    b = {(r["src"], r["dst"]) for r in curveball(g, trades, seed=3).edges.collect()}
+    assert a == b
+    # shared-edge + common-neighbor invariant on one trade: trading (0, 1)
+    # keeps their common neighbors attached to both and keeps the 0-1 edge
+    one = curveball(g, [(0, 1)], seed=11)
+    es = {(r["src"], r["dst"]) for r in one.edges.collect()}
+    assert (0, 1) in es and (1, 0) in es
+    common = {x for x in (2, 3, 4, 5) if (0, x) in {(a, b) for a, b in
+              [(min(u, v), max(u, v)) for u, v in rows]} and (1, x) in {(a, b) for a, b in
+              [(min(u, v), max(u, v)) for u, v in rows]}}
+    for x in common:
+        assert (0, x) in es and (1, x) in es
