@@ -269,9 +269,18 @@ def random_spanning_forest(graph: Graph, seed: int = 42) -> DataFrame:
     so one seed fixes the whole forest."""
     import numpy as np
 
+    spark = graph.vertices.sparkSession
+    adj, comps = _collect_walk_state(graph)
+    rng = np.random.default_rng(seed)
+    rows = _aldous_broder(adj, comps, rng)
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def _collect_walk_state(graph: Graph):
+    """Driver-side simple adjacency + component groups for the
+    Aldous-Broder samplers (collected ONCE, reused across samples)."""
     from networkit_spark.operators.components import connected_components
 
-    spark = graph.vertices.sparkSession
     adj: dict[int, list[int]] = {}
     for r in graph.edges.select("src", "dst").distinct().collect():
         u, v = int(r["src"]), int(r["dst"])
@@ -279,7 +288,6 @@ def random_spanning_forest(graph: Graph, seed: int = 42) -> DataFrame:
             adj.setdefault(u, []).append(v)
     for u in adj:
         adj[u] = sorted(set(adj[u]))
-
     comp_of = {
         int(r["id"]): int(r["label"])
         for r in connected_components(graph).collect()
@@ -287,8 +295,12 @@ def random_spanning_forest(graph: Graph, seed: int = 42) -> DataFrame:
     comps: dict[int, list[int]] = {}
     for node, lab in comp_of.items():
         comps.setdefault(lab, []).append(node)
+    return adj, comps
 
-    rng = np.random.default_rng(seed)
+
+def _aldous_broder(adj, comps, rng) -> list[tuple[int, int]]:
+    """One uniform spanning forest (first-entry edges of a random walk per
+    component, components in min-label order)."""
     rows: list[tuple[int, int]] = []
     for lab in sorted(comps):
         comp = sorted(comps[lab])
@@ -305,7 +317,7 @@ def random_spanning_forest(graph: Graph, seed: int = 42) -> DataFrame:
                 rows.append((curr, neigh))
                 visited.add(neigh)
             curr = neigh
-    return spark.createDataFrame(rows, "src long, dst long")
+    return rows
 
 
 def kruskal_msf(graph: Graph) -> DataFrame:
@@ -348,3 +360,48 @@ def kruskal_msf(graph: Graph) -> DataFrame:
             parent[ru] = rv
             rows.append((u, v, w))
     return spark.createDataFrame(sorted(rows), "u long, v long, weight double")
+
+
+def approx_spanning_edge(
+    graph: Graph, eps: float = 0.1, seed: int = 42, max_samples: int = 5000
+) -> DataFrame:
+    """(u, v, score), u < v — epsilon-approximate spanning-edge centrality
+    by UST sampling (centrality/ApproxSpanningEdge.cpp:24-130): score(e) =
+    fraction of sampled uniform spanning forests containing e, with the
+    reference's Hoeffding sample count ceil(ln(2m/delta) / (2 eps^2)),
+    delta = 1/n. The reference samples USTs with Wilson's loop-erased
+    walk; this port samples with Aldous-Broder (random_spanning_forest's
+    kernel) — both draw EXACTLY uniform spanning trees, so the estimator
+    and its guarantee are unchanged (documented sampler swap).
+    ``max_samples`` caps the driver loop (raise eps rather than exceed
+    it). Fixture-tier like random_spanning_forest; the JL-sketch
+    estimator (`centrality_spanning_edge`, oracle-checked) is the
+    distributed approximation of the same quantity."""
+    import math as _math
+
+    import numpy as np
+
+    spark = graph.vertices.sparkSession
+    n = graph.num_nodes()
+    m = graph.num_edges()
+    if n == 0 or m == 0:
+        return spark.createDataFrame([], "u long, v long, score double")
+    n_samples = int(_math.ceil(_math.log(2.0 * m * n) / (2.0 * eps * eps)))
+    if n_samples > max_samples:
+        raise ValueError(
+            f"eps={eps} needs {n_samples} samples > max_samples={max_samples}; "
+            "raise eps or max_samples"
+        )
+    adj, comps = _collect_walk_state(graph)
+    rng = np.random.default_rng(seed)
+    counts: dict[tuple[int, int], int] = {}
+    for _ in range(n_samples):
+        for a, b in _aldous_broder(adj, comps, rng):
+            counts[(min(a, b), max(a, b))] = counts.get((min(a, b), max(a, b)), 0) + 1
+    rows = [
+        (u, v, counts.get((u, v), 0) / n_samples)
+        for u in sorted(adj)
+        for v in adj[u]
+        if u < v
+    ]
+    return spark.createDataFrame(rows, "u long, v long, score double")

@@ -220,3 +220,36 @@ def test_kruskal_msf_matches_boruvka(spark):
     assert abs(forest_weight(kruskal_msf(g)) - forest_weight(max_spanning_forest(g))) < 1e-12
     # n - #components edges
     assert len(k) == 7 - 2
+
+
+def test_approx_spanning_edge_matches_effective_resistance(spark):
+    """centrality/ApproxSpanningEdge.cpp:24-130 — the sampled UST edge
+    frequency must land within eps of the exact spanning-edge centrality
+    (= effective resistance on unweighted graphs, matrix-tree theorem)."""
+    import numpy as np
+    import pytest
+
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.spanning import approx_spanning_edge
+
+    rows = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (3, 4)]
+    g = from_edge_rows(spark, rows, num_nodes=5)
+    eps = 0.15
+    got = {
+        (r["u"], r["v"]): r["score"]
+        for r in approx_spanning_edge(g, eps=eps, seed=7).collect()
+    }
+    # exact via pseudoinverse of the Laplacian
+    n = 5
+    L = np.zeros((n, n))
+    for u, v in rows:
+        L[u, u] += 1; L[v, v] += 1; L[u, v] -= 1; L[v, u] -= 1
+    Lp = np.linalg.pinv(L)
+    for u, v in rows:
+        exact = Lp[u, u] + Lp[v, v] - 2 * Lp[u, v]
+        assert abs(got[(min(u, v), max(u, v))] - exact) <= eps, (u, v)
+    # the bridge (3,4) is in EVERY spanning tree
+    assert got[(3, 4)] == 1.0
+    # sample-count guard
+    with pytest.raises(ValueError, match="max_samples"):
+        approx_spanning_edge(g, eps=0.01, max_samples=10)
