@@ -167,3 +167,56 @@ def stable_partition_fraction(graph: Graph, labels: DataFrame) -> float:
     ).count()
     total = labels.count()
     return stable / total if total else 1.0
+
+
+def lp_degree_ordered(graph: Graph, theta: int | None = None) -> DataFrame:
+    """(id, label) — LPDegreeOrdered (community/LPDegreeOrdered.cpp:26-87):
+    ASYNCHRONOUS label propagation visiting nodes in degree-ASCENDING
+    order, each node immediately adopting the dominant label among its
+    neighbors' CURRENT labels; inactive nodes reactivate when a neighbor
+    flips; sweeps repeat while more than theta = n // 1e5 nodes updated
+    (zero at fixture sizes -> run to a stable labeling). Dominant-label
+    ties break to the SMALLEST label — the reference takes the first
+    maximum of an unordered_map iteration, which is unspecified; the pin
+    makes the port deterministic. Equal degrees order by id ascending
+    (the reference's parallel sort leaves them unspecified too).
+
+    The async immediate-adoption visit order IS the algorithm (labels
+    read mid-sweep), so this is fixture-tier driver-sequential; the
+    synchronous PLP (`graph_labelprop`, oracle-checked) is the
+    distributed path."""
+    spark = graph.vertices.sparkSession
+    adj: dict[int, list[int]] = {}
+    for r in graph.edges.select("src", "dst").distinct().collect():
+        u, v = int(r["src"]), int(r["dst"])
+        if u != v:
+            adj.setdefault(u, []).append(v)
+    ids = sorted(int(r["id"]) for r in graph.vertices.collect())
+    for u in adj:
+        adj[u] = sorted(set(adj[u]))
+    n = len(ids)
+    if theta is None:
+        theta = n // 100000
+    labels = {u: u for u in ids}
+    active = {u: True for u in ids}
+    order = sorted(ids, key=lambda u: (len(adj.get(u, [])), u))
+    n_updated = n
+    while n_updated > theta:
+        n_updated = 0
+        for v in order:
+            if not active.get(v) or not adj.get(v):
+                continue
+            counts: dict[int, int] = {}
+            for w in adj[v]:
+                counts[labels[w]] = counts.get(labels[w], 0) + 1
+            dominant = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            if labels[v] != dominant:
+                labels[v] = dominant
+                n_updated += 1
+                for w in adj[v]:
+                    active[w] = True
+            else:
+                active[v] = False
+    return spark.createDataFrame(
+        sorted(labels.items()), "id long, label long"
+    )

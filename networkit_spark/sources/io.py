@@ -787,3 +787,49 @@ def write_dot_partition(graph: Graph, labels: DataFrame, path: str) -> None:
         for r in erows:
             f.write(f"{r['src']} -- {r['dst']};\n")
         f.write("}\n")
+
+
+def read_raster(
+    spark: SparkSession,
+    path: str,
+    normalization_factor: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """(x, y) point cloud from a NASA SEDAC-style ASCII population raster
+    (io/RasterReader.cpp:21-103): a 6-line header (ncols / nrows read
+    after the 14-character keys, lines 3-6 ignored), then nrows rows of
+    ncols cell values; every cell emits round(value * normalization
+    factor) points uniform in its UNIT cell box — the reference keeps
+    xdelta = ydelta = 1.0 (its normalized deltas are commented out), so
+    row r spans y in [1-(r+1), 1-r] going negative below the first row.
+    Point draws are hash-seeded per call (the reference uses its global
+    RNG; seeding keeps fixtures reproducible). Driver-side parse like
+    every other fixture-tier reader; population grids are inputs to the
+    geometric generators, not graphs."""
+    import numpy as np
+
+    with open(path) as f:
+        lines = f.read().splitlines()
+    ncols = int(float(lines[0][14:].strip()))
+    nrows = int(float(lines[1][14:].strip()))
+    rng = np.random.default_rng(seed)
+    pts: list[tuple[float, float]] = []
+    for row in range(nrows):
+        vals = lines[6 + row].split()
+        if len(vals) < ncols:
+            raise ValueError("bad raster row length")
+        ylb, yub = -float(row), 1.0 - float(row)
+        for col in range(ncols):
+            # floor(x+0.5) == the reference's std::round (half away
+            # from zero) for these non-negative values; Python round() is
+            # banker's and would disagree at exact halves
+            k = int(float(vals[col]) * normalization_factor + 0.5)
+            xlb = float(col)
+            for _ in range(k):
+                pts.append(
+                    (
+                        float(xlb + rng.random()),
+                        float(ylb + rng.random() * (yub - ylb)),
+                    )
+                )
+    return spark.createDataFrame(pts, "x double, y double")

@@ -95,3 +95,34 @@ def test_stable_partition_fraction(spark):
     g = from_edge_rows(spark, rows)
     labels = label_propagation(g, theta=0)
     assert stable_partition_fraction(g, labels) == 1.0
+
+
+def test_lp_degree_ordered_two_cliques(spark):
+    """LPDegreeOrdered.cpp:26-87 — the async degree-ordered sweep settles
+    with each clique one community; at convergence every node's label is
+    a dominant label of its neighborhood."""
+    import itertools
+
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.labelprop import lp_degree_ordered
+
+    a = list(itertools.combinations(range(5), 2))
+    b = [(u + 5, v + 5) for u, v in a]
+    g = from_edge_rows(spark, a + b + [(4, 5)], num_nodes=10)
+    lab = {r["id"]: r["label"] for r in lp_degree_ordered(g).collect()}
+    assert len({lab[i] for i in range(5)}) == 1
+    assert len({lab[i] for i in range(5, 10)}) == 1
+    assert lab[0] != lab[5]
+    # stability: every node's label dominates its neighborhood
+    adj = {}
+    for u, v in a + b + [(4, 5)]:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    for v, nbrs in adj.items():
+        counts = {}
+        for w in nbrs:
+            counts[lab[w]] = counts.get(lab[w], 0) + 1
+        assert counts[lab[v]] == max(counts.values()), v
+    # determinism
+    again = {r["id"]: r["label"] for r in lp_degree_ordered(g).collect()}
+    assert lab == again

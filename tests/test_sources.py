@@ -611,3 +611,34 @@ def test_dibap_binary_roundtrip(spark, tmp_path):
     open(bad, "wb").write(struct.pack(">h", (ord("X") << 8) | ord("X")))
     with pytest.raises(ValueError, match="bad file structure"):
         read_dibap(spark, bad)
+
+
+def test_read_raster_points(spark, tmp_path):
+    """io/RasterReader.cpp:21-103 — header parse after 14-char keys, unit
+    cell boxes with y decreasing per row, round(value * factor) points
+    per cell, deterministic under the seed."""
+    p = str(tmp_path / "pop.asc")
+    with open(p, "w") as f:
+        f.write("ncols         3\n")
+        f.write("nrows         2\n")
+        f.write("xllcorner     0.0\n")
+        f.write("yllcorner     0.0\n")
+        f.write("cellsize      1.0\n")
+        f.write("NODATA_value  -9999\n")
+        f.write("2 0 1\n")
+        f.write("0 3 0\n")
+    from networkit_spark.sources.io import read_raster
+
+    pts = [(r["x"], r["y"]) for r in read_raster(spark, p).collect()]
+    assert len(pts) == 2 + 1 + 3
+    # row 0 cells: y in [0, 1]; row 1: y in [-1, 0]
+    in_cell = lambda x, y, c, r: c <= x <= c + 1 and -r <= y <= 1 - r
+    assert sum(in_cell(x, y, 0, 0) for x, y in pts) == 2
+    assert sum(in_cell(x, y, 2, 0) for x, y in pts) == 1
+    assert sum(in_cell(x, y, 1, 1) for x, y in pts) == 3
+    # normalization factor halves counts (round)
+    half = read_raster(spark, p, normalization_factor=0.5).collect()
+    assert len(half) == 1 + 1 + 2  # std::round halves away from zero: 1.0->1, 0.5->1, 1.5->2
+    # determinism
+    again = [(r["x"], r["y"]) for r in read_raster(spark, p).collect()]
+    assert pts == again
