@@ -435,3 +435,54 @@ def forest_fire_score(
         "src", "dst",
         (F.coalesce("cnt", F.lit(0)).cast("double") / F.lit(mx)).alias("score"),
     )
+
+
+def random_node_edge_score(
+    graph: Graph, rne_ratio: float = 0.5, seed: int = 42
+) -> DataFrame:
+    """(u, v, score), u < v — RandomNodeEdgeScore (sparsification/
+    RandomNodeEdgeScore.cpp:19-70): a sequential removal process scores
+    every edge by its removal position / m; each step removes either a
+    uniformly random remaining edge (probability 1 - rne_ratio) or a
+    node-biased one (uniform random node with remaining degree, then
+    uniform incident edge — GraphTools::randomEdge's non-uniform draw).
+    Low scores = removed early under the mixed process; thresholding the
+    scores replays the removal prefix.
+
+    The score IS the stateful removal order (the skip rationale for three
+    rounds), so this is fixture-tier driver-sequential with one seeded
+    generator; the reference's pre-batched uniform edge buffer
+    (cpp:33-44) is an amortization, not semantics. RandomEdgeScore
+    (inside `graph_sparsify_scores`, hash-derandomized, oracle-checked)
+    remains the distributed random-backbone path."""
+    import numpy as np
+
+    spark = graph.vertices.sparkSession
+    adj: dict[int, set[int]] = {}
+    for r in graph.edges.select("src", "dst").distinct().collect():
+        u, v = int(r["src"]), int(r["dst"])
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    edges = sorted({(min(u, v), max(u, v)) for u, nb in adj.items() for v in nb})
+    m = len(edges)
+    remaining = set(edges)
+    rng = np.random.default_rng(seed)
+    scores: list[tuple[int, int, float]] = []
+    removed = 0
+    while remaining:
+        if rng.random() >= rne_ratio:  # uniformly random edge
+            pool = sorted(remaining)
+            e = pool[int(rng.integers(0, len(pool)))]
+        else:  # random node -> random incident edge
+            alive = sorted(u for u in adj if adj[u])
+            x = alive[int(rng.integers(0, len(alive)))]
+            nbrs = sorted(adj[x])
+            y = nbrs[int(rng.integers(0, len(nbrs)))]
+            e = (min(x, y), max(x, y))
+        scores.append((e[0], e[1], removed / m))
+        remaining.discard(e)
+        adj[e[0]].discard(e[1])
+        adj[e[1]].discard(e[0])
+        removed += 1
+    return spark.createDataFrame(sorted(scores), "u long, v long, score double")

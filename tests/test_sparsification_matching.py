@@ -467,3 +467,26 @@ def test_path_growing_matching(spark):
         path_growing_matching(from_edge_rows(spark, [(0, 1)], directed=True))
     with pytest.raises(ValueError, match="self-loops"):
         path_growing_matching(from_edge_rows(spark, [(0, 0), (0, 1)]))
+
+
+def test_random_node_edge_score(spark):
+    """RandomNodeEdgeScore.cpp:19-70 — every edge scored exactly once with
+    the removal-position/m ladder; deterministic under the seed."""
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.sparsification import random_node_edge_score
+
+    rows = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (2, 4)]
+    g = from_edge_rows(spark, rows, num_nodes=5)
+    got = {(r["u"], r["v"]): r["score"] for r in random_node_edge_score(g, seed=9).collect()}
+    assert set(got) == {(min(a, b), max(a, b)) for a, b in rows}
+    m = len(rows)
+    assert sorted(got.values()) == [i / m for i in range(m)]
+    again = {(r["u"], r["v"]): r["score"] for r in random_node_edge_score(g, seed=9).collect()}
+    assert got == again
+    # different seeds produce different removal orders (mixing)
+    other = {(r["u"], r["v"]): r["score"] for r in random_node_edge_score(g, seed=10).collect()}
+    assert other != got
+    # the pure-uniform and pure-node-biased extremes both cover all edges
+    for ratio in (0.0, 1.0):
+        ext = random_node_edge_score(g, rne_ratio=ratio, seed=3).collect()
+        assert len(ext) == m
