@@ -1,0 +1,130 @@
+"""PivotMDS (viz/PivotMDS.cpp) vs an independent dense-numpy replica of
+the reference algorithm (heapq Dijkstra, dense double-centering, explicit
+power iteration) on fixture graphs."""
+
+import hashlib
+import heapq
+
+import numpy as np
+
+from networkit_spark.graph import from_edge_rows
+from networkit_spark.operators.layout import pivot_mds
+
+GRID = [
+    (r * 4 + c, r * 4 + c + 1)
+    for r in range(4)
+    for c in range(3)
+] + [
+    (r * 4 + c, (r + 1) * 4 + c)
+    for r in range(3)
+    for c in range(4)
+]
+
+
+def _md5long(t: str) -> int:
+    return int.from_bytes(hashlib.md5(t.encode()).digest()[:6], "big")
+
+
+def _ref_pivot_mds(rows, n, dim, k, seed=42, weighted=False):
+    """Dense replica of PivotMDS.cpp:22-133 with the engine's documented
+    derandomizations (md5-rank pivots, md5 start vector, canonical sign)."""
+    adj = [[] for _ in range(n)]
+    for u, v, *w in rows:
+        wt = float(w[0]) if (w and weighted) else 1.0
+        adj[u].append((v, wt))
+        adj[v].append((u, wt))
+    pivots = sorted(range(n), key=lambda i: (_md5long(f"{seed}:pmds:{i}"), i))[:k]
+
+    D = np.full((n, k), np.inf)
+    for j, s in enumerate(pivots):
+        dist = {s: 0.0}
+        pq = [(0.0, s)]
+        while pq:
+            d, u = heapq.heappop(pq)
+            if d > dist.get(u, np.inf):
+                continue
+            for v, wt in adj[u]:
+                nd = d + wt
+                if nd < dist.get(v, np.inf):
+                    dist[v] = nd
+                    heapq.heappush(pq, (nd, v))
+        for v, d in dist.items():
+            D[v, j] = d
+
+    present = np.isfinite(D)
+    Dz = np.where(present, D, 0.0)
+    row_mean = Dz.sum(axis=1) / k
+    col_mean = Dz.sum(axis=0) / n
+    grand = row_mean.sum() / (2.0 * n) + col_mean.sum() / (2.0 * k)
+    C = np.where(
+        present, Dz - row_mean[:, None] - col_mean[None, :] + grand, 0.0
+    )
+
+    CC = C.T @ C
+    coords = np.zeros((n, dim))
+    for d in range(dim):
+        v = np.array(
+            [_md5long(f"{seed}:pmds:d{d}:{j}") / 2.0**48 - 0.5 for j in range(k)]
+        )
+        it = 0
+        while True:
+            old = v
+            v = CC @ old
+            v = v / (np.linalg.norm(v) or 1.0)
+            it += 1
+            if np.linalg.norm(v - old) <= 1e-6 or it >= 1500:
+                break
+        sq = float(v @ v) or 1.0
+        lam = float((CC @ v) @ v) / sq
+        CC = CC - (lam / sq) * np.outer(v, v)
+        nz = np.nonzero(np.abs(v) > 1e-12)[0]
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        coords[:, d] = C @ v
+    return coords
+
+
+def _engine_coords(spark, rows, n, dim=2, k=4, weighted=False):
+    g = from_edge_rows(spark, rows, weighted=weighted, num_nodes=n)
+    out = pivot_mds(g, dim=dim, num_pivots=k).collect()
+    got = np.zeros((n, dim))
+    for r in out:
+        for d in range(dim):
+            got[r["id"], d] = r[f"x{d}"]
+    assert len(out) == n
+    return got
+
+
+def test_pivot_mds_matches_replica_grid(spark):
+    want = _ref_pivot_mds(GRID, 16, dim=2, k=4)
+    got = _engine_coords(spark, GRID, 16, dim=2, k=4)
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+
+def test_pivot_mds_weighted_path(spark):
+    rows = [(0, 1, 2.0), (1, 2, 1.0), (2, 3, 4.0), (3, 0, 1.0), (1, 3, 3.0)]
+    want = _ref_pivot_mds(rows, 4, dim=2, k=3, weighted=True)
+    got = _engine_coords(spark, rows, 4, dim=2, k=3, weighted=True)
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+
+def test_pivot_mds_disconnected_pairs_stay_zero(spark):
+    # two components: pivots land by md5 rank; unreached (node, pivot)
+    # pairs stay exact zeros in C (PivotMDS.cpp:38-47) — the layout must
+    # still emit one row per node with finite coordinates
+    rows = [(0, 1), (1, 2), (3, 4)]
+    want = _ref_pivot_mds(rows, 5, dim=2, k=3)
+    got = _engine_coords(spark, rows, 5, dim=2, k=3)
+    assert np.isfinite(got).all()
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+
+def test_pivot_mds_recovers_grid_geometry(spark):
+    # layout sanity (VizGTest role): on the 4x4 grid, graph-adjacent nodes
+    # must sit closer in the embedding than the farthest pair does
+    got = _engine_coords(spark, GRID, 16, dim=2, k=8)
+    dmax = max(
+        np.linalg.norm(got[a] - got[b]) for a in range(16) for b in range(16)
+    )
+    for u, v in GRID:
+        assert np.linalg.norm(got[u] - got[v]) < 0.75 * dmax
