@@ -632,6 +632,32 @@ def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPARSIFY_RATIO = 0.3
 BFS_SAMPLE_K = 40
 FIEDLER_ITERS = 20
+PMDS_PIVOTS = 6
+PMDS_DIM = 2
+PMDS_ITERS = 40  # pinned power steps per dimension (oracle-replayable mode)
+
+
+def q_viz_pivot_mds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PivotMDS layout (viz/PivotMDS.cpp:22-133) in pinned mode: md5-rank
+    pivots, batched multi-pivot BFS, double centering, deflated power
+    iteration on the k×k Gram, coordinates C·v rounded to 6dp. The hop
+    (unweighted) metric is used — the entity graph's count weights are
+    multiplicities, not lengths."""
+    from networkit_spark.graph import Graph
+    from networkit_spark.operators.layout import pivot_mds
+
+    g, _ = L.events_graph(spark, sf_dir)
+    gu = Graph(g.vertices, g.edges, g.directed, False)
+    out = pivot_mds(
+        gu, dim=PMDS_DIM, num_pivots=PMDS_PIVOTS, pinned_iters=PMDS_ITERS
+    )
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        *[
+            (F.round(F.col(f"x{d}"), 6) + F.lit(0.0)).alias(f"x{d}")
+            for d in range(PMDS_DIM)
+        ],
+    )
 
 
 def q_graph_spectral_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1837,6 +1863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_bfs_sample": q_graph_bfs_sample,
     "graph_degree_gini": q_graph_degree_gini,
     "graph_spectral_bisection": q_graph_spectral_bisection,
+    "viz_pivot_mds": q_viz_pivot_mds,
     "text_pack_sequences": q_text_pack_sequences,
     # ---- block 2: registered in r2, judge-verified but never driver-checked
     "community_conductance": q_community_conductance,
@@ -2089,6 +2116,9 @@ def build_oracles() -> dict[str, str]:
         "graph_bfs_sample": L.sql_bfs_sample(BFS_ITERS, BFS_SAMPLE_K, 0),
         "graph_degree_gini": L.sql_degree_gini(),
         "graph_spectral_bisection": L.sql_spectral_bisection(FIEDLER_ITERS, 42),
+        "viz_pivot_mds": L.sql_pivot_mds(
+            APSP_ITERS, PMDS_PIVOTS, PMDS_DIM, PMDS_ITERS, 42
+        ),
         "text_pack_sequences": L.sql_pack_sequences(PACK_CAPACITY, 42),
         "graph_maxflow": L.sql_maxflow(MAXFLOW_K, MAXFLOW_S, MAXFLOW_T),
         "graph_diff": L.sql_graph_diff(),

@@ -5202,3 +5202,116 @@ UNION ALL
 SELECT (SELECT d FROM dia), CAST(n * (n - 1) AS BIGINT) FROM consts
 ORDER BY dist"""
     return _with_graph(body)
+
+
+def sql_pivot_mds(
+    iters: int, k: int, dim: int, pm_iters: int, seed: int = 42
+) -> str:
+    """Full replay of operators/layout.py pivot_mds in pinned mode
+    (viz/PivotMDS.cpp semantics): md5-rank pivots, frontier-unrolled
+    multi-pivot BFS, double centering over PRESENT pairs only, dense k×k
+    Gram, ``pm_iters`` unrolled power steps per dimension with rank-1
+    deflation between dimensions, canonical sign, coordinates C·v
+    rounded to 6dp."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    rk = md5_long_sql(f"('{seed}:pmds:' || CAST(id AS STRING))")
+    ctes = [
+        f"""pv AS MATERIALIZED (
+    SELECT id AS s, CAST(rn - 1 AS INT) AS j FROM (
+        SELECT id, row_number() OVER (ORDER BY {rk}, id) AS rn FROM vertices
+    ) WHERE rn <= {k}
+)""",
+        "uadj AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "pb0 AS (SELECT s, s AS v, CAST(0 AS BIGINT) AS dist FROM pv)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""pbn{t} AS (
+    SELECT p.s, e.dst AS v, CAST({t} AS BIGINT) AS dist
+    FROM pb{t-1} p JOIN uadj e ON e.src = p.v
+    WHERE p.dist = {t-1}
+    GROUP BY p.s, e.dst
+),
+pb{t} AS MATERIALIZED (
+    SELECT s, v, dist FROM pb{t-1}
+    UNION ALL
+    SELECT n.s, n.v, n.dist FROM pbn{t} n
+    WHERE NOT EXISTS (SELECT 1 FROM pb{t-1} o WHERE o.s = n.s AND o.v = n.v)
+)"""
+        )
+    ctes += [
+        f"""dmat AS MATERIALIZED (
+    SELECT b.v AS id, p.j, CAST(b.dist AS DOUBLE) AS d
+    FROM pb{iters} b JOIN pv p ON p.s = b.s
+)""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices)",
+        f"""rm AS MATERIALIZED (
+    SELECT v.id, COALESCE(SUM(m.d), 0.0) / {k} AS rm
+    FROM vertices v LEFT JOIN dmat m ON m.id = v.id GROUP BY v.id
+)""",
+        "cmn AS MATERIALIZED (SELECT j, SUM(d) / (SELECT n FROM nn) AS cm FROM dmat GROUP BY j)",
+        f"gm AS (SELECT COALESCE(SUM(d), 0.0) / ((SELECT n FROM nn) * {k}) AS g FROM dmat)",
+        """cmat AS MATERIALIZED (
+    SELECT m.id, m.j, m.d - r.rm - c.cm + (SELECT g FROM gm) AS c
+    FROM dmat m JOIN rm r ON r.id = m.id JOIN cmn c ON c.j = m.j
+)""",
+        """ccagg AS (
+    SELECT a.j AS j1, b.j AS j2, SUM(a.c * b.c) AS val
+    FROM cmat a JOIN cmat b ON a.id = b.id GROUP BY a.j, b.j
+)""",
+        """cc0 AS MATERIALIZED (
+    SELECT p1.j AS j1, p2.j AS j2, COALESCE(g.val, 0.0) AS val
+    FROM pv p1 CROSS JOIN pv p2
+    LEFT JOIN ccagg g ON g.j1 = p1.j AND g.j2 = p2.j
+)""",
+    ]
+    for d in range(dim):
+        hj = md5_long_sql(f"('{seed}:pmds:d{d}:' || CAST(j AS STRING))")
+        ctes.append(
+            f"v{d}i0 AS (SELECT j, ({hj} / 281474976710656.0 - 0.5) AS x FROM pv)"
+        )
+        for t in range(1, pm_iters + 1):
+            ctes.append(
+                f"""v{d}y{t} AS (
+    SELECT c.j1 AS j, SUM(c.val * p.x) AS y
+    FROM cc{d} c JOIN v{d}i{t-1} p ON p.j = c.j2 GROUP BY c.j1
+),
+v{d}i{t} AS MATERIALIZED (
+    SELECT j, y / (SELECT COALESCE(NULLIF(sqrt(SUM(y*y)), 0.0), 1.0)
+                   FROM v{d}y{t}) AS x
+    FROM v{d}y{t}
+)"""
+            )
+        fin = f"v{d}i{pm_iters}"
+        ctes += [
+            f"v{d}sq AS (SELECT COALESCE(NULLIF(SUM(x*x), 0.0), 1.0) AS sq FROM {fin})",
+            f"""v{d}lam AS (
+    SELECT (SELECT SUM(c.val * a.x * b.x)
+            FROM cc{d} c JOIN {fin} a ON a.j = c.j1 JOIN {fin} b ON b.j = c.j2)
+           / (SELECT sq FROM v{d}sq) AS lam
+)""",
+            f"""cc{d+1} AS MATERIALIZED (
+    SELECT c.j1, c.j2,
+           c.val - (SELECT lam FROM v{d}lam) / (SELECT sq FROM v{d}sq)
+                   * a.x * b.x AS val
+    FROM cc{d} c JOIN {fin} a ON a.j = c.j1 JOIN {fin} b ON b.j = c.j2
+)""",
+            f"""v{d}sg AS (
+    SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+    FROM {fin} WHERE abs(x) > 1e-12 ORDER BY j LIMIT 1
+)""",
+            f"""v{d}c AS MATERIALIZED (
+    SELECT j, x * COALESCE((SELECT s FROM v{d}sg), 1.0) AS x FROM {fin}
+)""",
+            f"""xc{d} AS MATERIALIZED (
+    SELECT m.id, SUM(m.c * v.x) AS val
+    FROM cmat m JOIN v{d}c v ON v.j = m.j GROUP BY m.id
+)""",
+        ]
+    sel = ", ".join(
+        f"ROUND(COALESCE(xc{d}.val, 0.0), 6) + 0.0 AS x{d}" for d in range(dim)
+    )
+    joins = " ".join(f"LEFT JOIN xc{d} ON xc{d}.id = v.id" for d in range(dim))
+    tail = f" SELECT v.id, {sel} FROM vertices v {joins} ORDER BY v.id"
+    return _with_graph(", ".join(ctes) + tail)
