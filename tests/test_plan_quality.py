@@ -87,6 +87,8 @@ def test_no_forced_vertex_sized_broadcasts():
         "operators/spanning.py": ["F.broadcast(lvls)"],
         # 1-row global min agg (k==0 degenerate clustering)
         "operators/overlap.py": ["F.broadcast(one)"],
+        # k-row pivot->rank map (k = num_pivots, driver-built by design)
+        "operators/layout.py": ["F.broadcast(jmap)"],
         # lm_quality_score: vocab is .limit(vocab_size) (<=1000 rows by
         # construction); stats is a 1-row crossJoin of two global aggs
         "functions/textstats.py": [
