@@ -833,3 +833,114 @@ def read_raster(
                     )
                 )
     return spark.createDataFrame(pts, "x double, y double")
+
+
+_PS_COLORS = [
+    (1.0, 0.0, 0.0), (1.0, 0.5, 0.0), (1.0, 1.0, 0.0), (0.5, 1.0, 0.0),
+    (0.0, 1.0, 0.0), (0.0, 1.0, 0.5), (0.0, 1.0, 1.0), (0.0, 0.5, 1.0),
+    (0.0, 0.0, 1.0), (0.5, 0.0, 1.0), (1.0, 0.0, 1.0), (1.0, 0.0, 0.5),
+    (0.6, 0.0, 0.0), (0.6, 0.3, 0.0), (0.6, 0.6, 0.0), (0.3, 0.6, 0.0),
+    (0.0, 0.6, 0.0), (0.0, 0.6, 0.3), (0.0, 0.6, 0.6), (0.0, 0.3, 0.6),
+    (0.0, 0.0, 0.6), (0.3, 0.0, 0.6), (0.6, 0.0, 0.6), (0.6, 0.0, 0.3),
+]  # viz/PostscriptWriter.cpp:20-32 fromCyclicRotation table
+
+
+def write_postscript(
+    graph: Graph,
+    coords: DataFrame,
+    path: str,
+    clustering: DataFrame | None = None,
+    torus: bool = False,
+) -> None:
+    """EPS writer (viz/PostscriptWriter.cpp:37-169): 1020×1020 canvas,
+    coordinates affinely scaled into the box, intra-cluster edges colored
+    by the 24-color cyclic table, inter-cluster edges grey, nodes as
+    r=2 dots colored by cluster (black when unassigned). ``torus=True``
+    reproduces the wrapAround header + the ±500→∓1000 edge wrapping.
+    Fixture-scale (driver collect), same scope as the DOT/GML writers.
+
+    ``coords``: (id, x, y) — any column names, positional. ``clustering``:
+    optional (id, label); None reproduces write()'s makeOneClustering
+    default (everything in cluster 0). Deviations: edges are emitted in
+    (src, dst) order (forEdges order is adjacency-dependent), and a
+    degenerate axis (max == min) scales by 1.0 instead of dividing by 0.
+    """
+    cc = coords.columns
+    pts = {
+        int(r[cc[0]]): (float(r[cc[1]]), float(r[cc[2]]))
+        for r in coords.collect()
+    }
+    lab: dict[int, int] = {}
+    if clustering is not None:
+        lab = {
+            int(r[0]): int(r[1])
+            for r in clustering.collect()
+            if r[1] is not None
+        }
+    else:
+        lab = {i: 0 for i in pts}  # makeOneClustering default
+
+    size, border = 1020.0, 0.0
+    xs = [p[0] for p in pts.values()] or [0.0]
+    ys = [p[1] for p in pts.values()] or [0.0]
+    mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+    sx = (size - 2 * border) / (mxx - mnx) if mxx > mnx else 1.0
+    sy = (size - 2 * border) / (mxy - mny) if mxy > mny else 1.0
+
+    def adj(p):
+        return ((p[0] - mnx) * sx + border, (p[1] - mny) * sy + border)
+
+    e = graph.edges if graph.directed else graph.edges.filter(
+        F.col("src") <= F.col("dst")
+    )
+    erows = e.select("src", "dst").orderBy("src", "dst").collect()
+
+    with open(path, "w") as f:
+        f.write("%!PS-Adobe-3.0 EPSF-3.0\n" if torus else "%!PS-Adobe-1.0\n")
+        f.write("%%Title: NetworKit visualization\n")
+        f.write(f"%%BoundingBox: 0.000 0.000 {size:.3f} {size:.3f}\n")
+        f.write("%%EndComments\n")
+        if not torus:
+            f.write("%%EndProlog\ngsave\n")
+        f.write(
+            "/p {newpath} bind def\n/m {moveto} bind def\n"
+            "/r {rmoveto} bind def\n/k {rlineto} bind def\n"
+            "/l {lineto} bind def\n/n {rlineto} bind def\n"
+            "/c {setrgbcolor} bind def\n/s {stroke} bind def\n"
+            "/w {setlinewidth} bind def\n/h {show} bind def\n"
+            "/a {arc closepath fill} bind def\n"
+            "/b {closepath eofill} bind def\n"
+        )
+        f.write("0.000 0.000 0.000 c\n")
+        for r in erows:
+            u, v = int(r["src"]), int(r["dst"])
+            lu, lv = lab.get(u), lab.get(v)
+            if lu is not None and lu == lv:
+                cr, cg, cb = _PS_COLORS[lu % len(_PS_COLORS)]
+                f.write(f"{cr:.3f} {cg:.3f} {cb:.3f} c ")
+            else:
+                f.write("0.80 0.80 0.80 c 1.0 w ")
+            start, end = adj(pts[u]), adj(pts[v])
+            if torus:  # wrapAround: PostscriptWriter.cpp:104-113
+                d = [end[0] - start[0], end[1] - start[1]]
+                for i in range(2):
+                    if d[i] > 500.0:
+                        d[i] -= 1000.0
+                    elif d[i] < -500.0:
+                        d[i] += 1000.0
+                end = (start[0] + d[0], start[1] + d[1])
+            f.write(
+                f"p {start[0]:.3f} {start[1]:.3f} m "
+                f"{end[0]:.3f} {end[1]:.3f} l s\n"
+            )
+        for u in sorted(pts):
+            lu = lab.get(u)
+            if lu is not None:
+                cr, cg, cb = _PS_COLORS[lu % len(_PS_COLORS)]
+                f.write(f"{cr:.3f} {cg:.3f} {cb:.3f} c ")
+            else:
+                f.write("0.0 0.0 0.0 c ")
+            px, py = adj(pts[u])
+            f.write(f"p {px:.3f} {py:.3f} 2.000 0.00 360.00 a s\n")
+        if not torus:
+            f.write("grestore\n")

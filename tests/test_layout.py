@@ -128,3 +128,56 @@ def test_pivot_mds_recovers_grid_geometry(spark):
     )
     for u, v in GRID:
         assert np.linalg.norm(got[u] - got[v]) < 0.75 * dmax
+
+
+def test_postscript_writer_roundtrip_structure(spark, tmp_path):
+    # VizGTest::testPostscriptWriterOnRandomGraph role: layout + write,
+    # then assert the EPS structure (header, macro block, m edge strokes,
+    # n filled dots, coordinates inside the 1020-box)
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.sources.io import write_postscript
+
+    rows = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    g = from_edge_rows(spark, rows, weighted=False)
+    coords = pivot_mds(g, dim=2, num_pivots=3)
+    lab = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 7), (3, 7)], "id long, label long"
+    )
+    p = str(tmp_path / "g.eps")
+    write_postscript(g, coords, p, clustering=lab)
+    text = open(p).read().splitlines()
+    assert text[0] == "%!PS-Adobe-1.0"
+    assert text[2] == "%%BoundingBox: 0.000 0.000 1020.000 1020.000"
+    edge_lines = [l for l in text if " m " in l and l.endswith("l s")]
+    dot_lines = [l for l in text if l.endswith("a s")]
+    assert len(edge_lines) == 5 and len(dot_lines) == 4
+    # intra-cluster edge (0,1) red (color 0), (2,3) color 7; (0,2) grey
+    assert any(l.startswith("1.000 0.000 0.000 c ") for l in edge_lines)
+    assert any(l.startswith("0.000 0.500 1.000 c ") for l in edge_lines)
+    assert any(l.startswith("0.80 0.80 0.80 c 1.0 w ") for l in edge_lines)
+    for l in dot_lines:  # every dot inside the canvas
+        px, py = map(float, l.split()[5:7])
+        assert 0.0 <= px <= 1020.0 and 0.0 <= py <= 1020.0
+    assert text[-1] == "grestore"
+
+
+def test_postscript_writer_torus_wraparound(spark, tmp_path):
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.sources.io import write_postscript
+
+    # two points at opposite box corners: the torus writer must wrap the
+    # connecting edge (|delta| > 500 -> shifted by 1000)
+    rows = [(0, 1)]
+    g = from_edge_rows(spark, rows, weighted=False)
+    coords = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 10.0, 10.0)], "id long, x double, y double"
+    )
+    p = str(tmp_path / "t.eps")
+    write_postscript(g, coords, p, torus=True)
+    text = open(p).read().splitlines()
+    assert text[0] == "%!PS-Adobe-3.0 EPSF-3.0"
+    (edge,) = [l for l in text if " m " in l and l.endswith("l s")]
+    toks = edge.split()
+    sx, sy, ex, ey = float(toks[5]), float(toks[6]), float(toks[8]), float(toks[9])
+    assert (sx, sy) == (0.0, 0.0)
+    assert (ex, ey) == (20.0, 20.0)  # 1020 - 1000 wrap on both axes
