@@ -236,3 +236,384 @@ def pivot_mds(
             ).alias(f"x{d}")
         )
     return carr.select(*cols)
+
+
+def known_distances(graph: Graph, k: int = 1) -> DataFrame:
+    """(u, v, d) — MaxentStress's known-distance set S
+    (MaxentStress.cpp:457-561 computeKnownDistances, GraphDistance::
+    EDGE_WEIGHT): direct neighbors at their edge weight, plus the 2..k-hop
+    neighborhood at BFS depth (unweighted) / shortest weighted distance
+    (weighted). Fully distributed: the k-bounded batched multi-source BFS
+    superstep. Self-pairs excluded.
+
+    Weighted deviation (documented): hop-2..k distances come from k rounds
+    of min-plus relaxation (shortest path using <= k edges) instead of the
+    reference's full-graph Dijkstra stopped at the k-hop ball
+    (MaxentStress.cpp:506-539) — identical whenever the weighted shortest
+    path between k-hop neighbors uses at most k edges (always at k=1, and
+    for any k on unweighted graphs)."""
+    from networkit_spark.operators.distance import multi_source_hops
+
+    direct = graph.edges.filter(F.col("src") != F.col("dst")).select(
+        F.col("src").alias("u"),
+        F.col("dst").alias("v"),
+        F.col("weight").cast("double").alias("d"),
+    )
+    if k <= 1:
+        return direct
+    hops = multi_source_hops(graph, None, max_depth=k).filter(
+        F.col("dist") >= 2
+    )
+    if not graph.weighted:
+        ring = hops.select(
+            F.col("s").alias("u"),
+            F.col("id").alias("v"),
+            F.col("dist").cast("double").alias("d"),
+        )
+        return direct.unionByName(ring)
+    # weighted: k-round min-plus from every source, restricted at the end
+    # to the 2..k-hop ring (one frontier relaxation per round, all
+    # sources batched)
+    e = materialize(
+        graph.edges.filter(F.col("src") != F.col("dst")).select(
+            "src", "dst", F.col("weight").cast("double").alias("w")
+        )
+    )
+    dist = graph.vertices.select(
+        F.col("id").alias("s"), F.col("id").alias("v"), F.lit(0.0).alias("d")
+    )
+    dist = materialize(dist)
+    for _ in range(k):
+        cand = (
+            dist.join(e, dist["v"] == e["src"])
+            .select("s", F.col("dst").alias("v"), (F.col("d") + F.col("w")).alias("d"))
+            .unionByName(dist)
+            .groupBy("s", "v")
+            .agg(F.min("d").alias("d"))
+        )
+        dist = materialize(cand)
+    ring = (
+        dist.join(
+            hops.select(F.col("s"), F.col("id").alias("v")), ["s", "v"]
+        )
+        .select(F.col("s").alias("u"), "v", "d")
+    )
+    return direct.unionByName(ring)
+
+
+def maxent_stress(
+    graph: Graph,
+    dim: int = 2,
+    k: int = 1,
+    coords: DataFrame | None = None,
+    q: float | None = None,
+    alpha: float = 1.0,
+    alpha_reduction: float = 0.3,
+    final_alpha: float = 0.008,
+    conv_threshold: float = 1e-6,
+    max_solves_per_alpha: int = 50,
+    fast_computation: bool = False,
+    tolerance: float = 1e-3,
+    cg_max_iters: int = 30,
+    seed: int = 42,
+):
+    """(coords DataFrame (id, x0..x{dim-1}), stats dict) — MaxentStress
+    layout (MaxentStress.cpp:63-190): anneal alpha from ``alpha`` by
+    ``alpha_reduction`` down to ``final_alpha``; per alpha run up to
+    ``max_solves_per_alpha`` Laplacian solves L_w·x_d = rhs_d where
+    L_w uses weights 1/d² over the known-distance set S
+    (setupWeightedLaplacianMatrix, MaxentStress.hpp:297 weightingFactor),
+    rhs is the coordinate-Laplacian stress term
+    (computeCoordinateLaplacianTerm, incl. the Gansner-correction noted at
+    MaxentStress.cpp:388) plus alpha × the normalized entropy/repulsive
+    term, zero-sum corrected.
+
+    Tier: the known-distance table S is distributed (known_distances);
+    the solve loop is driver-vectorized numpy at FIXTURE tier — the
+    reference's own tier needs a LAMG multigrid; we use its sanctioned
+    CONJUGATE_GRADIENT_DIAGONAL_PRECONDITIONER solver type
+    (MaxentStress.hpp LinearSolverType) with ``cg_max_iters`` per solve.
+    Deviations (documented): repulsive forces use the reference's own
+    EXACT computeRepulsiveForces (MaxentStress.cpp:401-431) rather than
+    the theta=0.6 octree approximation OF that exact sum; the start
+    layout is md5-derandomized on the unit sphere (randomSphereCoordinates
+    is unseeded); the repulsive-refresh schedule floor(5·ln(numSolves))
+    treats numSolves=0 as -1 (the reference feeds log(0) to an unsigned
+    floor — UB we do not reproduce); q auto-sets to 0.8 when >30% of
+    nodes have degree 1 (MaxentStress.cpp:480-489).
+    """
+    import math
+
+    import numpy as np
+
+    if graph.directed:
+        raise ValueError("maxent_stress expects an undirected graph")
+    n = graph.num_nodes()
+    from networkit_spark.operators.components import connected_components
+
+    ncomp = (
+        connected_components(graph).select("label").distinct().count()
+    )
+    if ncomp != 1:
+        raise ValueError(
+            "MaxentStress only handles connected graphs (MaxentStress.cpp:67-71)"
+        )
+
+    ids = [int(r["id"]) for r in graph.vertices.select("id").orderBy("id").collect()]
+    pos = {v: i for i, v in enumerate(ids)}
+
+    S = known_distances(graph, k).collect()
+    su = np.array([pos[int(r["u"])] for r in S], dtype=np.int64)
+    sv = np.array([pos[int(r["v"])] for r in S], dtype=np.int64)
+    sd = np.array([float(r["d"]) for r in S])
+    card = len(sd)
+
+    if q is None:
+        deg = np.zeros(n)
+        np.add.at(deg, su, 1.0)
+        q = 0.8 if n and (deg == 1).sum() / n > 0.3 else 0.0
+
+    wf = 1.0 / (sd * sd)  # weightingFactor
+    wdeg = np.zeros(n)
+    np.add.at(wdeg, su, wf)
+
+    def lap_mv(x):  # L_w @ x, one column
+        out = wdeg * x
+        np.add.at(out, su, -wf * x[sv])
+        return out
+
+    def cg_solve(b, x0):  # diagonal-preconditioned CG on the zero-sum system
+        x = x0 - x0.mean()
+        r = b - lap_mv(x)
+        dinv = 1.0 / np.where(wdeg > 0, wdeg, 1.0)
+        z = dinv * r
+        p = z.copy()
+        rz = float(r @ z)
+        bn = float(np.linalg.norm(b)) or 1.0
+        for _ in range(cg_max_iters):
+            if float(np.linalg.norm(r)) / bn <= tolerance:
+                break
+            Ap = lap_mv(p)
+            pap = float(p @ Ap)
+            if pap <= 0:
+                break
+            a = rz / pap
+            x = x + a * p
+            r = r - a * Ap
+            z = dinv * r
+            rz_new = float(r @ z)
+            p = z + (rz_new / rz) * p
+            rz = rz_new
+        return x - x.mean()
+
+    if coords is not None:
+        cc = coords.columns
+        got = {int(r[cc[0]]): [float(r[cc[1 + d]]) for d in range(dim)]
+               for r in coords.collect()}
+        X = np.array([got[v] for v in ids])
+    else:
+        # md5-derandomized random sphere start (randomSphereCoordinates)
+        X = np.array(
+            [
+                [_md5_unit(f"{seed}:mes:{v}:{d}") for d in range(dim)]
+                for v in ids
+            ]
+        )
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+    known_mask = np.zeros((n, n), dtype=bool)  # fixture-tier dense mask
+    known_mask[su, sv] = True
+    np.fill_diagonal(known_mask, True)
+    qsign = 1.0 if q >= 0.0 else -1.0
+    q2 = (q + 2.0) / 2.0
+
+    def repulsive(Xc):
+        diff = Xc[:, None, :] - Xc[None, :, :]  # exact computeRepulsiveForces
+        sq = np.maximum((diff**2).sum(axis=2), 1e-3)
+        fac = qsign / np.power(sq, q2)
+        fac[known_mask] = 0.0
+        b = (fac[:, :, None] * diff).sum(axis=1)
+        nrm = np.maximum(np.linalg.norm(b, axis=0), 1e-12)
+        return b / nrm  # per-dim normalization (MaxentStress.cpp:425-429)
+
+    cur_alpha = float(alpha)
+    converged = False
+    solves = 0
+    rep = np.zeros_like(X)
+    cur_lb = 0
+    while not converged:
+        for num_solves in range(max_solves_per_alpha):
+            old = X.copy()
+            new_lb = math.floor(5 * math.log(num_solves)) if num_solves > 0 else -1
+            if new_lb != cur_lb:
+                rep = repulsive(old)
+                cur_lb = new_lb
+            # coordinate-Laplacian stress term (computeCoordinateLaplacianTerm)
+            geo = np.maximum(
+                np.linalg.norm(old[su] - old[sv], axis=1), 1e-5
+            )
+            w = wf * sd / geo
+            rhs = np.zeros_like(X)
+            wdeg_cur = np.zeros(n)
+            np.add.at(wdeg_cur, su, w)
+            for d in range(dim):
+                col = np.zeros(n)
+                np.add.at(col, su, -w * old[sv, d])
+                rhs[:, d] = col + wdeg_cur * old[:, d]
+            if num_solves < max_solves_per_alpha // 5:
+                rhs /= np.maximum(np.linalg.norm(rhs, axis=0), 1e-12)
+            rhs += cur_alpha * rep
+            rhs -= rhs.mean(axis=0)  # zero-sum correction
+            for d in range(dim):
+                X[:, d] = cg_solve(rhs[:, d], old[:, d])
+            solves += 1
+            rel = float(((X - old) ** 2).sum()) / (
+                float((old**2).sum()) or 1.0
+            )
+            converged = rel < conv_threshold
+            if converged:
+                if not fast_computation:
+                    converged = False
+                else:
+                    break
+        cur_alpha *= alpha_reduction
+        converged = converged or cur_alpha < final_alpha
+
+    spark = graph.vertices.sparkSession
+    out = spark.createDataFrame(
+        [
+            tuple([ids[i]] + [float(X[i, d]) for d in range(dim)])
+            for i in range(n)
+        ],
+        "id long, " + ", ".join(f"x{d} double" for d in range(dim)),
+    )
+    stats = {"solves": solves, "q": q, "final_alpha": cur_alpha, "s_card": card}
+    return out, stats
+
+
+def _augmented_apsp(n, su, sv, sd):
+    """Dense min-plus APSP over the known-distance graph S — the
+    fullStressMeasure / computeScalingFactor referee substrate
+    (MaxentStress.cpp:193-259 build augmentedGraph + per-source SSSP).
+    Fixture tier by definition (the reference densifies per source too)."""
+    import numpy as np
+
+    D = np.full((n, n), np.inf)
+    np.fill_diagonal(D, 0.0)
+    D[su, sv] = np.minimum(D[su, sv], sd)
+    for _ in range(max(n.bit_length(), 1)):  # repeated squaring
+        D = np.minimum(D, (D[:, :, None] + D[None, :, :]).min(axis=1))
+    return D
+
+
+def _coords_matrix(graph, coords):
+    import numpy as np
+
+    cc = coords.columns
+    rows = coords.collect()
+    ids = sorted(int(r[cc[0]]) for r in rows)
+    pos = {v: i for i, v in enumerate(ids)}
+    X = np.zeros((len(ids), len(cc) - 1))
+    for r in rows:
+        for d in range(len(cc) - 1):
+            X[pos[int(r[cc[0]])], d] = float(r[cc[1 + d]])
+    return ids, pos, X
+
+
+def _s_arrays(graph, pos, k):
+    import numpy as np
+
+    S = known_distances(graph, k).collect()
+    su = np.array([pos[int(r["u"])] for r in S], dtype=np.int64)
+    sv = np.array([pos[int(r["v"])] for r in S], dtype=np.int64)
+    sd = np.array([float(r["d"]) for r in S])
+    return su, sv, sd
+
+
+def full_stress_measure(graph: Graph, coords: DataFrame, k: int = 1) -> float:
+    """Σ_{u,v reachable, d>0} (‖x_u−x_v‖ − d)²/d² / 2 over the APSP of the
+    known-distance graph (MaxentStress.cpp:240-268)."""
+    import numpy as np
+
+    ids, pos, X = _coords_matrix(graph, coords)
+    su, sv, sd = _s_arrays(graph, pos, k)
+    D = _augmented_apsp(len(ids), su, sv, sd)
+    geo = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2))
+    m = np.isfinite(D) & (D >= 1e-5)
+    return float((((geo[m] - D[m]) ** 2) / (D[m] ** 2)).sum()) / 2.0
+
+
+def maxent_measure(
+    graph: Graph, coords: DataFrame, k: int = 1,
+    q: float = 0.0, final_alpha: float = 0.008,
+) -> float:
+    """Stress over S minus finalAlpha × entropy over non-S pairs
+    (MaxentStress.cpp:270-305)."""
+    import math
+
+    import numpy as np
+
+    ids, pos, X = _coords_matrix(graph, coords)
+    su, sv, sd = _s_arrays(graph, pos, k)
+    geo_all = np.maximum(
+        np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)), 1e-5
+    )
+    n = len(ids)
+    off = ~np.eye(n, dtype=bool)
+    if abs(q) < 0.001:
+        ent = float(np.log(geo_all[off]).sum())
+    else:
+        ent = float(np.power(geo_all[off], -q).sum())
+    geo_s = np.maximum(np.linalg.norm(X[su] - X[sv], axis=1), 1e-5)
+    energy = float((((geo_s - sd) ** 2) / (sd**2)).sum())
+    if abs(q) < 0.001:
+        ent -= float(np.log(geo_s).sum())
+    else:
+        ent -= float(np.power(geo_s, -q).sum())
+    if abs(q) > 0.001:
+        ent *= -math.copysign(1.0, q)
+    return (energy - final_alpha * ent) / 2.0
+
+
+def ldme(graph: Graph, coords: DataFrame, k: int = 1) -> float:
+    """sqrt(mean over S of (d − ‖x_u−x_v‖)²) (MaxentStress.cpp:320-331)."""
+    import numpy as np
+
+    ids, pos, X = _coords_matrix(graph, coords)
+    su, sv, sd = _s_arrays(graph, pos, k)
+    geo = np.linalg.norm(X[su] - X[sv], axis=1)
+    return float(np.sqrt(((sd - geo) ** 2).mean()))
+
+
+def mean_distance_error(graph: Graph, coords: DataFrame, k: int = 1) -> float:
+    """mean over S of |‖x_u−x_v‖ − d| / d (MaxentStress.cpp:307-317)."""
+    import numpy as np
+
+    ids, pos, X = _coords_matrix(graph, coords)
+    su, sv, sd = _s_arrays(graph, pos, k)
+    geo = np.linalg.norm(X[su] - X[sv], axis=1)
+    return float((np.abs(geo - sd) / sd).mean())
+
+
+def scale_layout(graph: Graph, coords: DataFrame, k: int = 1) -> DataFrame:
+    """coords × s with s = Σ geo/d / Σ geo²/d² over APSP pairs of the
+    known-distance graph (MaxentStress.cpp:193-238 scaleLayout)."""
+    import numpy as np
+
+    ids, pos, X = _coords_matrix(graph, coords)
+    su, sv, sd = _s_arrays(graph, pos, k)
+    D = _augmented_apsp(len(ids), su, sv, sd)
+    geo = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(axis=2))
+    m = np.isfinite(D) & (D >= 1e-5)
+    top = float((geo[m] / D[m]).sum())
+    bot = float(((geo[m] ** 2) / (D[m] ** 2)).sum()) or 1.0
+    s = top / bot
+    dim = X.shape[1]
+    spark = coords.sparkSession
+    return spark.createDataFrame(
+        [
+            tuple([ids[i]] + [float(X[i, d] * s) for d in range(dim)])
+            for i in range(len(ids))
+        ],
+        "id long, " + ", ".join(f"x{d} double" for d in range(dim)),
+    )

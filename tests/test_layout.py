@@ -181,3 +181,70 @@ def test_postscript_writer_torus_wraparound(spark, tmp_path):
     sx, sy, ex, ey = float(toks[5]), float(toks[6]), float(toks[8]), float(toks[9])
     assert (sx, sy) == (0.0, 0.0)
     assert (ex, ey) == (20.0, 20.0)  # 1020 - 1000 wrap on both axes
+
+
+def test_maxent_stress_improves_stress_over_random_start(spark):
+    # MaxentStressGTest bench role: layout the grid from the PivotMDS
+    # seed (benchMaxentStressCoordinatesLAMG flow) and assert the
+    # annealed solve reduces full stress + distance errors vs the seed
+    from networkit_spark.operators.layout import (
+        full_stress_measure,
+        ldme,
+        maxent_stress,
+        mean_distance_error,
+        scale_layout,
+    )
+
+    g = from_edge_rows(spark, GRID, weighted=False)
+    seedc = pivot_mds(g, dim=2, num_pivots=6)
+    out, stats = maxent_stress(g, dim=2, k=1, coords=seedc, fast_computation=True)
+    assert stats["solves"] >= 1 and stats["q"] == 0.0
+    got = {r["id"]: (r["x0"], r["x1"]) for r in out.collect()}
+    assert len(got) == 16
+    assert all(np.isfinite(v).all() for v in map(np.array, got.values()))
+
+    scaled0 = scale_layout(g, seedc, k=1)
+    scaled1 = scale_layout(g, out, k=1)
+    fs0 = full_stress_measure(g, scaled0, k=1)
+    fs1 = full_stress_measure(g, scaled1, k=1)
+    assert fs1 < fs0, (fs1, fs0)
+    assert mean_distance_error(g, out, k=1) < mean_distance_error(g, seedc, k=1)
+    assert ldme(g, out, k=1) < ldme(g, seedc, k=1)
+
+
+def test_maxent_stress_rejects_disconnected(spark):
+    import pytest
+
+    from networkit_spark.operators.layout import maxent_stress
+
+    g = from_edge_rows(spark, [(0, 1), (2, 3)], weighted=False)
+    with pytest.raises(ValueError):
+        maxent_stress(g, dim=2, k=1)
+
+
+def test_known_distances_khop(spark):
+    from networkit_spark.operators.layout import known_distances
+
+    # path 0-1-2-3: k=2 adds the hop-2 ring at distance 2.0
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (2, 3)], weighted=False)
+    s = {(r["u"], r["v"]): r["d"] for r in known_distances(g, k=2).collect()}
+    assert s[(0, 1)] == 1.0 and s[(1, 0)] == 1.0
+    assert s[(0, 2)] == 2.0 and s[(3, 1)] == 2.0
+    assert (0, 3) not in s
+
+    # weighted: direct neighbors at edge weight; hop-2 at min-plus weight
+    gw = from_edge_rows(spark, [(0, 1, 3.0), (1, 2, 5.0)], weighted=True)
+    sw = {(r["u"], r["v"]): r["d"] for r in known_distances(gw, k=2).collect()}
+    assert sw[(0, 1)] == 3.0 and sw[(0, 2)] == 8.0
+
+
+def test_maxent_stress_q_autoset_for_star(spark):
+    # star: 4/5 nodes have degree 1 -> q auto-sets to 0.8
+    from networkit_spark.operators.layout import maxent_stress
+
+    g = from_edge_rows(spark, [(0, 1), (0, 2), (0, 3), (0, 4)], weighted=False)
+    out, stats = maxent_stress(
+        g, dim=2, k=1, fast_computation=True, max_solves_per_alpha=10
+    )
+    assert stats["q"] == 0.8
+    assert out.count() == 5
