@@ -942,6 +942,21 @@ def q_source_profile(spark, sf_dir):
 
 
 LM_VOCAB, LM_ADD_K = 1000, 0.5
+DSIR_K, DSIR_BUCKETS, DSIR_ADD_K = 40, 512, 0.5
+
+
+def q_text_dsir(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023 — textstats.
+    dsir_resample): hashed unigram+bigram bucket multinomials for
+    target (lang='en') vs the raw pool, add-k log-ratio weights,
+    derandomized Gumbel top-k over the pool."""
+    return textstats.dsir_resample(
+        _docs(spark, sf_dir),
+        F.col("lang") == "en",
+        k=DSIR_K,
+        buckets=DSIR_BUCKETS,
+        add_k=DSIR_ADD_K,
+    )
 
 
 def q_text_lm_score(spark, sf_dir):
@@ -1920,6 +1935,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": q_fingerprint,
     "text_token_topk": q_token_topk,
     "text_lm_score": q_text_lm_score,
+    "text_dsir_resample": q_text_dsir,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_bands": q_minhash_bands,
     "dedup_canonical": q_dedup_canonical,
@@ -2177,6 +2193,9 @@ def build_oracles() -> dict[str, str]:
         "text_fingerprint": L.sql_fingerprint(),
         "text_token_topk": L.sql_token_topk(20),
         "text_lm_score": L.sql_lm_score(LM_VOCAB, LM_ADD_K),
+        "text_dsir_resample": L.sql_dsir_resample(
+            DSIR_K, DSIR_BUCKETS, DSIR_ADD_K
+        ),
         "dedup_exact": L.sql_dedup_exact(),
         "graph_quadrangles": L.sql_quadrangles(),
         "text_ngram_repetition": L.sql_ngram_repetition(2),

@@ -5315,3 +5315,48 @@ v{d}i{t} AS MATERIALIZED (
     joins = " ".join(f"LEFT JOIN xc{d} ON xc{d}.id = v.id" for d in range(dim))
     tail = f" SELECT v.id, {sel} FROM vertices v {joins} ORDER BY v.id"
     return _with_graph(", ".join(ctes) + tail)
+
+
+def sql_dsir_resample(
+    k: int, buckets: int = 512, add_k: float = 0.5, seed: int = 42
+) -> str:
+    """Replay of functions/textstats.py dsir_resample with target =
+    (lang = 'en'): hashed unigram+bigram bucket multinomials, add-k
+    log-ratio weights, derandomized Gumbel top-k over the non-target
+    pool."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    hb = md5_long_sql(f"('{seed}:dsir:' || feat)")
+    hg = md5_long_sql(f"('{seed}:dsir:g:' || CAST(doc_id AS STRING))")
+    a = float(add_k)
+    return f"""WITH {DOCS_CTE},
+base AS (SELECT doc_id, (lang = 'en') AS is_t FROM documents),
+dgrams AS (
+    SELECT doc_id, list_concat(toks, {_sql_grams_expr(2)}) AS fs FROM docs_tok
+),
+feats AS MATERIALIZED (
+    SELECT g.doc_id, b2.is_t, {hb} % {buckets} AS b
+    FROM (SELECT doc_id, UNNEST(fs) AS feat FROM dgrams) g
+    JOIN base b2 USING (doc_id)
+),
+cnt AS (
+    SELECT b,
+           CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+           CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+    FROM feats GROUP BY b
+),
+tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM cnt),
+lrm AS (
+    SELECT b, ln((ct + {a}) / (tt + {a} * {buckets}))
+              - ln((cr + {a}) / (tr + {a} * {buckets})) AS lr
+    FROM cnt CROSS JOIN tot
+),
+w AS (
+    SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           ROUND(SUM(l.lr), 6) AS logw
+    FROM feats f JOIN lrm l USING (b) WHERE NOT f.is_t GROUP BY f.doc_id
+)
+SELECT doc_id, n_feats, logw,
+       logw + ROUND(-ln(-ln(({hg} + 1.0) / 281474976710657.0)), 6) AS key
+FROM w
+ORDER BY key DESC, doc_id LIMIT {int(k)}"""

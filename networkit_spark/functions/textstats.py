@@ -494,3 +494,91 @@ def source_mixing(
             F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
         )
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target_expr: Column,
+    k: int,
+    buckets: int = 512,
+    add_k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, n_feats, logw, key) — the ``k`` candidate documents chosen
+    by DSIR-style importance resampling (Xie et al., NeurIPS 2023, "Data
+    Selection for Language Models via Importance Resampling"): hashed
+    bag-of-n-gram features (unigrams + word bigrams → ``buckets`` md5
+    buckets), add-k-smoothed bucket multinomials p_target (rows where
+    ``target_expr``) and p_raw (the remaining candidate pool), per-doc
+    importance weight logw = Σ_feats ln p_t(b) − ln p_r(b), then Gumbel
+    top-k over the candidate pool: key = round(logw,6) + round(g,6) with
+    g = −ln(−ln(u)) and u the doc's md5-unit draw — sampling without
+    replacement ∝ exp(logw), fully derandomized.
+
+    100 TB shape: one groupBy(bucket) with conditional partial aggs for
+    both models (≤``buckets`` rows, broadcast back), one explode + the
+    broadcast join + one partial-agg groupBy(doc) for the weights, and a
+    TakeOrderedAndProject for the bounded top-k — no global sort, no
+    driver-side model. Docs with zero features produce no rows (same
+    contract as shingles()/lm_quality_score). Both addends of ``key``
+    are pre-rounded to 6dp so the selection order is engine-exact for
+    the DuckDB oracle.
+    """
+    staged = staged_tokens_and_grams(
+        df.select(
+            F.col(id_col).alias("doc_id"), target_expr.alias("__is_t"), text_col
+        ),
+        ["doc_id", "__is_t"],
+        text_col,
+        2,
+    )
+    feats = (
+        staged.select(
+            "doc_id",
+            "__is_t",
+            F.explode_outer(F.concat("__t", "__g")).alias("feat"),
+        )
+        .filter(F.col("feat").isNotNull())
+        .select(
+            "doc_id",
+            "__is_t",
+            F.expr(
+                md5_long_sql(f"('{seed}:dsir:' || feat)") + f" % {int(buckets)}"
+            ).alias("b"),
+        )
+    )
+    cnt = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("__is_t"), 0).otherwise(1)).cast("bigint").alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").cast("bigint").alias("tt"), F.sum("cr").cast("bigint").alias("tr")
+    )
+    a = float(add_k)
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + a) / (F.col("tt") + a * buckets))
+            - F.log((F.col("cr") + a) / (F.col("tr") + a * buckets))
+        ).alias("lr"),
+    )
+    pool = feats.filter(~F.col("__is_t"))
+    w = pool.join(F.broadcast(lr), "b").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        F.round(F.sum("lr"), 6).alias("logw"),
+    )
+    # Gumbel draw: u in (0,1) from the 48-bit md5 integer, both engines
+    # compute the identical double ((h+1) / (2^48+1) is exact-input math)
+    u = (
+        F.expr(md5_long_sql(f"('{seed}:dsir:g:' || CAST(doc_id AS STRING))"))
+        + F.lit(1.0)
+    ) / F.lit(2.0**48 + 1.0)
+    scored = w.select(
+        "doc_id",
+        "n_feats",
+        "logw",
+        (F.col("logw") + F.round(-F.log(-F.log(u)), 6)).alias("key"),
+    )
+    return scored.orderBy(F.desc("key"), F.asc("doc_id")).limit(int(k))

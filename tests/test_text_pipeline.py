@@ -325,3 +325,69 @@ def test_source_mixing_sqrt_temperature(spark):
         for r in source_mixing(docs.repartition(7), target=24).collect()
     }
     assert again == {s: got[s]["n_sampled"] for s in got}
+
+
+def test_dsir_resample_referee(spark):
+    """Python replica of dsir_resample on a tiny corpus: same md5 buckets,
+    same add-k log-ratio model, same Gumbel keys — selection and weights
+    must match exactly (6dp)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from networkit_spark.functions.textstats import dsir_resample
+
+    rows = [
+        (1, "alpha beta alpha", True),
+        (2, "alpha beta gamma", True),
+        (3, "alpha beta beta", False),     # target-like candidate
+        (4, "delta epsilon zeta", False),  # off-target candidate
+        (5, "alpha alpha beta", False),
+        (6, "", False),                    # zero features -> absent
+    ]
+    B, a, seed = 16, 0.5, 42
+
+    def md5l(t):
+        return int.from_bytes(hashlib.md5(t.encode()).digest()[:6], "big")
+
+    def feats(text):
+        toks = [t for t in text.split() if t]
+        grams = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        return [md5l(f"{seed}:dsir:{f}") % B for f in toks + grams]
+
+    ct, cr = [0] * B, [0] * B
+    for _, text, is_t in rows:
+        for b in feats(text):
+            (ct if is_t else cr)[b] += 1
+    tt, tr = sum(ct), sum(cr)
+    lr = [
+        math.log((ct[b] + a) / (tt + a * B)) - math.log((cr[b] + a) / (tr + a * B))
+        for b in range(B)
+    ]
+    want = {}
+    for doc_id, text, is_t in rows:
+        fs = feats(text)
+        if is_t or not fs:
+            continue
+        logw = round(sum(lr[b] for b in fs), 6)
+        u = (md5l(f"{seed}:dsir:g:{doc_id}") + 1.0) / (2.0**48 + 1.0)
+        key = logw + round(-math.log(-math.log(u)), 6)
+        want[doc_id] = (len(fs), logw, key)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "doc_id long, text string"
+    )
+    tgt = F.col("doc_id").isin([i for i, _, is_t in rows if is_t])
+    got = {
+        r["doc_id"]: (r["n_feats"], r["logw"], r["key"])
+        for r in dsir_resample(df, tgt, k=2, buckets=B, add_k=a).collect()
+    }
+    top2 = sorted(want, key=lambda d: (-want[d][2], d))[:2]
+    assert set(got) == set(top2)
+    for d in got:
+        assert got[d][0] == want[d][0]
+        assert abs(got[d][1] - want[d][1]) < 1e-9
+        assert abs(got[d][2] - want[d][2]) < 1e-9
+    # the target-like candidate must outrank the off-target one on raw logw
+    assert want[3][1] > want[4][1]
