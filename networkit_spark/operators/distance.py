@@ -432,3 +432,22 @@ def incomplete_dijkstra(
         ):
             break
     return dist
+
+
+def graph_distance(graph: Graph, u: int, v: int) -> float:
+    """d(u, v) — the DEPRECATED GraphDistance wrapper
+    (distance/GraphDistance.cpp: one BFS on unweighted graphs, one
+    Dijkstra on weighted; superseded in the reference itself by SPSP).
+    Served by the bidirectional point-to-point searches — the distributed
+    engine's native single-pair primitive. Returns inf when unreachable
+    (the reference's none sentinel)."""
+    from networkit_spark.operators.bidirectional import (
+        bidirectional_bfs_distance,
+        bidirectional_dijkstra_distance,
+    )
+
+    if graph.weighted:
+        d = bidirectional_dijkstra_distance(graph, u, v)
+    else:
+        d = bidirectional_bfs_distance(graph, u, v)
+    return float("inf") if d is None else float(d)

@@ -352,3 +352,19 @@ def sampled_graph_rand_distance(
     if not row["s"]:
         raise ValueError("sampled graph rand needs at least one edge")
     return 1.0 - float(row["agree"]) / float(row["s"])
+
+
+def dynamic_nmi_distance(
+    graph, old_labels: DataFrame, new_labels: DataFrame
+) -> float:
+    """1 − 2·MI/(H(ζ)+H(η)) over the nodes of ``graph`` clustered in BOTH
+    partitions — community/DynamicNMIDistance.cpp:29-133 (getDissimilarity;
+    isInBoth membership rule at :18-23). The inner join on id IS the
+    isInBoth restriction, after which the entropy/MI arithmetic is the
+    static NMI distance — so this wrapper restricts both label tables to
+    the graph's vertex set and delegates (the subsumption SURVEY §2.14
+    documented, now exposed under the reference's own name)."""
+    ids = graph.vertices.select("id")
+    return partition_measures(
+        old_labels.join(ids, "id"), new_labels.join(ids, "id")
+    )["nmi_distance"]

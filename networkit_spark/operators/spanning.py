@@ -405,3 +405,51 @@ def approx_spanning_edge(
         if u < v
     ]
     return spark.createDataFrame(rows, "u long, v long, score double")
+
+
+def wilson_spanning_forest(graph: Graph, seed: int = 42) -> DataFrame:
+    """(src, dst) tree edges — uniform random spanning forest via
+    Wilson's loop-erased random walks (the sampler inside
+    centrality/ApproxSpanningEdge.cpp:43-110 sampleUST): per component,
+    root the tree at the minimum node id; for every remaining vertex in
+    ascending order, walk uniformly until hitting the tree while
+    overwriting a parent pointer per visited vertex (the overwrite IS the
+    loop erasure), then commit the surviving parent path. Samples exactly
+    uniformly over spanning trees — the same distribution as the
+    Aldous-Broder kernel (random_spanning_forest), via the reference's
+    other sampler.
+
+    Fixture-tier driver-sequential like random_spanning_forest (the walk
+    is inherently sequential; the reference runs it per thread). Neighbor
+    draws are uniform over the DISTINCT sorted neighbor list
+    (getIthNeighborWithId draws over the adjacency array — identical on
+    simple graphs); the reference walks inside biconnected components
+    with a size-3 fast path, a decomposition that only re-batches the
+    walks without changing the sampled tree distribution, so this port
+    walks whole components."""
+    import numpy as np
+
+    spark = graph.vertices.sparkSession
+    adj, comps = _collect_walk_state(graph)
+    rng = np.random.default_rng(seed)
+    rows: list[tuple[int, int]] = []
+    for lab in sorted(comps):
+        nodes = sorted(comps[lab])
+        root = nodes[0]
+        in_tree = {root}
+        parent: dict[int, int] = {}
+        for start in nodes[1:]:
+            if start in in_tree:
+                continue
+            cur = start
+            while cur not in in_tree:
+                nbrs = adj.get(cur, [])
+                nxt = nbrs[int(rng.integers(0, len(nbrs)))]
+                parent[cur] = nxt  # overwrite = loop erasure
+                cur = nxt
+            cur = start
+            while cur not in in_tree:
+                rows.append((cur, parent[cur]))
+                in_tree.add(cur)
+                cur = parent[cur]
+    return spark.createDataFrame(rows, "src long, dst long")

@@ -94,3 +94,38 @@ def test_incomplete_dijkstra_max_dist_cut(spark):
     g = from_edge_rows(spark, [(i, i + 1) for i in range(6)])
     got = {r["id"]: r["dist"] for r in incomplete_dijkstra(g, [0], max_dist=2.5).collect()}
     assert got == {0: 0.0, 1: 1.0, 2: 2.0}
+
+
+def test_graph_distance_deprecated_wrapper(spark):
+    """distance/GraphDistance.cpp role: one point-to-point distance,
+    BFS hops unweighted / Dijkstra weighted, inf when unreachable."""
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.distance import graph_distance
+
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (3, 4)], weighted=False)
+    assert graph_distance(g, 0, 2) == 2.0
+    assert graph_distance(g, 0, 3) == float("inf")
+    gw = from_edge_rows(spark, [(0, 1, 2.0), (1, 2, 3.0), (0, 2, 9.0)], weighted=True)
+    assert graph_distance(gw, 0, 2) == 5.0
+
+
+def test_dynamic_nmi_distance_wrapper(spark):
+    """community/DynamicNMIDistance.cpp:18-133 — the isInBoth inner-join
+    restriction + static NMI distance: identical partitions restricted to
+    the graph's nodes give 0 even when labels disagree OUTSIDE the graph."""
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.measures import dynamic_nmi_distance
+
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (2, 3)], weighted=False)
+    old = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1), (9, 7)], "id long, label long"
+    )
+    new = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, 6), (3, 6), (9, 8)], "id long, label long"
+    )
+    assert dynamic_nmi_distance(g, old, new) == 0.0
+    # a real split registers as > 0
+    new2 = spark.createDataFrame(
+        [(0, 5), (1, 6), (2, 5), (3, 6)], "id long, label long"
+    )
+    assert dynamic_nmi_distance(g, old, new2) > 0.1

@@ -253,3 +253,38 @@ def test_approx_spanning_edge_matches_effective_resistance(spark):
     # sample-count guard
     with pytest.raises(ValueError, match="max_samples"):
         approx_spanning_edge(g, eps=0.01, max_samples=10)
+
+
+def test_wilson_spanning_forest_invariants_and_uniformity(spark):
+    """centrality/ApproxSpanningEdge.cpp:43-110 sampleUST (Wilson
+    loop-erased walks): spanning forest of graph edges per component,
+    deterministic per seed, uniform over the triangle's 3 trees."""
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.spanning import wilson_spanning_forest
+
+    rows = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6)]
+    g = from_edge_rows(spark, rows, num_nodes=7)
+    te = [(r["src"], r["dst"]) for r in wilson_spanning_forest(g, seed=5).collect()]
+    assert len(te) == 7 - 2
+    ge = {(min(a, b), max(a, b)) for a, b in rows}
+    assert all((min(a, b), max(a, b)) in ge for a, b in te)
+    fg = from_edge_rows(spark, te, num_nodes=7)
+    cc_g = {r["id"]: r["label"] for r in connected_components(g).collect()}
+    cc_f = {r["id"]: r["label"] for r in connected_components(fg).collect()}
+    assert cc_g == cc_f
+    te2 = [(r["src"], r["dst"]) for r in wilson_spanning_forest(g, seed=5).collect()]
+    assert te == te2
+
+    tri = from_edge_rows(spark, [(0, 1), (1, 2), (2, 0)], num_nodes=3)
+    omitted = {(0, 1): 0, (1, 2): 0, (0, 2): 0}
+    tri_edges = set(omitted)
+    for s in range(45):
+        t = {
+            (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+            for r in wilson_spanning_forest(tri, seed=s).collect()
+        }
+        assert len(t) == 2
+        (miss,) = tri_edges - t
+        omitted[miss] += 1
+    assert all(c >= 7 for c in omitted.values()), omitted
