@@ -561,10 +561,10 @@ def write_dgs(events: DataFrame, path: str) -> None:
 def read_gexf(spark: SparkSession, path: str) -> DataFrame | Graph:
     """GEXF static reader (Python GEXFIO.py GEXFReader:22-110): schema
     <graph defaultedgetype=..><nodes><node id=../></nodes><edges><edge
-    source=.. target=.. [weight=..]/></edges></graph>. Static mode only —
-    the dynamic mode's spell/attvalue timeline is a Gephi-streaming
-    feature out of this engine's scope (the DGS reader covers the
-    event-stream role). Fixture-scale driver parse like read_graphml;
+    source=.. target=.. [weight=..]/></edges></graph>. Static mode here;
+    mode="dynamic" files are served by read_gexf_dynamic (spell/attvalue
+    timeline -> initial graph + event stream). Fixture-scale driver parse
+    like read_graphml;
     node ids remapped to dense longs in document order."""
     import xml.etree.ElementTree as ET
 
@@ -575,8 +575,8 @@ def read_gexf(spark: SparkSession, path: str) -> DataFrame | Graph:
 
     graph_el = next(el for el in root.iter() if tag(el) == "graph")
     if graph_el.get("mode") == "dynamic":
-        raise NotImplementedError(
-            "dynamic GEXF (spells) is out of scope; use read_dgs for event streams"
+        raise ValueError(
+            "dynamic GEXF: use read_gexf_dynamic (returns initial Graph + event stream)"
         )
     directed = graph_el.get("defaultedgetype", "undirected") == "directed"
     ids: dict[str, int] = {}
@@ -944,3 +944,254 @@ def write_postscript(
             f.write(f"p {px:.3f} {py:.3f} 2.000 0.00 360.00 a s\n")
         if not torus:
             f.write("grestore\n")
+
+
+def read_gexf_dynamic(spark: SparkSession, path: str):
+    """(initial Graph, events DataFrame (t, etype, u, v, w)) — GEXF
+    mode="dynamic" reader (GEXFIO.py GEXFReader:28-257): elements with no
+    start attribute belong to the initial graph; start/startopen emits an
+    add (or a RESTORE when the element was deleted before), end/endopen a
+    removal; <spells> are processed in document order sharing the
+    element's deleted/added state; dynamic edge-weight <attvalue for=
+    "weight"> rows emit EDGE_WEIGHT_UPDATE (the first one standing in for
+    the edge addition, GEXFIO.py:180-186). Initial nodes take dense ids
+    in document order; dynamic nodes are remapped to ids >= n_initial in
+    event-time addition order (mapDynamicNodes, GEXFIO.py:219-247).
+    timeformat="date" times are ordered lexicographically (ISO order)
+    like the reference's string sort; ``t`` is then the dense time rank.
+    Fixture-scale driver parse like read_gexf."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+
+    def tag(el):
+        return el.tag.rsplit("}", 1)[-1]
+
+    graph_el = next(el for el in root.iter() if tag(el) == "graph")
+    if graph_el.get("mode") != "dynamic":
+        raise ValueError("not a dynamic GEXF file; use read_gexf")
+    directed = graph_el.get("defaultedgetype", "undirected") == "directed"
+    date_mode = graph_el.get("timeformat") == "date"
+
+    has_dyn_w = any(
+        tag(a) == "attribute" and a.get("id") == "weight"
+        for a in root.iter()
+    )
+
+    raw: list[tuple] = []  # (time, etype, ukey, vkey, w)
+    initial_nodes: list[str] = []
+    initial_edges: list[tuple[str, str, float]] = []
+
+    def times_of(el):
+        st = el.get("start") or el.get("startopen") or ""
+        en = el.get("end") or el.get("endopen") or ""
+        return st, en
+
+    def parse_dynamics(el, etype, ctl, u, v="0", w=1.0):
+        # GEXFIO.py:117-197 parseDynamics, one call per element or spell
+        st, en = times_of(el)
+        if st != "" and en != "":
+            if not ctl["deleted"]:
+                raw.append((st, "a" + etype, u, v, w))
+                ctl["added"] = True
+            else:
+                raw.append((st, "r" + etype, u, v, w))
+            raw.append((en, "d" + etype, u, v, w))
+            ctl["deleted"] = True
+        if st != "" and en == "":
+            if ctl["deleted"]:
+                raw.append((st, "r" + etype, u, v, w))
+            else:
+                raw.append((st, "a" + etype, u, v, w))
+                ctl["added"] = True
+        if etype == "e" and has_dyn_w:
+            for att in el.iter():
+                if tag(att) == "attvalue" and att.get("for") == "weight":
+                    wt = float(att.get("value"))
+                    ws = att.get("start") or att.get("startopen") or ""
+                    if not ctl["added"]:
+                        raw.append((ws, "ae", u, v, wt))
+                        ctl["added"] = True
+                    else:
+                        raw.append((ws, "ce", u, v, wt))
+        if st == "":
+            if not ctl["added"]:
+                if etype == "n":
+                    initial_nodes.append(u)
+                else:
+                    initial_edges.append((u, v, w))
+                ctl["added"] = True
+            if en != "":
+                raw.append((en, "d" + etype, u, v, w))
+                ctl["deleted"] = True
+
+    def walk(el, etype, u, v="0", w=1.0):
+        ctl = {"added": False, "deleted": False}
+        spells = [sp for sp in el.iter() if tag(sp) == "spell"]
+        if spells:
+            for sp in spells:
+                parse_dynamics(sp, etype, ctl, u, v, w)
+            if etype == "e" and has_dyn_w:
+                parse_dynamics(el, etype, ctl, u, v, w)  # sibling attvalues
+        else:
+            parse_dynamics(el, etype, ctl, u, v, w)
+
+    for el in root.iter():
+        if tag(el) == "node" and el.get("id") is not None:
+            walk(el, "n", el.get("id"))
+    for el in root.iter():
+        if tag(el) == "edge":
+            walk(
+                el, "e", el.get("source"), el.get("target"),
+                float(el.get("weight", 1.0)),
+            )
+
+    # time ordering: numeric when the format allows, ISO-string otherwise
+    def tkey(x):
+        if date_mode:
+            return x
+        try:
+            return float(x)
+        except ValueError:
+            return float("inf")
+
+    raw.sort(key=lambda r: tkey(r[0]))
+    tmap = {}
+    for r in raw:
+        tmap.setdefault(tkey(r[0]), len(tmap))
+
+    # id mapping: initial nodes in document order, dynamic nodes in
+    # event-time addition order after them (mapDynamicNodes)
+    ids = {k: i for i, k in enumerate(dict.fromkeys(initial_nodes))}
+    for t, et, u, v, w in raw:
+        if et == "an" and u not in ids:
+            ids[u] = len(ids)
+    for t, et, u, v, w in raw:  # edge endpoints never seen as nodes
+        if et[1] == "e":
+            for key in (u, v):
+                if key not in ids:
+                    ids[key] = len(ids)
+
+    ETYPES = {
+        "an": "NODE_ADD", "dn": "NODE_REMOVE", "rn": "NODE_RESTORE",
+        "ae": "EDGE_ADD", "re": "EDGE_ADD", "de": "EDGE_REMOVE",
+        "ce": "EDGE_WEIGHT_UPDATE",
+    }
+    rows = []
+    for t, et, u, v, w in raw:
+        if et[1] == "n":
+            rows.append((tmap[tkey(t)], ETYPES[et], ids[u], None, None))
+        else:
+            rows.append((tmap[tkey(t)], ETYPES[et], ids[u], ids[v], float(w)))
+    events = spark.createDataFrame(
+        rows, "t long, etype string, u long, v long, w float"
+    )
+    from networkit_spark.graph import from_edge_rows
+
+    g = from_edge_rows(
+        spark,
+        [(ids[u], ids[v], w) for u, v, w in initial_edges],
+        directed=directed,
+        num_nodes=len(dict.fromkeys(initial_nodes)),
+    )
+    return g, events
+
+
+def write_gexf_dynamic(graph: Graph, path: str, events: DataFrame) -> None:
+    """GEXF mode="dynamic" writer (GEXFIO.py GEXFWriter:269-398): nodes =
+    initial + NODE_ADD events, edges = initial + EDGE_ADD events, each
+    carrying <spells> whose start/end are the element's event time steps;
+    EDGE_WEIGHT_UPDATE rows become dynamic weight <attvalue>s with
+    start=t, endopen=t+1. ``events``: (t, etype, u, v, w) — the dense
+    time rank plays the reference's TIME_STEP counter. Fixture-scale
+    (driver collect), same scope as write_gexf."""
+    ev = sorted(
+        (
+            (int(r["t"]), r["etype"], int(r["u"]),
+             None if r["v"] is None else int(r["v"]),
+             None if r["w"] is None else float(r["w"]))
+            for r in events.collect()
+        ),
+        key=lambda r: r[0],
+    )
+    n0 = graph.num_nodes()
+    dyn_nodes = [u for _, et, u, _, _ in ev if et == "NODE_ADD"]
+    all_nodes = list(range(n0)) + [u for u in dyn_nodes if u >= n0]
+    has_dyn_w = any(et == "EDGE_WEIGHT_UPDATE" for _, et, _, _, _ in ev)
+
+    e = graph.edges if graph.directed else graph.edges.filter(
+        F.col("src") <= F.col("dst")
+    )
+    init_edges = [
+        (int(r["src"]), int(r["dst"]), float(r["weight"]))
+        for r in e.select("src", "dst", "weight").collect()
+    ]
+    dyn_edges = [
+        (u, v, w) for _, et, u, v, w in ev if et == "EDGE_ADD"
+    ]
+    node_start = {"NODE_ADD", "NODE_RESTORE"}
+    kind = "directed" if graph.directed else "undirected"
+
+    def spells_for(match):
+        out = []
+        for t, et, u, v, w in ev:
+            if not match(et, u, v):
+                continue
+            if et in node_start or et == "EDGE_ADD":
+                out.append(("spell", "start", t))
+            elif et in ("NODE_REMOVE", "EDGE_REMOVE"):
+                out.append(("spell", "end", t))
+            elif et == "EDGE_WEIGHT_UPDATE":
+                out.append(("attvalue", w, t))
+        return out
+
+    with open(path, "w") as f:
+        f.write('<?xml version="1.0" encoding="UTF-8"?>\n')
+        f.write('<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">\n')
+        f.write(f'  <graph mode="dynamic" timeformat="double" '
+                f'defaultedgetype="{kind}">\n')
+        if has_dyn_w:
+            f.write('    <attributes class="edge" mode="dynamic">\n'
+                    '      <attribute id="weight" title="Weight" '
+                    'type="float"/>\n    </attributes>\n')
+        f.write("    <nodes>\n")
+        for n in all_nodes:
+            sp = spells_for(
+                lambda et, u, v, n=n: et.startswith("NODE") and u == n
+            )
+            if sp:
+                f.write(f'      <node id="{n}">\n        <spells>\n')
+                for _, op, t in sp:
+                    f.write(f'          <spell {op}="{t}"/>\n')
+                f.write("        </spells>\n      </node>\n")
+            else:
+                f.write(f'      <node id="{n}"/>\n')
+        f.write("    </nodes>\n    <edges>\n")
+        for i, (u, v, w) in enumerate(init_edges + dyn_edges):
+            def match(et, a, b, u=u, v=v):
+                return et.startswith("EDGE") and (
+                    (a, b) == (u, v) or (not graph.directed and (b, a) == (u, v))
+                )
+            sp = spells_for(match)
+            wattr = f' weight="{w}"' if graph.weighted else ""
+            if not sp:
+                f.write(f'      <edge id="{i}" source="{u}" target="{v}"'
+                        f'{wattr}/>\n')
+                continue
+            f.write(f'      <edge id="{i}" source="{u}" target="{v}"'
+                    f'{wattr}>\n')
+            spells = [x for x in sp if x[0] == "spell"]
+            atts = [x for x in sp if x[0] == "attvalue"]
+            if spells:
+                f.write("        <spells>\n")
+                for _, op, t in spells:
+                    f.write(f'          <spell {op}="{t}"/>\n')
+                f.write("        </spells>\n")
+            if atts:
+                f.write("        <attvalues>\n")
+                for _, wv, t in atts:
+                    f.write(f'          <attvalue for="weight" value="{wv}" '
+                            f'start="{t}" endopen="{t + 1}"/>\n')
+                f.write("        </attvalues>\n")
+            f.write("      </edge>\n")
+        f.write("    </edges>\n  </graph>\n</gexf>\n")

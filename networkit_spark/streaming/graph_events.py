@@ -37,7 +37,11 @@ def apply_events(graph: Graph, events: DataFrame) -> Graph:
     class is one union/anti-join — never row-at-a-time)."""
     ev = events.persist()
 
-    node_add = ev.filter("etype = 'NODE_ADD'").select(F.col("u").alias("id"))
+    # NODE_RESTORE (dynamic-GEXF restoration, GraphEvent.hpp NODE_RESTORATION)
+    # re-registers the id — identical to addition in this set-oriented fold
+    node_add = ev.filter("etype IN ('NODE_ADD', 'NODE_RESTORE')").select(
+        F.col("u").alias("id")
+    )
     node_rm = ev.filter("etype = 'NODE_REMOVE'").select(F.col("u").alias("id"))
     edge_add = ev.filter("etype = 'EDGE_ADD'").select(
         F.col("u").alias("src"), F.col("v").alias("dst"),

@@ -642,3 +642,104 @@ def test_read_raster_points(spark, tmp_path):
     # determinism
     again = [(r["x"], r["y"]) for r in read_raster(spark, p).collect()]
     assert pts == again
+
+
+def test_gexf_dynamic_reader_spells_and_weights(spark, tmp_path):
+    """GEXFIO.py GEXFReader dynamic path: initial elements (no start),
+    spell add/remove/restore, dynamic weight attvalues (first one = edge
+    addition), date timeformat via lexicographic rank."""
+    from networkit_spark.sources.io import read_gexf_dynamic
+
+    text = """<?xml version="1.0" encoding="UTF-8"?>
+<gexf xmlns="http://www.gexf.net/1.2draft" version="1.2">
+  <graph mode="dynamic" timeformat="double" defaultedgetype="undirected">
+    <attributes class="edge" mode="dynamic">
+      <attribute id="weight" title="Weight" type="float"/>
+    </attributes>
+    <nodes>
+      <node id="a"/>
+      <node id="b"/>
+      <node id="c">
+        <spells>
+          <spell start="1.0" end="2.0"/>
+          <spell start="3.0"/>
+        </spells>
+      </node>
+    </nodes>
+    <edges>
+      <edge id="0" source="a" target="b" weight="2.0"/>
+      <edge id="1" source="a" target="c" start="1.0" end="2.0"/>
+      <edge id="2" source="b" target="c">
+        <attvalues>
+          <attvalue for="weight" value="4.0" start="3.0"/>
+          <attvalue for="weight" value="5.0" start="4.0"/>
+        </attvalues>
+      </edge>
+    </edges>
+  </graph>
+</gexf>
+"""
+    p = str(tmp_path / "dyn.gexf")
+    open(p, "w").write(text)
+    g, events = read_gexf_dynamic(spark, p)
+    # initial graph: nodes a,b (c is dynamic), edge (a,b)
+    assert g.num_nodes() == 2
+    assert {(r["src"], r["dst"]) for r in g.edges.collect()} == {(0, 1), (1, 0)}
+    ev = [
+        (r["t"], r["etype"], r["u"], r["v"])
+        for r in events.orderBy("t", "etype", "u").collect()
+    ]
+    # c: add @1, remove @2, RESTORE @3 (second spell after deletion)
+    assert (0, "NODE_ADD", 2, None) in ev
+    assert (1, "NODE_REMOVE", 2, None) in ev
+    assert (2, "NODE_RESTORE", 2, None) in ev
+    # edge (a,c): add @1, remove @2; edge (b,c): first attvalue adds @3,
+    # second updates @4
+    assert (0, "EDGE_ADD", 0, 2) in ev
+    assert (1, "EDGE_REMOVE", 0, 2) in ev
+    assert (2, "EDGE_ADD", 1, 2) in ev
+    assert (3, "EDGE_WEIGHT_UPDATE", 1, 2) in ev
+    wu = [r for r in events.collect() if r["etype"] == "EDGE_WEIGHT_UPDATE"]
+    assert len(wu) == 1 and wu[0]["w"] == 5.0
+
+
+def test_gexf_dynamic_roundtrip_fold(spark, tmp_path):
+    """write_gexf_dynamic -> read_gexf_dynamic roundtrip on a dense-id
+    fixture: the event stream survives byte-exactly (same ids, times,
+    types) and folding it yields the same final graph."""
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.sources.io import read_gexf_dynamic, write_gexf_dynamic
+    from networkit_spark.streaming.graph_events import apply_events
+
+    g = from_edge_rows(spark, [(0, 1, 2.0), (1, 2, 3.0)], num_nodes=3)
+    events = spark.createDataFrame(
+        [
+            (0, "NODE_ADD", 3, None, None),
+            (1, "EDGE_ADD", 2, 3, 4.0),
+            (2, "EDGE_REMOVE", 0, 1, None),
+            (3, "EDGE_WEIGHT_UPDATE", 2, 3, 7.0),
+        ],
+        "t long, etype string, u long, v long, w float",
+    )
+    p = str(tmp_path / "rt.gexf")
+    write_gexf_dynamic(g, p, events)
+    g2, ev2 = read_gexf_dynamic(spark, p)
+    assert g2.num_nodes() == 3
+    got = {
+        (r["t"], r["etype"], r["u"], r["v"], r["w"]) for r in ev2.collect()
+    }
+    want = {
+        (0, "NODE_ADD", 3, None, None),
+        (1, "EDGE_ADD", 2, 3, 4.0),
+        # removal carries the element's weight attr through, like the
+        # reference's createEvent (GEXFIO.py:200-217 passes w for every
+        # edge event type)
+        (2, "EDGE_REMOVE", 0, 1, 2.0),
+        (3, "EDGE_WEIGHT_UPDATE", 2, 3, 7.0),
+    }
+    assert got == want
+    fa = apply_events(g, events)
+    fb = apply_events(g2, ev2)
+    ea = {(r["src"], r["dst"], r["weight"]) for r in fa.edges.collect()}
+    eb = {(r["src"], r["dst"], r["weight"]) for r in fb.edges.collect()}
+    assert ea == eb and (2, 3, 7.0) in ea and (0, 1, 2.0) not in ea
