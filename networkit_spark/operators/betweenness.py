@@ -275,6 +275,7 @@ def approx_betweenness_rk(
     max_depth: int = 8,
     seed: int = 42,
     return_credits: bool = False,
+    sample_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score) — Riondato-Kornaropoulos approximate betweenness
     (ref: centrality/ApproxBetweenness.cpp: sample r (s,t) pairs, walk ONE
@@ -308,7 +309,7 @@ def approx_betweenness_rk(
     t_off = F.expr(md5_long_sql(f"('{seed}:abt:' || CAST(i AS STRING))")) % F.lit(
         n - 1
     ) + 1
-    samples = materialize(
+    samples = (
         spark.range(r)
         .select(F.col("id").alias("i"))
         .select(
@@ -317,6 +318,14 @@ def approx_betweenness_rk(
             ((s_draw + t_off) % F.lit(n)).cast("long").alias("t"),
         )
     )
+    if sample_ids is not None:
+        # DynApproxBetweenness path: replay ONLY the affected walks — the
+        # md5-pinned draws make the restricted run reproduce exactly the
+        # walks the full run would take for those sample ids
+        samples = samples.join(
+            sample_ids.select(F.col(sample_ids.columns[0]).alias("i")), "i"
+        )
+    samples = materialize(samples)
 
     edges = materialize(
         graph.edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()

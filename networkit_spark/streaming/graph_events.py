@@ -673,3 +673,96 @@ def affected_nodes(graph_before: Graph, added_edges: DataFrame) -> DataFrame:
         .select(F.col("q").alias("id"))
         .distinct()
     )
+
+
+def update_approx_betweenness_incremental(
+    graph_before: Graph,
+    graph_after: Graph,
+    old_scores: DataFrame,
+    added_edges: DataFrame,
+    num_samples: int = 32,
+    max_depth: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """RK approximate betweenness after EDGE_ADD events —
+    DynApproxBetweenness semantics (centrality/DynApproxBetweenness.cpp:
+    119-178 updateBatch): for every sampled (s, t) pair whose SSSP from s
+    was modified by the batch, subtract the old sampled path's 1/r
+    credits and re-walk a new path; unmodified pairs keep their walks.
+
+    Set-oriented port: a sample is MODIFIED iff its source s satisfies
+    the DynBetweenness affected-source criterion for some added edge
+    {u, v} — d(s,u)+1 <= d(s,v) or d(s,v)+1 <= d(s,u) (strict =
+    distances change, equal = path counts change; exactly DynSSSP's
+    modified() trigger). Because every pair draw and predecessor draw is
+    md5-pinned, replaying ONLY the affected sample ids on the old and
+    new graphs reproduces precisely the credits the reference subtracts
+    and re-adds — the hash-pinned re-run IS the update, now at
+    |affected| walk cost instead of r. Removal batches fall back to a
+    full re-run (same fallback as DynCC's split case)."""
+    from networkit_spark.functions.hashing import md5_long_sql
+    from networkit_spark.operators.betweenness import approx_betweenness_rk
+    from networkit_spark.operators.distance import multi_source_hops
+
+    spark = graph_before.vertices.sparkSession
+    n = graph_before.num_nodes()
+    r = num_samples
+
+    # the pinned sample table (same draws as approx_betweenness_rk)
+    s_draw = F.expr(md5_long_sql(f"('{seed}:abs:' || CAST(i AS STRING))")) % F.lit(n)
+    samples = spark.range(r).select(F.col("id").alias("i")).select(
+        "i", s_draw.cast("long").alias("s")
+    )
+
+    eps = (
+        added_edges.select(F.col("src").alias("id"))
+        .unionByName(added_edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    dp = multi_source_hops(graph_before, sources=eps)
+    add = added_edges.select("src", "dst")
+    BIG = F.lit(2**62)
+    a_tab = dp.select(
+        F.col("s").alias("src"), F.col("id").alias("q"), F.col("dist").alias("a")
+    )
+    b_tab = dp.select(
+        F.col("s").alias("dst"), F.col("id").alias("q"), F.col("dist").alias("b")
+    )
+    au = add.join(a_tab, "src").select("src", "dst", "q", "a")
+    bv = add.join(b_tab, "dst").select("src", "dst", "q", "b")
+    affected_sources = (
+        au.join(bv, ["src", "dst", "q"], "full")
+        .select("q", F.coalesce("a", BIG).alias("a"), F.coalesce("b", BIG).alias("b"))
+        .filter((F.col("a") + 1 <= F.col("b")) | (F.col("b") + 1 <= F.col("a")))
+        .select(F.col("q").alias("s"))
+        .distinct()
+    )
+    aff = samples.join(affected_sources, "s").select("i")
+    if aff.limit(1).count() == 0:  # one scalar, not the id list
+        return old_scores
+
+    old_cr = approx_betweenness_rk(
+        graph_before, num_samples=r, max_depth=max_depth, seed=seed,
+        return_credits=True, sample_ids=aff,
+    )
+    new_cr = approx_betweenness_rk(
+        graph_after, num_samples=r, max_depth=max_depth, seed=seed,
+        return_credits=True, sample_ids=aff,
+    )
+    oc = old_cr.groupBy(F.col("p").alias("id")).agg(F.count(F.lit(1)).alias("o"))
+    nc = new_cr.groupBy(F.col("p").alias("id")).agg(F.count(F.lit(1)).alias("nw"))
+    return (
+        old_scores.withColumnRenamed("score", "sc")
+        .join(oc, "id", "left")
+        .join(nc, "id", "left")
+        .select(
+            "id",
+            (
+                F.col("sc")
+                + (
+                    F.coalesce("nw", F.lit(0)) - F.coalesce("o", F.lit(0))
+                ).cast("double")
+                / F.lit(float(r))
+            ).alias("score"),
+        )
+    )

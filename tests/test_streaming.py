@@ -591,3 +591,59 @@ def test_streaming_dedup_state_across_batches(spark, tmp_path):
         r["text_hash"] for r in rows.values() if not r["is_dup"]
     )
     assert all(v == 1 for v in per_hash.values())
+
+
+def test_update_approx_betweenness_incremental_matches_recompute(spark):
+    """DynApproxBetweenness (centrality/DynApproxBetweenness.cpp:119-178):
+    after an EDGE_ADD batch, replaying only the affected md5-pinned walks
+    equals the full RK recompute on the new graph — exactly."""
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.betweenness import approx_betweenness_rk
+    from networkit_spark.streaming.graph_events import (
+        apply_events,
+        update_approx_betweenness_incremental,
+    )
+
+    # path 0-1-2-3-4-5 plus a tail; the added chord 0-4 reroutes walks
+    rows = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    g = from_edge_rows(spark, rows, weighted=False)
+    old = approx_betweenness_rk(g, num_samples=24, max_depth=8)
+    events = spark.createDataFrame(
+        [("EDGE_ADD", 0, 4, 1.0)], "etype string, u long, v long, w float"
+    )
+    g2 = apply_events(g, events)
+    added = spark.createDataFrame([(0, 4), (4, 0)], "src long, dst long")
+    got = {
+        r["id"]: r["score"]
+        for r in update_approx_betweenness_incremental(
+            g, g2, old, added, num_samples=24, max_depth=8
+        ).collect()
+    }
+    want = {
+        r["id"]: r["score"]
+        for r in approx_betweenness_rk(g2, num_samples=24, max_depth=8).collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert abs(got[i] - want[i]) < 1e-12, (i, got[i], want[i])
+
+
+def test_update_approx_betweenness_no_affected_early_return(spark):
+    """Re-adding an existing edge changes no distances or path counts —
+    the affected set is empty and the old scores come back untouched."""
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.betweenness import approx_betweenness_rk
+    from networkit_spark.streaming.graph_events import (
+        update_approx_betweenness_incremental,
+    )
+
+    rows = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    g = from_edge_rows(spark, rows, weighted=False)
+    old = approx_betweenness_rk(g, num_samples=16, max_depth=6)
+    added = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    got = update_approx_betweenness_incremental(
+        g, g, old, added, num_samples=16, max_depth=6
+    )
+    a = {(r["id"], r["score"]) for r in old.collect()}
+    b = {(r["id"], r["score"]) for r in got.collect()}
+    assert a == b
