@@ -1444,6 +1444,37 @@ def q_graph_randomize_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_wilson_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant-style oracle (like graph_randomize_invariants): ANY
+    uniform spanning forest has n - #components edges drawn from the
+    graph and spans every component, whatever the seed — the SQL side
+    computes those quantities from the graph alone while Spark checks
+    them on the Wilson sample (centrality/ApproxSpanningEdge.cpp:43-110
+    sampleUST)."""
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.operators.spanning import wilson_spanning_forest
+    from networkit_spark.graph import Graph
+
+    g, _ = L.events_graph(spark, sf_dir)
+    f = wilson_spanning_forest(g, seed=42)
+    n_edges = f.count()
+    canon = g.edges.select("src", "dst").distinct()
+    bad = f.join(canon, ["src", "dst"], "anti").count()
+    fg = Graph(
+        g.vertices,
+        f.unionByName(
+            f.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).withColumn("weight", F.lit(1.0).cast("float")),
+        False,
+        False,
+    )
+    ncomp = connected_components(fg).select("label").distinct().count()
+    return spark.createDataFrame(
+        [(n_edges, bad, ncomp)],
+        "n_edges bigint, bad_edges bigint, n_components bigint",
+    )
+
+
 def q_graph_global_curveball(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant-style oracle (like graph_randomize_invariants): global
     curveball trades preserve the unweighted non-loop degree histogram
@@ -1902,6 +1933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_maxflow": q_graph_maxflow,
     "graph_diff": q_graph_diff,
     "graph_randomize_invariants": q_graph_randomize_invariants,
+    "graph_wilson_forest": q_graph_wilson_forest,
     "graph_global_curveball": q_graph_global_curveball,
     "graph_commute_time": q_graph_commute_time,
     "centrality_group_closeness": q_centrality_group_closeness,
@@ -2139,6 +2171,7 @@ def build_oracles() -> dict[str, str]:
         "graph_maxflow": L.sql_maxflow(MAXFLOW_K, MAXFLOW_S, MAXFLOW_T),
         "graph_diff": L.sql_graph_diff(),
         "graph_randomize_invariants": L.sql_degree_histogram(),
+        "graph_wilson_forest": L.sql_spanning_forest_invariants(CC_ITERS),
         "graph_global_curveball": L.sql_degree_histogram(),
         "graph_commute_time": L.sql_commute_time(CTD_PAIRS, CTD_ITERS, CTD_OMEGA),
         "centrality_group_closeness": L.sql_group_closeness(GROUP_CLOSENESS_K),

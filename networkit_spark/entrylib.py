@@ -5360,3 +5360,20 @@ SELECT doc_id, n_feats, logw,
        logw + ROUND(-ln(-ln(({hg} + 1.0) / 281474976710657.0)), 6) AS key
 FROM w
 ORDER BY key DESC, doc_id LIMIT {int(k)}"""
+
+
+def sql_spanning_forest_invariants(iters: int) -> str:
+    """Invariant oracle for the UST samplers (Wilson/Aldous-Broder): a
+    uniform spanning forest of ANY seed has exactly n - #components
+    edges, every edge drawn from the graph, and the same component count
+    as the graph — all computable in SQL without replaying the walk."""
+    body = ", ".join(_cc_ctes(iters)) + f""",
+st AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT label) AS BIGINT) AS ncomp
+    FROM cc{iters}
+)
+SELECT n - ncomp AS n_edges, CAST(0 AS BIGINT) AS bad_edges,
+       ncomp AS n_components
+FROM st"""
+    return _with_graph(body)
