@@ -94,6 +94,10 @@ def test_no_forced_vertex_sized_broadcasts():
         "functions/textstats.py": [
             "F.broadcast(vocab)",
             "F.broadcast(stats)",
+            # DSIR: tot is a 1-row global agg; lr is the <=buckets-row
+            # hashed-feature model (buckets is a bounded parameter)
+            "F.broadcast(tot)",
+            "F.broadcast(lr)",
         ],
         # query-set-sized tables, O(len(query_ids) [x n_tables]), and the
         # k-row centroid table of the IVF index
