@@ -205,7 +205,9 @@ def test_gexf_reads_foreign_file_and_rejects_dynamic(spark, tmp_path):
     )
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
+    # dynamic files are no longer rejected outright: the static reader
+    # redirects to read_gexf_dynamic (sources/io.py:949), which serves them.
+    with _pytest.raises(ValueError, match="read_gexf_dynamic"):
         read_gexf(spark, str(d))
 
 
