@@ -5196,6 +5196,7 @@ interior AS (
     FROM inc
 )
 SELECT CAST(1 AS BIGINT) AS dist, CAST(2 * m AS BIGINT) AS nf FROM consts
+WHERE (SELECT d FROM dia) > 1
 UNION ALL
 SELECT CAST(dist AS BIGINT), CAST(nf AS BIGINT) FROM interior
 UNION ALL

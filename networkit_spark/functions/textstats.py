@@ -477,8 +477,13 @@ def source_mixing(
         f"|| CAST({id_col} AS STRING))"
     )
     kept = (
-        df.select(F.col(source_col).alias("source"), F.col(id_col))
+        # hash BEFORE aliasing: h's SQL text references the raw source_col
+        # name, which no longer resolves after the alias-to-"source" select
+        df.select(F.col(source_col), F.col(id_col))
         .withColumn("__b", F.expr(h) % (1 << 20))
+        .select(
+            F.col(source_col).alias("source"), F.col(id_col), F.col("__b")
+        )
         .join(rated.select("source", "rate"), "source")
         .filter(F.col("__b") < F.col("rate") * (1 << 20))
         .groupBy("source")

@@ -194,7 +194,7 @@ def effective_diameter_approx(
 
 
 def neighborhood_function_heuristic(
-    graph, n_samples: int = 0, max_depth: int = 32
+    graph, n_samples: int = 0, max_depth: int | None = None
 ) -> DataFrame:
     """(dist, nf) for dist = 1..diameter — sampled-BFS neighborhood
     function (distance/NeighborhoodFunctionHeuristic.cpp:40-139, SPLIT
@@ -252,7 +252,13 @@ def neighborhood_function_heuristic(
     samples = ranked.filter(
         (F.col("rk") % stepw == 0) & (F.col("rk") < n_samples * stepw)
     ).select("id")
-    hops = multi_source_hops(graph, sources=samples, max_depth=min(dia, max_depth))
+    # The reference runs each sampled BFS to completion (cpp:40-139); only
+    # distances 2..dia-1 feed the interior estimate, so dia-1 supersteps
+    # suffice exactly.  max_depth is an optional explicit cap for callers
+    # that want to bound supersteps on huge-diameter graphs (documented
+    # truncation: interior counts past the cap come out zero).
+    depth = dia - 1 if max_depth is None else min(dia - 1, max_depth)
+    hops = multi_source_hops(graph, sources=samples, max_depth=depth)
     counts = {
         int(r["dist"]): int(r["c"])
         for r in hops.filter((F.col("dist") >= 2) & (F.col("dist") <= dia - 1))

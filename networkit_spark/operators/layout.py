@@ -369,9 +369,11 @@ def maxent_stress(
     card = len(sd)
 
     if q is None:
-        deg = np.zeros(n)
-        np.add.at(deg, su, 1.0)
-        q = 0.8 if n and (deg == 1).sum() / n > 0.3 else 0.0
+        # GRAPH degree, not S-incidence (MaxentStress.cpp:487-495 counts
+        # G->degree(u)==1; at k>=2 the 2-hop pairs in S inflate every
+        # leaf's S-degree past 1, which would never trigger the rule)
+        deg1 = graph.degrees().filter(F.col("degree") == 1).count()
+        q = 0.8 if n and deg1 / n > 0.3 else 0.0
 
     wf = 1.0 / (sd * sd)  # weightingFactor
     wdeg = np.zeros(n)

@@ -189,7 +189,13 @@ def path_growing_matching(graph: Graph) -> DataFrame:
     while num_edges > 0:
         v = max(alive, key=lambda x: (degrees[x], -x))
         while degrees[v] > 0:
-            best_u, best_w = None, 0.0
+            # -inf init picks the true max-weight alive neighbor.  For
+            # positive weights this matches the reference exactly
+            # (PathGrowingMatcher.cpp:73 inits bestWeight=0); for
+            # nonpositive weights the reference degenerately leaves
+            # bestNeighbor=0 — this port instead matches the real argmax
+            # (documented deviation; the crash-free sane extension).
+            best_u, best_w = None, float("-inf")
             for u in sorted(adj[v]):
                 if u in alive and adj[v][u] > best_w:
                     best_u, best_w = u, adj[v][u]

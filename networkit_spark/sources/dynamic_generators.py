@@ -77,7 +77,21 @@ def fold_events(spark: SparkSession, events: DataFrame, directed: bool = False,
         weighted=False,
     )
     if not stepwise:
-        return apply_events(g, events.select("etype", "u", "v", "w"))
+        # apply_events treats a batch as simultaneous; honor stream order
+        # for weight updates by pre-reducing last-wins on t (a GEXF edge
+        # with several weight attvalues emits one update per t — only the
+        # latest in the folded prefix may survive)
+        ev = events.select("t", "etype", "u", "v", "w")
+        last_upd = (
+            ev.filter("etype = 'EDGE_WEIGHT_UPDATE'")
+            .groupBy("u", "v")
+            .agg(F.max_by("w", "t").cast("float").alias("w"))
+            .select(F.lit("EDGE_WEIGHT_UPDATE").alias("etype"), "u", "v", "w")
+        )
+        others = ev.filter("etype <> 'EDGE_WEIGHT_UPDATE'").select(
+            "etype", "u", "v", "w"
+        )
+        return apply_events(g, others.unionByName(last_upd))
     events = events.localCheckpoint(eager=True)
     steps = sorted(r["t"] for r in events.select("t").distinct().collect())
     for t in steps:

@@ -1116,7 +1116,11 @@ def write_gexf_dynamic(graph: Graph, path: str, events: DataFrame) -> None:
     )
     n0 = graph.num_nodes()
     dyn_nodes = [u for _, et, u, _, _ in ev if et == "NODE_ADD"]
-    all_nodes = list(range(n0)) + [u for u in dyn_nodes if u >= n0]
+    # one <node> element per distinct id (spells carry the add/remove
+    # history) — duplicate NODE_ADDs must not emit duplicate elements
+    all_nodes = list(dict.fromkeys(
+        list(range(n0)) + [u for u in dyn_nodes if u >= n0]
+    ))
     has_dyn_w = any(et == "EDGE_WEIGHT_UPDATE" for _, et, _, _, _ in ev)
 
     e = graph.edges if graph.directed else graph.edges.filter(
@@ -1126,9 +1130,23 @@ def write_gexf_dynamic(graph: Graph, path: str, events: DataFrame) -> None:
         (int(r["src"]), int(r["dst"]), float(r["weight"]))
         for r in e.select("src", "dst", "weight").collect()
     ]
-    dyn_edges = [
-        (u, v, w) for _, et, u, v, w in ev if et == "EDGE_ADD"
-    ]
+    # same dedup for edges: a removed-then-re-added edge (or one both
+    # initial and EDGE_ADDed) gets ONE element whose <spells> list holds
+    # the full end/start history, never two elements each repeating it.
+    # Null EDGE_ADD weights default to 1.0 (apply_events' coalesce).
+    seen = {
+        ((u, v) if graph.directed else (min(u, v), max(u, v)))
+        for u, v, _ in init_edges
+    }
+    dyn_edges = []
+    for _, et, u, v, w in ev:
+        if et != "EDGE_ADD":
+            continue
+        key = (u, v) if graph.directed else (min(u, v), max(u, v))
+        if key in seen:
+            continue
+        seen.add(key)
+        dyn_edges.append((u, v, 1.0 if w is None else w))
     node_start = {"NODE_ADD", "NODE_RESTORE"}
     kind = "directed" if graph.directed else "undirected"
 
@@ -1142,7 +1160,9 @@ def write_gexf_dynamic(graph: Graph, path: str, events: DataFrame) -> None:
             elif et in ("NODE_REMOVE", "EDGE_REMOVE"):
                 out.append(("spell", "end", t))
             elif et == "EDGE_WEIGHT_UPDATE":
-                out.append(("attvalue", w, t))
+                # null update weight would serialize as the unparseable
+                # weight="None"; default like apply_events does
+                out.append(("attvalue", 1.0 if w is None else w, t))
         return out
 
     with open(path, "w") as f:

@@ -78,8 +78,16 @@ def apply_events(graph: Graph, events: DataFrame) -> Graph:
     # removing a node removes its incident edges (Graph.cpp removeNode)
     edges = edges.join(node_rm.withColumnRenamed("id", "src"), "src", "anti")
     edges = edges.join(node_rm.withColumnRenamed("id", "dst"), "dst", "anti")
-    # weight updates replace the existing weight
-    upd = w_upd.withColumnRenamed("weight", "new_w")
+    # weight updates replace the existing weight.  A batch is a SET of
+    # simultaneous events, so two updates to the same edge in one batch have
+    # no defined order — dedup to one row per edge (max is the pinned
+    # tie-break) or the left join would duplicate the edge row into a
+    # multigraph.  Callers with an ordered stream pre-reduce last-wins by
+    # time before batching (fold_events does).
+    upd = (
+        w_upd.groupBy("src", "dst")
+        .agg(F.max("weight").cast("float").alias("new_w"))
+    )
     edges = (
         edges.join(upd, ["src", "dst"], "left")
         .select("src", "dst", F.coalesce("new_w", "weight").alias("weight"))

@@ -248,3 +248,19 @@ def test_maxent_stress_q_autoset_for_star(spark):
     )
     assert stats["q"] == 0.8
     assert out.count() == 5
+
+
+def test_maxent_stress_q_autoset_uses_graph_degree_at_k2(spark):
+    # regression: the q rule counted degree within the known-distance set
+    # S — at k=2 leaf-leaf 2-hop pairs push every leaf's S-degree past 1,
+    # so the 0.8 rule never fired; the reference counts GRAPH degree
+    # (MaxentStress.cpp:487-495)
+    from networkit_spark.operators.layout import maxent_stress
+
+    g = from_edge_rows(
+        spark, [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5)], weighted=False
+    )
+    _, stats = maxent_stress(
+        g, dim=2, k=2, fast_computation=True, max_solves_per_alpha=5
+    )
+    assert stats["q"] == 0.8

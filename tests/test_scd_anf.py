@@ -349,3 +349,26 @@ def test_neighborhood_heuristic_exact_when_fully_sampled(spark):
     di = from_edge_rows(spark, [(0, 1)], directed=True, num_nodes=2)
     with pytest.raises(ValueError, match="undirected"):
         neighborhood_function_heuristic(di)
+
+
+def test_neighborhood_heuristic_runs_past_depth_32(spark):
+    # regression: the sampled BFS was capped at max_depth=32 by default, so
+    # interior counts at distances 33..dia-1 silently came out zero on any
+    # graph with diameter > 33 (the reference runs each BFS to completion,
+    # NeighborhoodFunctionHeuristic.cpp:40-139). P40: diameter 39, every
+    # node sampled -> exact closed form nf(d) = sum_{k<=d} 2(40-k).
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.anf import neighborhood_function_heuristic
+
+    n = 40
+    g = from_edge_rows(spark, [(i, i + 1) for i in range(n - 1)], num_nodes=n)
+    got = {
+        r["dist"]: r["nf"]
+        for r in neighborhood_function_heuristic(g, n_samples=n).collect()
+    }
+    want = {}
+    acc = 0
+    for d in range(1, n):
+        acc += 2 * (n - d)
+        want[d] = acc
+    assert got == want

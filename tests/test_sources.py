@@ -743,3 +743,42 @@ def test_gexf_dynamic_roundtrip_fold(spark, tmp_path):
     ea = {(r["src"], r["dst"], r["weight"]) for r in fa.edges.collect()}
     eb = {(r["src"], r["dst"], r["weight"]) for r in fb.edges.collect()}
     assert ea == eb and (2, 3, 7.0) in ea and (0, 1, 2.0) not in ea
+
+
+def test_gexf_dynamic_writer_dedups_churned_edges(spark, tmp_path):
+    """An initial edge removed then re-added must serialize as ONE <edge>
+    element carrying the full spell history (end, then start) — never two
+    elements each repeating it; duplicate NODE_ADDs collapse the same way,
+    and a null EDGE_ADD weight defaults to 1.0 instead of weight="None"."""
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.sources.io import read_gexf_dynamic, write_gexf_dynamic
+    from networkit_spark.streaming.graph_events import apply_events
+
+    g = from_edge_rows(spark, [(0, 1, 2.0)], num_nodes=2)
+    events = spark.createDataFrame(
+        [
+            (1, "EDGE_REMOVE", 0, 1, None),
+            (2, "EDGE_ADD", 0, 1, 2.0),
+            (3, "NODE_ADD", 2, None, None),
+            (3, "NODE_ADD", 2, None, None),   # duplicate add, one element
+            (4, "EDGE_ADD", 1, 2, None),      # null w -> 1.0, not "None"
+        ],
+        "t long, etype string, u long, v long, w float",
+    )
+    p = str(tmp_path / "churn.gexf")
+    write_gexf_dynamic(g, p, events)
+    text = open(p).read()
+    assert text.count('source="0" target="1"') == 1
+    assert text.count('<node id="2"') == 1
+    assert "None" not in text
+    g2, ev2 = read_gexf_dynamic(spark, p)
+    # initial edge exactly once; churn streams fold stepwise (remove@1
+    # then re-add@2 — one simultaneous batch would cancel the re-add)
+    assert g2.num_edges() == 1 and g2.num_nodes() == 2
+    fa, fb = g, g2
+    for t in (1, 2, 3, 4):
+        fa = apply_events(fa, events.filter(f"t = {t}").drop("t"))
+        fb = apply_events(fb, ev2.filter(f"t = {t}").drop("t"))
+    ea = {(r["src"], r["dst"], r["weight"]) for r in fa.edges.collect()}
+    eb = {(r["src"], r["dst"], r["weight"]) for r in fb.edges.collect()}
+    assert ea == eb and (0, 1, 2.0) in ea and (1, 2, 1.0) in ea

@@ -490,3 +490,23 @@ def test_random_node_edge_score(spark):
     for ratio in (0.0, 1.0):
         ext = random_node_edge_score(g, rne_ratio=ratio, seed=3).collect()
         assert len(ext) == m
+
+
+def test_path_growing_matching_zero_weight_edges(spark):
+    # regression: best_w init of 0.0 left best_u=None when a node's only
+    # alive edge had weight <= 0 -> TypeError; now the true argmax is
+    # matched (documented deviation from the reference's bestNeighbor=0
+    # degenerate behavior for nonpositive weights)
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.matching import path_growing_matching
+
+    g = from_edge_rows(spark, [(0, 1, 0.0)], num_nodes=2, weighted=True)
+    got = path_growing_matching(g).collect()
+    assert [(r["u"], r["v"]) for r in got] in ([], [(0, 1)])
+
+    g2 = from_edge_rows(
+        spark, [(0, 1, 0.0), (1, 2, 5.0), (2, 3, 0.0)], num_nodes=4,
+        weighted=True,
+    )
+    got2 = {(r["u"], r["v"]): r["weight"] for r in path_growing_matching(g2).collect()}
+    assert (1, 2) in got2 and got2[(1, 2)] == 5.0

@@ -210,6 +210,46 @@ def test_apply_events(spark):
     assert edges[(1, 2)] == 5.0 and edges[(2, 1)] == 5.0
 
 
+def test_apply_events_duplicate_weight_updates_no_multigraph(spark):
+    # two EDGE_WEIGHT_UPDATEs for the same edge in ONE batch: the left join
+    # must not duplicate the edge row (batch = simultaneous set; max wins)
+    g = from_edge_rows(spark, [(0, 1), (1, 2)])
+    ev = spark.createDataFrame(
+        [
+            ("EDGE_WEIGHT_UPDATE", 0, 1, 3.0),
+            ("EDGE_WEIGHT_UPDATE", 0, 1, 7.0),
+        ],
+        EVENT_SCHEMA,
+    )
+    g2 = apply_events(g, ev)
+    rows = g2.edges.filter("src = 0 AND dst = 1").collect()
+    assert len(rows) == 1 and rows[0]["weight"] == 7.0
+    assert g2.num_edges() == 2
+
+
+def test_fold_events_weight_updates_last_wins_by_t(spark):
+    # non-stepwise fold honors stream order for weight updates: the
+    # latest t in the folded prefix survives (GEXF multi-attvalue case)
+    from networkit_spark.sources.dynamic_generators import fold_events
+
+    ev = spark.createDataFrame(
+        [
+            (0, "NODE_ADD", 0, None, None),
+            (0, "NODE_ADD", 1, None, None),
+            (1, "EDGE_ADD", 0, 1, 1.0),
+            (2, "EDGE_WEIGHT_UPDATE", 0, 1, 4.0),
+            (3, "EDGE_WEIGHT_UPDATE", 0, 1, 9.0),
+        ],
+        "t long, etype string, u long, v long, w float",
+    )
+    g = fold_events(spark, ev)
+    rows = g.edges.filter("src = 0 AND dst = 1").collect()
+    assert len(rows) == 1 and rows[0]["weight"] == 9.0
+    # prefix fold up to t=2 keeps the t=2 update, not the later one
+    g2 = fold_events(spark, ev, up_to=2)
+    assert g2.edges.filter("src = 0 AND dst = 1").collect()[0]["weight"] == 4.0
+
+
 def test_incremental_cc_merge(spark):
     from networkit_spark.operators.components import connected_components
 

@@ -391,3 +391,21 @@ def test_dsir_resample_referee(spark):
         assert abs(got[d][2] - want[d][2]) < 1e-9
     # the target-like candidate must outrank the off-target one on raw logw
     assert want[3][1] > want[4][1]
+
+
+def test_source_mixing_custom_source_column(spark):
+    # regression: the md5 hash expression used the raw source_col name
+    # after it had been aliased to "source" -> AnalysisException for any
+    # non-default source_col; counts must also match the default-named run
+    from networkit_spark.functions.textstats import source_mixing
+
+    rows = [(i, "crawl") for i in range(100)] + [
+        (100 + i, "curated") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    renamed = docs.withColumnRenamed("source", "origin")
+    a = {r["source"]: r["n_sampled"]
+         for r in source_mixing(docs, target=24).collect()}
+    b = {r["source"]: r["n_sampled"]
+         for r in source_mixing(renamed, target=24, source_col="origin").collect()}
+    assert a == b
