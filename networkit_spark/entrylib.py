@@ -2301,14 +2301,15 @@ SELECT a, b, sim FROM sims WHERE sim >= {threshold} ORDER BY a, b"""
 def sql_ivf_ann(
     n_queries: int = 5, k: int = 3, n_cells: int = 8, nprobe: int = 2
 ) -> str:
-    """Mirror of similarity.ivf_ann_topk: sampled-vector centroids
-    (vec_id < n_cells), nearest-cell inverted lists, nprobe probing, exact
-    cosine re-rank within the probed cells."""
+    """Mirror of similarity.ivf_ann_topk: sampled-vector centroids (first
+    n_cells vectors by id rank), nearest-cell inverted lists, nprobe
+    probing, exact cosine re-rank within the probed cells."""
     adot = _DOT.format(a="n.e", b="c.cv")
     rdot = _DOT.format(a="q.e", b="c.e")
     return f"""WITH {EMB_CTE},
 cells AS MATERIALIZED (
-    SELECT vec_id AS cell, e AS cv, nrm AS cnrm FROM norms WHERE vec_id < {n_cells}
+    SELECT vec_id AS cell, e AS cv, nrm AS cnrm FROM norms
+    ORDER BY vec_id LIMIT {n_cells}
 ),
 asim AS MATERIALIZED (
     SELECT n.vec_id, c.cell,
@@ -2717,7 +2718,10 @@ def _node2vec_ctes(
     sql_sgns. The gate pins p and q to powers of two: weights are integral
     counts, so every wadj and every cumulative sum is an exact dyadic
     rational — window-sum association order can't perturb the inverse-CDF
-    pick in either engine."""
+    pick in either engine. Belt-and-braces, tot is the MAX of the ordered
+    running sum (not a separate unordered partition sum), matching the
+    engine side, so even non-dyadic weights can't strand a draw past the
+    final cum."""
     from networkit_spark.functions.hashing import md5_long_sql
 
     def draw(step: int) -> str:
@@ -2754,11 +2758,15 @@ def _node2vec_ctes(
 ),
 st{i} AS MATERIALIZED (
     SELECT walk_id, MIN(v) AS t, MIN(x) AS v FROM (
-        SELECT walk_id, v, x,
-               SUM(wadj) OVER (PARTITION BY walk_id ORDER BY x) AS cum,
-               SUM(wadj) OVER (PARTITION BY walk_id) AS tot,
-               {draw(i)} AS h
-        FROM cand{i}
+        SELECT walk_id, v, x, cum,
+               MAX(cum) OVER (PARTITION BY walk_id) AS tot,
+               h
+        FROM (
+            SELECT walk_id, v, x,
+                   SUM(wadj) OVER (PARTITION BY walk_id ORDER BY x) AS cum,
+                   {draw(i)} AS h
+            FROM cand{i}
+        )
     ) WHERE cum > h * POWER(2.0, -48) * tot
     GROUP BY walk_id
 )"""
@@ -5026,9 +5034,10 @@ FROM r ORDER BY doc_id"""
 def sql_span_dedup(n: int = 3, threshold: float = 0.3) -> str:
     """Mirror of dedup.span_dedup: distinct per-doc word n-grams, cross-
     document frequency, per-doc duplicated-span fraction. The keep compare
-    uses the UNROUNDED fraction on both sides (one IEEE division of exact
-    integers — bit-identical across engines); dup_fraction is rounded for
-    the value hash only."""
+    uses the ROUNDED 6dp fraction on both sides — the same value emitted
+    as dup_fraction, so the reported number can never contradict the flag
+    at the threshold boundary (repo-wide rounded-decision convention, as
+    in semdedup/spectral_bisection)."""
     return f"""WITH {DOCS_CTE},
 shd AS (
     SELECT doc_id AS id, unnest(list_distinct({_sql_grams_expr(n)})) AS shingle
@@ -5047,22 +5056,25 @@ SELECT d.doc_id,
        CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_shingles,
        ROUND(CASE WHEN COALESCE(p.n_sh, 0) = 0 THEN 0.0
                   ELSE CAST(p.n_dup AS DOUBLE) / p.n_sh END, 6) AS dup_fraction,
-       (CASE WHEN COALESCE(p.n_sh, 0) = 0 THEN 0.0
-             ELSE CAST(p.n_dup AS DOUBLE) / p.n_sh END) < {threshold} AS keep
+       ROUND(CASE WHEN COALESCE(p.n_sh, 0) = 0 THEN 0.0
+                  ELSE CAST(p.n_dup AS DOUBLE) / p.n_sh END, 6) < {threshold} AS keep
 FROM documents d LEFT JOIN per_doc p ON p.id = d.doc_id
 ORDER BY d.doc_id"""
 
 
 def sql_semdedup(n_cells: int = 8, eps: float = 0.95, max_cell: int = 200) -> str:
-    """Mirror of similarity.semdedup: sampled-vector centroids (vec_id <
-    n_cells), nearest-cell assignment with the rounded csim kept as the
-    scan-order key, within-cell precedes-join at the rounded-6dp eps
-    compare, un-deduplicated wide cells (sz > max_cell) kept whole."""
+    """Mirror of similarity.semdedup: sampled-vector centroids (first
+    n_cells vectors by id rank), nearest-cell assignment with the rounded
+    csim kept as the scan-order key, within-cell precedes-join (csim ASC:
+    the farthest-from-centroid duplicate survives, per the paper) at the
+    rounded-6dp eps compare, un-deduplicated wide cells (sz > max_cell)
+    kept whole."""
     adot = _DOT.format(a="n.e", b="c.cv")
     pdot = _DOT.format(a="na.e", b="nb.e")
     return f"""WITH {EMB_CTE},
 cells AS MATERIALIZED (
-    SELECT vec_id AS cell, e AS cv, nrm AS cnrm FROM norms WHERE vec_id < {n_cells}
+    SELECT vec_id AS cell, e AS cv, nrm AS cnrm FROM norms
+    ORDER BY vec_id LIMIT {n_cells}
 ),
 asim AS MATERIALIZED (
     SELECT n.vec_id, c.cell,
@@ -5086,7 +5098,7 @@ dropped AS (
     FROM ded a JOIN ded b ON a.cell = b.cell
     JOIN norms na ON na.vec_id = a.vec_id
     JOIN norms nb ON nb.vec_id = b.vec_id
-    WHERE (a.csim > b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+    WHERE (a.csim < b.csim OR (a.csim = b.csim AND a.vec_id < b.vec_id))
       AND ROUND({pdot} / (na.nrm * nb.nrm), 6) >= {eps}
 )
 SELECT s.vec_id, s.cell, s.csim,

@@ -83,7 +83,13 @@ def minhash_bands(
     min of md5(seed || shingle) — a uniform permutation proxy identical in
     any engine with md5), grouped into ``bands`` buckets of
     num_hashes/bands rows each; bucket = md5 of the concatenated band
-    signature."""
+    signature.  ``bands`` must divide ``num_hashes`` — a remainder would
+    silently discard the trailing hashes and change the collision
+    probability the caller asked for."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows = num_hashes // bands
     mins = sh.groupBy("id").agg(
         *[
@@ -343,12 +349,19 @@ def span_dedup(
                 ),
                 6,
             ).alias("dup_fraction"),
+            # keep decides on the SAME rounded 6dp value emitted as
+            # dup_fraction, so the reported number can never contradict
+            # the flag at the threshold boundary (rounded-decision
+            # convention, as in semdedup)
             (
-                F.when(
-                    F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0.0)
-                ).otherwise(
-                    F.coalesce("n_dup_shingles", F.lit(0))
-                    / F.coalesce("n_shingles", F.lit(1))
+                F.round(
+                    F.when(
+                        F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(0.0)
+                    ).otherwise(
+                        F.coalesce("n_dup_shingles", F.lit(0))
+                        / F.coalesce("n_shingles", F.lit(1))
+                    ),
+                    6,
                 )
                 < threshold
             ).alias("keep"),

@@ -227,9 +227,13 @@ def ivf_centroids(
     centroids is the standard cheap quantizer init (k-means training is a
     separate offline step — see lloyd_refine); sampled centroids keep the
     whole index a pure function of the data, which the correctness oracle
-    reproduces exactly."""
-    return emb.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+    reproduces exactly.  Selection is rank-based (ORDER BY id LIMIT n),
+    not ``id < n_cells``, so sparse or offset id spaces still yield
+    exactly ``n_cells`` centroids."""
+    return (
+        emb.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+        .orderBy("cell")
+        .limit(n_cells)
     )
 
 
@@ -356,11 +360,12 @@ def semdedup(
     et al. 2023, arXiv:2303.09540): cluster the embedding space, then
     within each cluster drop every vector whose cosine similarity to a
     PRECEDING cluster member reaches ``eps``. Following the paper's
-    released algorithm, cluster members are ordered by similarity to their
-    centroid DESCENDING (ties by id ascending) and an item is dropped when
-    the max pairwise similarity against items before it in that order
-    reaches eps — so of any duplicate group the member FARTHEST from the
-    centroid survives. Clustering reuses the IVF sampled-vector quantizer
+    keep-low-centroid-similarity choice (§3.1: of any duplicate group the
+    member FARTHEST from the centroid survives — "edge" examples are the
+    ones worth keeping), cluster members are scanned by similarity to
+    their centroid ASCENDING (ties by id ascending) and an item is
+    dropped when the max pairwise similarity against items before it in
+    that order reaches eps. Clustering reuses the IVF sampled-vector quantizer
     (ivf_centroids + nearest-cell assignment; lloyd_refine is the offline
     trainer, exactly as for ivf_ann_topk) which keeps the whole pass a
     pure deterministic function of the data for the DuckDB oracle.
@@ -408,8 +413,10 @@ def semdedup(
         F.col("csim").alias("csb"),
         F.col("v").alias("vb"),
     )
-    # a precedes b in the paper's scan order: csim desc, then id asc
-    precedes = (F.col("csa") > F.col("csb")) | (
+    # a precedes b in the paper's scan order: csim ASC (farthest from the
+    # centroid first, so it survives and the closer duplicate is dropped),
+    # then id asc
+    precedes = (F.col("csa") < F.col("csb")) | (
         (F.col("csa") == F.col("csb")) & (F.col("ida") < F.col("idb"))
     )
     dropped = (

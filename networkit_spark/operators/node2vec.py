@@ -78,6 +78,11 @@ def biased_random_walks(
 
     it = IterationState(None, "n2v")
     snaps = [starts.select("walk_id", F.lit(0).cast("int").alias("step"), "node")]
+    if walk_length <= 1:
+        # a walk of length 1 is its start node alone — the hop-1 step
+        # below must not run or every walk comes back one node too long
+        it.close()
+        return snaps[0]
 
     # hop 1: uniform over the x-ascending neighbor list (Aux::Random::index)
     w_nb = Window.partitionBy("src").orderBy("dst")
@@ -122,14 +127,20 @@ def biased_random_walks(
         )
         w_cum = Window.partitionBy("walk_id").orderBy("x")
         w_all = Window.partitionBy("walk_id")
+        # tot = MAX of the ordered running sum, NOT a separate unordered
+        # partition sum: with order-sensitive doubles the two could differ
+        # by ULPs, letting the draw u land in the gap past the final cum
+        # and strand the walk with no picked row (and breaking the
+        # bit-identical cross-engine contract; the oracle CTE mirrors
+        # this max-of-cum formulation)
         picked = (
             cand.select(
                 "walk_id",
                 "v",
                 "x",
                 F.sum("wadj").over(w_cum).alias("cum"),
-                F.sum("wadj").over(w_all).alias("tot"),
             )
+            .withColumn("tot", F.max("cum").over(w_all))
             .filter(
                 F.col("cum")
                 > _draw(seed, step) * F.lit(2.0 ** -48) * F.col("tot")

@@ -163,18 +163,37 @@ def degree_preserving_shuffle(
     one degree class (deg=1) would otherwise be a single window partition;
     still degree-preserving, just a subgroup of the permutation group.
 
+    Directed graphs class on the (out, in) degree PAIR like the
+    reference's DirectedDegree (DegreePreservingShuffle.cpp:29-38) —
+    out-degree alone would let ids with different in-degrees trade
+    places. Self-loops count toward the class key (a loopy id swapping
+    with a loop-free one would change both ids' degrees).
+
     Returns (shuffled Graph, mapping DataFrame(id, new_id)).
     """
-    deg = (
-        graph.vertices.join(
-            graph.edges.filter(F.col("src") != F.col("dst"))
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.count(F.lit(1)).alias("deg")),
-            "id",
-            "left",
-        )
-        .select("id", F.coalesce("deg", F.lit(0)).alias("deg"))
+    out_deg = graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("odeg")
     )
+    if graph.directed:
+        in_deg = graph.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("ideg")
+        )
+        deg = (
+            graph.vertices.join(out_deg, "id", "left")
+            .join(in_deg, "id", "left")
+            .select(
+                "id",
+                F.concat_ws(
+                    "|",
+                    F.coalesce("odeg", F.lit(0)),
+                    F.coalesce("ideg", F.lit(0)),
+                ).alias("deg"),
+            )
+        )
+    else:
+        deg = graph.vertices.join(out_deg, "id", "left").select(
+            "id", F.coalesce("odeg", F.lit(0)).alias("deg")
+        )
 
     def ranked(tag: str, out: str):
         # the salt hash must NOT depend on the ranking tag: both rankings

@@ -285,7 +285,13 @@ def _collect_walk_state(graph: Graph):
     for r in graph.edges.select("src", "dst").distinct().collect():
         u, v = int(r["src"]), int(r["dst"])
         if u != v:
+            # undirected simple support in BOTH directions — directed
+            # input would otherwise strand the walk on a node whose only
+            # incident edges point in (connected_components symmetrizes,
+            # so the component says reachable while adj says dead end),
+            # same to_undirected contract as max_spanning_forest above
             adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
     for u in adj:
         adj[u] = sorted(set(adj[u]))
     comp_of = {

@@ -34,8 +34,14 @@ EVENT_SCHEMA = T.StructType(
 
 def apply_events(graph: Graph, events: DataFrame) -> Graph:
     """Fold one event batch into the graph (bulk, set-oriented: each event
-    class is one union/anti-join — never row-at-a-time)."""
-    ev = events.persist()
+    class is one union/anti-join — never row-at-a-time).
+
+    No persist on the batch: event batches are small relative to the
+    graph, re-scanning the source five times (one filter per event class)
+    is cheaper than pinning one cached RDD per fold — a long stream of
+    batches would otherwise leak block-manager storage until driver GC
+    (stepwise fold_events already localCheckpoints the stream once)."""
+    ev = events
 
     # NODE_RESTORE (dynamic-GEXF restoration, GraphEvent.hpp NODE_RESTORATION)
     # re-registers the id — identical to addition in this set-oriented fold
@@ -565,37 +571,11 @@ def update_betweenness_incremental(
     graph) and adds their new ones (same over the new graph): cost
     2|A| source-BFS instead of n."""
     from networkit_spark.operators.betweenness import betweenness
-    from networkit_spark.operators.distance import multi_source_hops
 
-    eps = (
-        added_edges.select(F.col("src").alias("id"))
-        .unionByName(added_edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    # d(endpoint, q) on the OLD graph = d(q, endpoint) (undirected); the
+    # the shared affected-source primitive (affected_nodes below): the
     # endpoint set stays a DataFrame — an event batch touching many
     # vertices never becomes a driver-side Python list
-    dp = multi_source_hops(graph_before, sources=eps)
-    add = added_edges.select("src", "dst")
-    BIG = F.lit(2**62)
-    a_tab = dp.select(
-        F.col("s").alias("src"), F.col("id").alias("q"), F.col("dist").alias("a")
-    )
-    b_tab = dp.select(
-        F.col("s").alias("dst"), F.col("id").alias("q"), F.col("dist").alias("b")
-    )
-    au = add.join(a_tab, "src").select("src", "dst", "q", "a")
-    bv = add.join(b_tab, "dst").select("src", "dst", "q", "b")
-    per_edge = au.join(bv, ["src", "dst", "q"], "full").select(
-        "q", F.coalesce("a", BIG).alias("a"), F.coalesce("b", BIG).alias("b")
-    )
-    affected = (
-        per_edge.filter(
-            (F.col("a") + 1 <= F.col("b")) | (F.col("b") + 1 <= F.col("a"))
-        )
-        .select(F.col("q").alias("id"))
-        .distinct()
-    )
+    affected = affected_nodes(graph_before, added_edges)
     if affected.limit(1).count() == 0:  # one scalar, not the id list
         return old_bc
     old_part = betweenness(graph_before, sources=affected)
@@ -710,7 +690,6 @@ def update_approx_betweenness_incremental(
     full re-run (same fallback as DynCC's split case)."""
     from networkit_spark.functions.hashing import md5_long_sql
     from networkit_spark.operators.betweenness import approx_betweenness_rk
-    from networkit_spark.operators.distance import multi_source_hops
 
     spark = graph_before.vertices.sparkSession
     n = graph_before.num_nodes()
@@ -722,28 +701,9 @@ def update_approx_betweenness_incremental(
         "i", s_draw.cast("long").alias("s")
     )
 
-    eps = (
-        added_edges.select(F.col("src").alias("id"))
-        .unionByName(added_edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    dp = multi_source_hops(graph_before, sources=eps)
-    add = added_edges.select("src", "dst")
-    BIG = F.lit(2**62)
-    a_tab = dp.select(
-        F.col("s").alias("src"), F.col("id").alias("q"), F.col("dist").alias("a")
-    )
-    b_tab = dp.select(
-        F.col("s").alias("dst"), F.col("id").alias("q"), F.col("dist").alias("b")
-    )
-    au = add.join(a_tab, "src").select("src", "dst", "q", "a")
-    bv = add.join(b_tab, "dst").select("src", "dst", "q", "b")
-    affected_sources = (
-        au.join(bv, ["src", "dst", "q"], "full")
-        .select("q", F.coalesce("a", BIG).alias("a"), F.coalesce("b", BIG).alias("b"))
-        .filter((F.col("a") + 1 <= F.col("b")) | (F.col("b") + 1 <= F.col("a")))
-        .select(F.col("q").alias("s"))
-        .distinct()
+    # shared affected-source primitive (affected_nodes)
+    affected_sources = affected_nodes(graph_before, added_edges).select(
+        F.col("id").alias("s")
     )
     aff = samples.join(affected_sources, "s").select("i")
     if aff.limit(1).count() == 0:  # one scalar, not the id list

@@ -288,3 +288,24 @@ def test_wilson_spanning_forest_invariants_and_uniformity(spark):
         (miss,) = tri_edges - t
         omitted[miss] += 1
     assert all(c >= 7 for c in omitted.values()), omitted
+
+
+def test_walk_samplers_accept_directed_input(spark):
+    # regression: _collect_walk_state built a directed adjacency while
+    # connected_components symmetrizes, so a directed chain stranded the
+    # walk (rng over an empty neighbor list). The samplers now walk the
+    # undirected simple support, same to_undirected contract as
+    # max_spanning_forest.
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.spanning import (
+        random_spanning_forest,
+        wilson_spanning_forest,
+    )
+
+    g = from_edge_rows(spark, [(0, 1), (1, 2), (2, 3)], directed=True)
+    for sampler in (random_spanning_forest, wilson_spanning_forest):
+        rows = {(r["src"], r["dst"]) for r in sampler(g, seed=7).collect()}
+        # a spanning tree of the 4-node undirected support has 3 edges
+        assert len(rows) == 3
+        nodes = {x for e in rows for x in e}
+        assert nodes == {0, 1, 2, 3}

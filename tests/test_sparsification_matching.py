@@ -415,10 +415,11 @@ def test_semdedup_hand_fixture(spark):
     emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     got = {r["vec_id"]: r for r in semdedup(emb, n_cells=2, eps=0.999).collect()}
     assert {i: got[i]["cell"] for i in got} == {0: 0, 1: 1, 2: 0, 3: 0, 4: 0, 5: 1}
-    # cos(2,3) ~ 0.99999 >= eps; 3 has the higher centroid-sim so it
-    # precedes 2 in the scan order and 2 is the one dropped
-    assert not got[2]["kept"]
-    assert all(got[i]["kept"] for i in (0, 1, 3, 4, 5))
+    # cos(2,3) ~ 0.99999 >= eps; 2 has the LOWER centroid-sim (farther
+    # from the centroid) so it precedes 3 in the ascending scan order and
+    # survives — the minutely more-central member 3 is the one dropped
+    assert not got[3]["kept"]
+    assert all(got[i]["kept"] for i in (0, 1, 2, 4, 5))
     # the skew guard: cells wider than max_cell are left un-deduplicated
     capped = {
         r["vec_id"]: r["kept"]
