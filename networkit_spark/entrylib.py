@@ -304,7 +304,9 @@ def sql_components(iters: int) -> str:
 
 def sql_labelprop(iters: int) -> str:
     """Unrolled synchronous LP with (weight desc, label asc) tie-break
-    (PLP.cpp:80-92, MPLP.cpp:122-128)."""
+    (PLP.cpp:80-92, MPLP.cpp:122-128). Self-loops stay in the weighting —
+    forNeighborsOf visits them and their weight backs the node's own
+    current label (engine twin drops its loop filter identically)."""
     body = ", ".join(_lp_ctes(iters)) + f" SELECT id, label FROM lp{iters} ORDER BY id"
     return _with_graph(body)
 
@@ -324,7 +326,6 @@ def _lp_ctes(iters: int) -> list[str]:
                        ORDER BY SUM(e.weight) DESC, p.label ASC
                    ) AS rn
             FROM edges e JOIN lp{k-1} p ON p.id = e.src
-            WHERE e.src <> e.dst
             GROUP BY e.dst, p.label
         ) WHERE rn = 1
     ) c ON c.id = l.id
@@ -1167,26 +1168,33 @@ ORDER BY v.label"""
 
 
 def sql_stable_fraction(lp_iters: int) -> str:
-    """One extra synchronous LP superstep over lp{N}; fraction of nodes whose
-    label equals the plurality of their neighbors (StablePartitionNodes)."""
+    """Reference stability criterion over lp{N}
+    (StablePartitionNodes.cpp:42-70): stable iff isolated, or the own
+    label's incident weight (self-loops included) is positive and
+    STRICTLY greater than every other label's weight — ties with another
+    label mark the node unstable."""
     inner, last = _lp_inner(lp_iters)
     return f"""WITH {inner},
-cand AS (
-    SELECT dst AS id, label AS cand FROM (
-        SELECT e.dst, p.label,
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.dst
-                   ORDER BY SUM(e.weight) DESC, p.label ASC
-               ) AS rn
-        FROM edges e JOIN {last} p ON p.id = e.src
-        WHERE e.src <> e.dst
-        GROUP BY e.dst, p.label
-    ) WHERE rn = 1
+lw AS (
+    SELECT e.dst AS id, p.label AS nlabel, SUM(e.weight) AS w
+    FROM edges e JOIN {last} p ON p.id = e.src
+    GROUP BY e.dst, p.label
+),
+st AS (
+    SELECT l.id,
+           MAX(CASE WHEN w.nlabel = l.label THEN w.w END) AS own_w,
+           MAX(CASE WHEN w.nlabel <> l.label THEN w.w END) AS other_max,
+           COUNT(w.nlabel) AS nn
+    FROM {last} l LEFT JOIN lw w ON w.id = l.id
+    GROUP BY l.id, l.label
 )
 SELECT ROUND(
-    CAST(SUM(CASE WHEN c.cand IS NULL OR c.cand = l.label THEN 1 ELSE 0 END) AS DOUBLE)
+    CAST(SUM(CASE WHEN nn = 0
+                    OR (COALESCE(own_w, 0) > 0
+                        AND COALESCE(own_w, 0) > COALESCE(other_max, 0))
+             THEN 1 ELSE 0 END) AS DOUBLE)
     / count(*), 6) + 0.0 AS stable_fraction
-FROM {last} l LEFT JOIN cand c ON c.id = l.id"""
+FROM st"""
 
 
 def _apsp_ctes(iters: int) -> list[str]:
@@ -5017,13 +5025,19 @@ def sql_pii_redact() -> str:
                 || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
     FROM documents
 ),
-r AS (
+r0 AS (
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
-           regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{PII_IP_RE}', '<IP>', 'g') AS t2
+           regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
     FROM aug
+),
+r AS (
+    SELECT doc_id, n_emails,
+           -- count on the SAME intermediate the replacement runs on: an
+           -- IP inside an email match is neither counted nor replaced
+           CAST(len(regexp_extract_all(t1, '{PII_IP_RE}')) AS BIGINT) AS n_ips,
+           regexp_replace(t1, '{PII_IP_RE}', '<IP>', 'g') AS t2
+    FROM r0
 )
 SELECT doc_id, n_emails, n_ips,
        CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,

@@ -312,19 +312,23 @@ def pii_redact(
     column is md5 of the fully redacted text so an oracle checks the
     REPLACEMENT bit-exactly without shipping the text back."""
     t = F.col(text_col)
-    redacted = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
-    redacted = F.regexp_replace(redacted, PII_IP_RE, "<IP>")
-    redacted = F.regexp_replace(redacted, PII_PHONE_RE, "<PHONE>")
+    after_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, PII_IP_RE, "<IP>")
+    redacted = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
+    # every count runs on the SAME intermediate its replacement ran on
+    # (n_ips on the email-redacted text, n_phones on the email+IP-redacted
+    # text) so the counts describe exactly what the fingerprinted output
+    # replaced — an IP swallowed by an email match is neither counted nor
+    # replaced
     return df.select(
         F.col(id_col),
         F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
-        F.regexp_count(t, F.lit(PII_IP_RE)).cast("bigint").alias("n_ips"),
-        F.regexp_count(
-            F.regexp_replace(
-                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"), PII_IP_RE, "<IP>"
-            ),
-            F.lit(PII_PHONE_RE),
-        ).cast("bigint").alias("n_phones"),
+        F.regexp_count(after_email, F.lit(PII_IP_RE))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.regexp_count(after_ip, F.lit(PII_PHONE_RE))
+        .cast("bigint")
+        .alias("n_phones"),
         F.md5(redacted).alias("redacted_fp"),
     )
 

@@ -67,7 +67,13 @@ def label_propagation(
     Unlike the reference's async sweep, synchronous LP can 2-cycle on
     bipartite structures, so max_iterations defaults to a finite cap (the
     reference leaves it unbounded, PLP.hpp:31-53, relying on async updates
-    to break oscillation)."""
+    to break oscillation).
+
+    Self-loops are KEPT in the label weighting: PLP.cpp:83-86
+    forNeighborsOf visits the loop, whose weight counts toward the node's
+    own current label (pure label inertia) — the loop row is stored once
+    in this engine's undirected layout, matching the reference's
+    single-visit adjacency."""
     g = graph.to_undirected() if graph.directed else graph
     spark = g.vertices.sparkSession
     n = g.num_nodes()
@@ -76,7 +82,7 @@ def label_propagation(
 
     from networkit_spark.plans.checkpoint import materialize
 
-    edges = materialize(g.edges.filter(F.col("src") != F.col("dst")))
+    edges = materialize(g.edges)
 
     csr = None
     if impl == "csr":
@@ -151,19 +157,49 @@ def label_propagation(
 
 
 def stable_partition_fraction(graph: Graph, labels: DataFrame) -> float:
-    """Fraction of nodes whose label equals the plurality of their neighbors
-    — one LP superstep + compare (ref: community/StablePartitionNodes.cpp:15-40).
-    Isolated nodes count as stable."""
+    """Fraction of STABLE nodes under the reference's exact criterion
+    (community/StablePartitionNodes.cpp:42-70): a node with neighbors is
+    stable iff its own label's incident weight is positive AND STRICTLY
+    greater than every other label's incident weight — any tie with a
+    different label (lw.second >= ownWeight) marks it unstable, and a
+    plurality-winner compare would miss that (a tie the smallest-label
+    tie-break happens to hand to the own label would wrongly read
+    stable). Self-loops count toward the own label (forNeighborsOf
+    visits them); isolated nodes are stable (cpp:43)."""
     g = graph.to_undirected() if graph.directed else graph
-    el = (
-        g.edges.filter(F.col("src") != F.col("dst"))
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select("dst", "label", "weight")
+    lw = (
+        g.edges
+        .join(
+            labels.select(
+                F.col("id").alias("src"), F.col("label").alias("nlabel")
+            ),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("id"), "nlabel")
+        .agg(F.sum(F.col("weight").cast("double")).alias("w"))
     )
-    cand = _heaviest_label(el)
-    joined = labels.join(cand, "id", "left")
-    stable = joined.filter(
-        F.col("cand").isNull() | (F.col("cand") == F.col("label"))
+    per = (
+        labels.join(lw, "id", "left")
+        .groupBy("id", "label")
+        .agg(
+            F.max(
+                F.when(F.col("nlabel") == F.col("label"), F.col("w"))
+            ).alias("own_w"),
+            F.max(
+                F.when(F.col("nlabel") != F.col("label"), F.col("w"))
+            ).alias("other_max"),
+            F.count("nlabel").alias("nn"),
+        )
+    )
+    stable = per.filter(
+        (F.col("nn") == 0)
+        | (
+            (F.coalesce("own_w", F.lit(0.0)) > 0)
+            & (
+                F.coalesce("own_w", F.lit(0.0))
+                > F.coalesce("other_max", F.lit(0.0))
+            )
+        )
     ).count()
     total = labels.count()
     return stable / total if total else 1.0
@@ -187,10 +223,12 @@ def lp_degree_ordered(graph: Graph, theta: int | None = None) -> DataFrame:
     distributed path."""
     spark = graph.vertices.sparkSession
     adj: dict[int, list[int]] = {}
+    # self-loops stay in the neighbor list: forNeighborsOf visits them
+    # (LPDegreeOrdered.cpp:40-42), adding one count of inertia for the
+    # node's own current label — same loop contract as label_propagation
     for r in graph.edges.select("src", "dst").distinct().collect():
         u, v = int(r["src"]), int(r["dst"])
-        if u != v:
-            adj.setdefault(u, []).append(v)
+        adj.setdefault(u, []).append(v)
     ids = sorted(int(r["id"]) for r in graph.vertices.collect())
     for u in adj:
         adj[u] = sorted(set(adj[u]))

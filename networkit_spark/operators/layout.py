@@ -127,7 +127,11 @@ def pivot_mds(
         from networkit_spark.operators.centrality import sssp_weighted
 
         parts = [
-            sssp_weighted(graph, s).select(
+            # run each Bellman-Ford to its fixpoint (the loop exits as
+            # soon as a round improves nothing): the default 50-round cap
+            # would silently mark nodes >50 relaxations away unreachable
+            # and center them at the disconnected-pair 0.0
+            sssp_weighted(graph, s, max_iterations=None).select(
                 F.lit(int(s)).alias("s"), "id", F.col("dist").cast("double")
             )
             for s in pivots
@@ -472,6 +476,11 @@ def maxent_stress(
             rel = float(((X - old) ** 2).sum()) / (
                 float((old**2).sum()) or 1.0
             )
+            # faithful to MaxentStress.cpp:155-162 INCLUDING the quirk
+            # that in the default (!fastComputation) mode per-alpha
+            # convergence is deliberately discarded — all
+            # max_solves_per_alpha solves run and conv_threshold only
+            # short-circuits when fast_computation=True
             converged = rel < conv_threshold
             if converged:
                 if not fast_computation:

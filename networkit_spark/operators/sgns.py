@@ -166,6 +166,17 @@ def train_sgns(
     )
 
     it = IterationState(None, "sgns")
+    # the per-pair coefficient lr*(label-s)/n_pairs snaps to the 2^-24
+    # grid; once lr/n_pairs drops below the grid resolution EVERY
+    # coefficient rounds to exactly 0 and training would be a silent
+    # no-op — fail loudly instead (raise lr, or shard the corpus into
+    # per-partition training runs, to stay above the grid)
+    if lr / n_pairs < 1.0 / float(1 << 24):
+        raise ValueError(
+            f"lr/n_pairs = {lr}/{n_pairs} is below the 2^-24 coefficient "
+            "grid: every snapped gradient would be 0 and training a "
+            "silent no-op; raise lr proportionally to the pair count"
+        )
     coeff = F.lit(lr) * (F.col("label") - F.col("s")) / F.lit(float(n_pairs))
     for epoch in range(epochs):
         joined = (

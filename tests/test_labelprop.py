@@ -126,3 +126,39 @@ def test_lp_degree_ordered_two_cliques(spark):
     # determinism
     again = {r["id"]: r["label"] for r in lp_degree_ordered(g).collect()}
     assert lab == again
+
+
+def test_label_propagation_self_loop_inertia(spark):
+    # PLP.cpp:83-86 forNeighborsOf visits self-loops: the loop's weight
+    # backs the node's own current label. Node 1 has a weight-10 loop and
+    # one weight-1 neighbor 0; with the loop counted, 1 keeps its label
+    # (10 > 1) — the old loop-filtering port would have flipped it to 0's.
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.labelprop import label_propagation
+
+    g = from_edge_rows(
+        spark, [(0, 1, 1.0), (1, 1, 10.0)], num_nodes=2, weighted=True
+    )
+    got = {r["id"]: r["label"] for r in
+           label_propagation(g, theta=-1, max_iterations=4).collect()}
+    assert got[1] == 1
+    # node 0's only neighbor is 1, so it adopts 1's label
+    assert got[0] == 1
+
+
+def test_stable_partition_strict_dominance(spark):
+    # StablePartitionNodes.cpp:60-68: a TIE with another label marks the
+    # node unstable even when the smallest-label tie-break would have
+    # handed the plurality win to the own label.
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.labelprop import stable_partition_fraction
+
+    # node 1 (label 1): neighbors 0 (label 1, w=1) and 2 (label 9, w=1)
+    # -> own weight 1 ties label 9's weight 1 -> UNSTABLE
+    g = from_edge_rows(spark, [(0, 1), (1, 2)], num_nodes=3)
+    labels = spark.createDataFrame(
+        [(0, 1), (1, 1), (2, 9)], "id long, label long"
+    )
+    # 0: own label weight 1 (neighbor 1 has label 1), no others -> stable
+    # 1: tie -> unstable;  2: own weight 0 -> unstable
+    assert abs(stable_partition_fraction(g, labels) - 1 / 3) < 1e-12
