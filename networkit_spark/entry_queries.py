@@ -1851,6 +1851,20 @@ def q_dedup_semdedup(spark, sf_dir):
     )
 
 
+CLUSTER_SAMPLE_CELLS, CLUSTER_SAMPLE_CAP = 8, 30
+
+
+def q_embed_cluster_sample(spark, sf_dir):
+    """Cluster-balanced subset selection (similarity.cluster_balanced_sample):
+    nearest-centroid assignment via the IVF quantizer, then at most ``cap``
+    members kept per cluster in derandomized md5 order (the D4-style
+    cluster-budget curation step)."""
+    emb = L.load(spark, sf_dir, "embeddings")
+    return similarity.cluster_balanced_sample(
+        emb, n_cells=CLUSTER_SAMPLE_CELLS, cap=CLUSTER_SAMPLE_CAP
+    )
+
+
 SPAN_DEDUP_N, SPAN_DEDUP_THRESHOLD = 3, 0.65
 MIXING_TARGET = 200
 
@@ -1958,6 +1972,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embed_pairs": q_embed_near_dup,
     "embed_ivf_ann": q_embed_ivf_ann,
     "dedup_semdedup": q_dedup_semdedup,
+    "embed_cluster_sample": q_embed_cluster_sample,
     "text_span_dedup": q_text_span_dedup,
     "text_source_mixing": q_text_source_mixing,
     "graph_neighborhood_heuristic": q_graph_neighborhood_heuristic,
@@ -2199,6 +2214,9 @@ def build_oracles() -> dict[str, str]:
         "embed_ivf_ann": L.sql_ivf_ann(5, 3, 8, 2),
         "dedup_semdedup": L.sql_semdedup(
             SEMDEDUP_CELLS, SEMDEDUP_EPS, SEMDEDUP_MAX_CELL
+        ),
+        "embed_cluster_sample": L.sql_cluster_sample(
+            CLUSTER_SAMPLE_CELLS, CLUSTER_SAMPLE_CAP
         ),
         "text_span_dedup": L.sql_span_dedup(SPAN_DEDUP_N, SPAN_DEDUP_THRESHOLD),
         "text_source_mixing": L.sql_source_mixing(MIXING_TARGET),

@@ -5121,6 +5121,44 @@ FROM assign s LEFT JOIN dropped d ON d.vec_id = s.vec_id
 ORDER BY s.vec_id"""
 
 
+def sql_cluster_sample(n_cells: int = 8, cap: int = 10, seed: int = 42) -> str:
+    """Mirror of similarity.cluster_balanced_sample: sampled-vector
+    centroids (first n_cells vectors by id rank), nearest-cell assignment
+    at the rounded-6dp cosine (ties to the lower cell id), then at most
+    ``cap`` members kept per cell in md5("cbs{seed}:" || id) order (ties
+    by id) — the same derandomized permutation the Spark side computes."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    adot = _DOT.format(a="n.e", b="c.cv")
+    h = md5_long_sql(f"('cbs{seed}:' || CAST(vec_id AS STRING))")
+    return f"""WITH {EMB_CTE},
+cells AS MATERIALIZED (
+    SELECT vec_id AS cell, e AS cv, nrm AS cnrm FROM norms
+    ORDER BY vec_id LIMIT {n_cells}
+),
+asim AS MATERIALIZED (
+    SELECT n.vec_id, c.cell,
+           ROUND({adot} / (n.nrm * c.cnrm), 6) AS csim
+    FROM norms n CROSS JOIN cells c
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell ASC) AS rn
+        FROM asim
+    ) WHERE rn = 1
+),
+ranked AS (
+    SELECT vec_id, cell,
+           CAST(row_number() OVER (
+               PARTITION BY cell ORDER BY {h} ASC, vec_id ASC
+           ) AS BIGINT) AS rnk
+    FROM assign
+)
+SELECT vec_id, cell, rnk, rnk <= {cap} AS kept
+FROM ranked ORDER BY vec_id"""
+
+
 def sql_source_mixing(target: int, seed: int = 42) -> str:
     """Mirror of textstats.source_mixing: sqrt-temperature mixture weights
     (sqrt is IEEE-correctly-rounded in both engines, unlike pow), 6dp-

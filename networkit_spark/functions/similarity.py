@@ -440,3 +440,55 @@ def semdedup(
         "csim",
         F.coalesce(~F.col("is_dropped"), F.lit(True)).alias("kept"),
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    n_cells: int = 8,
+    cap: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell, rnk, kept) — cluster-balanced subset selection over
+    the embedding space: assign every vector to its nearest sampled
+    centroid (the IVF coarse quantizer shared with ivf_ann_topk /
+    semdedup), then keep at most ``cap`` members per cluster in
+    derandomized-uniform order. Curation role: caps the dominant modes of
+    the embedding space so a sampled training subset preserves cluster
+    diversity instead of mirroring the corpus's mode imbalance — the
+    cluster-budget step of diversity-aware selection pipelines (D4,
+    Tirumala et al. 2023, arXiv:2308.12284, applies exactly this budgeted
+    per-cluster draw after SemDeDup's prune; both stages share this
+    module's quantizer).
+
+    Determinism / oracle: the per-cluster order is the 48-bit md5 hash of
+    "cbs{seed}:" || id (ties by id ascending) — a fixed random permutation
+    both engines compute identically, so the uniform
+    sample-without-replacement is derandomized the same way as the
+    md5-Bernoulli samplers in textstats (stratified_sample /
+    source_mixing).
+
+    Shape at 100 TB: centroid assignment is one broadcast join + per-row
+    argmax; the per-cluster rank is ONE shuffle on the cell key. Cells are
+    ~N/k wide at k ~ sqrt(N) centroids (the SemDeDup/D4 regime); if a
+    degenerate quantizer leaves a cell orders of magnitude wider, raise
+    ``n_cells`` — the quantizer is the knob that bounds cell width (same
+    contract as semdedup's max_cell note).
+    """
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    cent = ivf_centroids(emb, n_cells, id_col, vec_col)
+    assign = ivf_assign(emb, cent, id_col, vec_col)
+    h = F.expr(md5_long_sql(f"('cbs{seed}:' || CAST(vec_id AS STRING))"))
+    w = Window.partitionBy("cell").orderBy(F.asc("h"), F.asc("vec_id"))
+    return (
+        assign.withColumn("h", h)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .select(
+            "vec_id",
+            "cell",
+            "rnk",
+            (F.col("rnk") <= cap).alias("kept"),
+        )
+    )

@@ -511,3 +511,46 @@ def test_path_growing_matching_zero_weight_edges(spark):
     )
     got2 = {(r["u"], r["v"]): r["weight"] for r in path_growing_matching(g2).collect()}
     assert (1, 2) in got2 and got2[(1, 2)] == 5.0
+
+
+def test_cluster_balanced_sample(spark):
+    """Cluster-balanced subset selection: nearest-centroid assignment
+    matches semdedup's quantizer, each cell keeps exactly min(cap, |cell|)
+    members, rnk is a 1..|cell| permutation, and the kept set is a
+    deterministic function of (data, seed) while different seeds draw a
+    different permutation of a big-enough cell."""
+    from networkit_spark.functions.similarity import cluster_balanced_sample
+
+    vecs = [
+        (0, [1.0, 0.0]),        # centroid of cell 0
+        (1, [0.0, 1.0]),        # centroid of cell 1
+        (2, [0.9, 0.1]),
+        (3, [0.8, 0.2]),
+        (4, [0.95, 0.05]),
+        (5, [0.1, 0.9]),
+        (6, [0.7, 0.3]),
+        (7, [0.85, 0.15]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = cluster_balanced_sample(emb, n_cells=2, cap=3).collect()
+    got = {r["vec_id"]: r for r in rows}
+    cells = {i: got[i]["cell"] for i in got}
+    assert cells == {0: 0, 1: 1, 2: 0, 3: 0, 4: 0, 5: 1, 6: 0, 7: 0}
+    # per-cell rank is a 1..|cell| permutation and kept == (rnk <= cap)
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, members in by_cell.items():
+        assert sorted(m["rnk"] for m in members) == list(
+            range(1, len(members) + 1)
+        )
+        for m in members:
+            assert m["kept"] == (m["rnk"] <= 3)
+        assert sum(m["kept"] for m in members) == min(3, len(members))
+    # deterministic at fixed seed; a different seed permutes cell 0
+    again = {r["vec_id"]: r["rnk"] for r in
+             cluster_balanced_sample(emb, n_cells=2, cap=3).collect()}
+    assert again == {i: got[i]["rnk"] for i in got}
+    other = {r["vec_id"]: r["rnk"] for r in
+             cluster_balanced_sample(emb, n_cells=2, cap=3, seed=7).collect()}
+    assert other != again
