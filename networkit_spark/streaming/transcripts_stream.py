@@ -235,3 +235,129 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- streaming near-dup (MinHash LSH) candidates ---------------------------
+
+_NEARDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.StringType()),
+        T.StructField("rep_id", T.LongType()),
+        T.StructField("is_candidate", T.BooleanType()),
+    ]
+)
+
+_NEARDUP_STATE_SCHEMA = T.StructType([T.StructField("rep_id", T.LongType())])
+
+
+def _neardup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-(band, bucket) stateful kernel: the first-seen document anchors
+    the bucket (min doc_id inside the first micro-batch that carries it),
+    every later arrival is a near-duplicate CANDIDATE against that anchor.
+    One 8-byte state row per occupied LSH bucket."""
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    if state.exists:
+        (rep,) = state.get
+    else:
+        rep = int(rows["doc_id"].min())
+        state.update((rep,))
+    yield pd.DataFrame(
+        {
+            "doc_id": rows["doc_id"].astype("int64"),
+            "band": key[0],
+            "bucket": key[1],
+            "rep_id": rep,
+            "is_candidate": rows["doc_id"] != rep,
+        }
+    )
+
+
+def banded_minhash_per_row(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """(doc_id, band, bucket) computed with PER-ROW expressions only — no
+    aggregation, no window — so the same code runs on a bounded table or an
+    unbounded stream. The batch tier (functions.dedup.minhash_bands) min-
+    aggregates over the exploded shingle table because its input IS that
+    table; here the staged gram array is still on the row, so each
+    min-hash is an ``array_min`` over a ``transform`` and the banded
+    bucket digest is the identical md5-of-concatenated-signature. A pytest
+    pins per-doc equality of the two formulations. Docs shorter than ``n``
+    tokens have no shingles and produce no buckets (same contract as the
+    batch path)."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    from networkit_spark.functions.textstats import staged_tokens_and_grams
+
+    rows = num_hashes // bands
+    staged = staged_tokens_and_grams(
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+        ["doc_id"],
+        "text",
+        n,
+    ).filter(F.size("__g") > 0)
+    # SQL-text lambdas with UNIQUE variable names (g0..g15), not
+    # F.transform(python lambda): every Python-built lambda is named `x`
+    # (pyspark _create_lambda), and nesting one over a column that an
+    # EARLIER projection defined with its own `x` lambda (here `__g`,
+    # itself a transform) mis-binds the variable after projection collapse
+    # — measured wrong min-hashes, values changing with the number of
+    # sibling columns selected. Same-select nesting is scoped correctly by
+    # the analyzer; the cross-projection inline is the trap.
+    hcols = [
+        F.expr(
+            f"array_min(transform(__g, g{i} -> md5(concat('{i}:', g{i}))))"
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    mins = staged.select("doc_id", *hcols)
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + j}") for j in range(rows)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.explode(buckets).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def near_dup_stream(
+    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate candidates: annotate every
+    arriving document with its banded buckets and the bucket's first-seen
+    anchor document.
+
+    Spark-first shape: the banded signature is pure per-row expression work
+    (banded_minhash_per_row — stream-legal because nothing aggregates),
+    then ``applyInPandasWithState`` keyed by (band, bucket) holds exactly
+    one LONG per occupied bucket — the streaming analogue of the batch
+    bucket join in minhash_candidate_pairs. Verification (exact Jaccard /
+    cosine re-rank of candidates) stays a batch join over the emitted
+    candidates, exactly as in the batch tier; the state store's
+    cardinality is the occupied-bucket count, the same table the batch LSH
+    builds, and production pipelines bound it with a GroupStateTimeout TTL
+    when the stream outlives the dedup horizon."""
+    return (
+        banded_minhash_per_row(docs, num_hashes=num_hashes, bands=bands, n=n)
+        .groupBy("band", "bucket")
+        .applyInPandasWithState(
+            _neardup_fn,
+            outputStructType=_NEARDUP_OUT_SCHEMA,
+            stateStructType=_NEARDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

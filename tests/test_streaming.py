@@ -687,3 +687,75 @@ def test_update_approx_betweenness_no_affected_early_return(spark):
     a = {(r["id"], r["score"]) for r in old.collect()}
     b = {(r["id"], r["score"]) for r in got.collect()}
     assert a == b
+
+
+def test_banded_minhash_per_row_matches_batch(spark):
+    """The stream-legal per-row banded signature must equal the batch
+    formulation (shingle explode + min-aggregate) doc for doc — same
+    hashes, same band digests, same no-shingle drop contract."""
+    from networkit_spark.functions.dedup import minhash_bands, shingles
+    from networkit_spark.streaming.transcripts_stream import banded_minhash_per_row
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+            (4, "too short"),          # < n tokens: no shingles, no buckets
+            (5, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    batch = {
+        (r["id"], r["band"]): r["bucket"]
+        for r in minhash_bands(shingles(docs), num_hashes=8, bands=4).collect()
+    }
+    perrow = {
+        (r["doc_id"], r["band"]): r["bucket"]
+        for r in banded_minhash_per_row(docs, num_hashes=8, bands=4).collect()
+    }
+    assert perrow == batch
+    assert not any(k[0] == 4 for k in perrow)
+    # identical docs share every band bucket
+    assert all(perrow[(1, b)] == perrow[(5, b)] for b in range(4))
+
+
+def test_streaming_near_dup_candidates_across_batches(spark, tmp_path):
+    """Bucket anchors survive micro-batch boundaries: a near-duplicate
+    arriving in a later batch is flagged against the FIRST batch's anchor,
+    and unrelated content shares no bucket."""
+    import time
+
+    from networkit_spark.streaming.transcripts_stream import near_dup_stream
+
+    src = os.path.join(str(tmp_path), "neardup_in")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    batch1 = [(20, base), (30, "completely different words entirely here now")]
+    batch2 = [(7, base)]  # lower id, later arrival -> still the candidate
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        near_dup_stream(stream, num_hashes=8, bands=4)
+        .writeStream.format("memory")
+        .queryName("neardup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from neardup_out").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc occupies exactly `bands` buckets
+    assert {d: len(v) for d, v in by_doc.items()} == {20: 4, 30: 4, 7: 4}
+    # batch-1 docs anchor their own buckets; disjoint texts never collide
+    assert all(not r["is_candidate"] and r["rep_id"] == r["doc_id"]
+               for r in by_doc[20] + by_doc[30])
+    # identical text arriving later is a candidate of the original anchor
+    # in EVERY band despite its lower id
+    assert all(r["is_candidate"] and r["rep_id"] == 20 for r in by_doc[7])
