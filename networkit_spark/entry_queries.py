@@ -1865,6 +1865,19 @@ def q_embed_cluster_sample(spark, sf_dir):
     )
 
 
+HASHED_FEATURES_DIM = 64
+
+
+def q_text_hashed_features(spark, sf_dir):
+    """Signed feature hashing (textstats.hashed_doc_features): model-free
+    sparse document vectors — md5 bucket % dim with an independent parity
+    sign, integer signed counts per (doc, bucket) — feeding the
+    embedding-space curation operators without a learned encoder."""
+    return textstats.hashed_doc_features(
+        _docs(spark, sf_dir), dim=HASHED_FEATURES_DIM
+    )
+
+
 SPAN_DEDUP_N, SPAN_DEDUP_THRESHOLD = 3, 0.65
 MIXING_TARGET = 200
 
@@ -1973,6 +1986,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivf_ann": q_embed_ivf_ann,
     "dedup_semdedup": q_dedup_semdedup,
     "embed_cluster_sample": q_embed_cluster_sample,
+    "text_hashed_features": q_text_hashed_features,
     "text_span_dedup": q_text_span_dedup,
     "text_source_mixing": q_text_source_mixing,
     "graph_neighborhood_heuristic": q_graph_neighborhood_heuristic,
@@ -2218,6 +2232,7 @@ def build_oracles() -> dict[str, str]:
         "embed_cluster_sample": L.sql_cluster_sample(
             CLUSTER_SAMPLE_CELLS, CLUSTER_SAMPLE_CAP
         ),
+        "text_hashed_features": L.sql_hashed_features(HASHED_FEATURES_DIM),
         "text_span_dedup": L.sql_span_dedup(SPAN_DEDUP_N, SPAN_DEDUP_THRESHOLD),
         "text_source_mixing": L.sql_source_mixing(MIXING_TARGET),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

@@ -5159,6 +5159,26 @@ SELECT vec_id, cell, rnk, rnk <= {cap} AS kept
 FROM ranked ORDER BY vec_id"""
 
 
+def sql_hashed_features(dim: int = 64, seed: int = 42) -> str:
+    """Mirror of textstats.hashed_doc_features: signed feature hashing —
+    bucket md5("fhb{seed}:" || tok) % dim, sign from the independent
+    "fhs" hash's parity, integer signed counts per (doc, bucket)."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    hb = md5_long_sql(f"('fhb{seed}:' || tok)")
+    hs = md5_long_sql(f"('fhs{seed}:' || tok)")
+    return f"""WITH {DOCS_CTE},
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs_tok),
+feat AS (
+    SELECT doc_id,
+           CAST({hb} % {dim} AS INT) AS bucket,
+           CAST({hs} % 2 * 2 - 1 AS BIGINT) AS sign
+    FROM tok
+)
+SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+FROM feat GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""
+
+
 def sql_source_mixing(target: int, seed: int = 42) -> str:
     """Mirror of textstats.source_mixing: sqrt-temperature mixture weights
     (sqrt is IEEE-correctly-rounded in both engines, unlike pow), 6dp-

@@ -591,3 +591,87 @@ def dsir_resample(
         (F.col("logw") + F.round(-F.log(-F.log(u)), 6)).alias("key"),
     )
     return scored.orderBy(F.desc("key"), F.asc("doc_id")).limit(int(k))
+
+
+def hashed_doc_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, bucket, weight) — signed feature hashing (the hashing
+    trick, Weinberger et al. ICML 2009): every token lands in bucket
+    md5("fhb{seed}:" || tok) % dim and contributes sign +1/-1 from an
+    independent hash's parity; the per-(doc, bucket) signed count is the
+    sparse feature weight. Curation role: a deterministic, model-free
+    document embedding that feeds this repo's embedding-space operators
+    (cosine/ANN top-k, SemDeDup, cluster-balanced sampling) when no
+    learned encoder is available — the unbiased-inner-product guarantee
+    of signed hashing is exactly what the downstream cosine comparisons
+    need. Weights are integer sums, so cross-engine equality is exact
+    (no float order sensitivity); (doc, bucket) groups whose signs cancel
+    to 0 are kept (a real group, and the dense builder reads missing and
+    zero identically).
+
+    100 TB shape: tokenizer stays out of the scan filter (explode_outer —
+    see dedup.shingles), then ONE partial-agg groupBy on (doc_id, bucket)
+    with uniform md5 keys. Zero-token documents produce no rows (same
+    contract as lm_quality_score / shingles)."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    staged = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    )
+    tok = staged.select("doc_id", F.explode_outer("__t").alias("tok")).filter(
+        F.col("tok").isNotNull()
+    )
+    hb = F.expr(md5_long_sql(f"('fhb{seed}:' || tok)"))
+    hs = F.expr(md5_long_sql(f"('fhs{seed}:' || tok)"))
+    return (
+        tok.select(
+            "doc_id",
+            (hb % dim).cast("int").alias("bucket"),
+            (hs % 2 * 2 - 1).cast("long").alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("weight"))
+    )
+
+
+def hashed_doc_vectors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    seed: int = 42,
+    l2_normalize: bool = True,
+) -> DataFrame:
+    """(doc_id, embedding: array<float>) — dense form of
+    hashed_doc_features, schema-compatible with the embeddings table so
+    the ANN / SemDeDup / cluster-sampling operators run on raw documents
+    directly. The L2 norm is computed from the integer weights in the
+    SAME aggregation (exact), then the dense array is built with a single
+    map lookup lambda — deliberately not a second HOF over a lambda-built
+    array (see the cross-projection lambda-capture note in
+    streaming.transcripts_stream.banded_minhash_per_row)."""
+    feats = hashed_doc_features(df, id_col, text_col, dim, seed)
+    agg = feats.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("bucket", "weight")))
+        ).alias("bw"),
+        F.sqrt(F.sum(F.col("weight") * F.col("weight")).cast("double")).alias("nrm"),
+    )
+    denom = F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(F.lit(1.0)) if (
+        l2_normalize
+    ) else F.lit(1.0)
+    return agg.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.coalesce(F.col("bw")[i.cast("int")], F.lit(0)).cast("double")
+                / denom
+            ).cast("float"),
+        ).alias("embedding"),
+    )

@@ -409,3 +409,69 @@ def test_source_mixing_custom_source_column(spark):
     b = {r["source"]: r["n_sampled"]
          for r in source_mixing(renamed, target=24, source_col="origin").collect()}
     assert a == b
+
+
+def test_hashed_doc_features_numpy_referee(spark):
+    """Signed feature hashing equals a hand-rolled referee token for token
+    (same md5-prefix bucket/sign semantics), and the dense builder is the
+    L2-normalized scatter of the sparse weights."""
+    import hashlib
+    import math
+
+    from networkit_spark.functions.textstats import (
+        hashed_doc_features,
+        hashed_doc_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "beta beta delta"),
+            (3, ""),                       # zero tokens -> absent
+        ],
+        "doc_id long, text string",
+    )
+    dim, seed = 8, 42
+
+    def h48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    want: dict[tuple, int] = {}
+    for doc, text in [(1, "alpha beta gamma alpha"), (2, "beta beta delta")]:
+        for tok in text.split():
+            b = h48(f"fhb{seed}:{tok}") % dim
+            s = h48(f"fhs{seed}:{tok}") % 2 * 2 - 1
+            want[(doc, b)] = want.get((doc, b), 0) + s
+    got = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in hashed_doc_features(docs, dim=dim, seed=seed).collect()
+    }
+    assert got == want
+    assert not any(d == 3 for d, _ in got)
+
+    vecs = {
+        r["doc_id"]: r["embedding"]
+        for r in hashed_doc_vectors(docs, dim=dim, seed=seed).collect()
+    }
+    for doc in (1, 2):
+        dense = [0.0] * dim
+        for (d, b), w in want.items():
+            if d == doc:
+                dense[b] = float(w)
+        nrm = math.sqrt(sum(x * x for x in dense)) or 1.0
+        assert all(
+            abs(vecs[doc][i] - dense[i] / nrm) < 1e-6 for i in range(dim)
+        )
+    # identical docs embed identically -> cosine 1.0 through the ANN tier
+    from networkit_spark.functions.similarity import cosine_topk
+
+    both = spark.createDataFrame(
+        [(1, "same words here today"), (2, "same words here today"),
+         (3, "unrelated other tokens")],
+        "doc_id long, text string",
+    )
+    emb = hashed_doc_vectors(both, dim=16)
+    top = cosine_topk(
+        emb.withColumnRenamed("doc_id", "vec_id"), query_ids=[1], k=1
+    ).collect()
+    assert top[0]["neighbor_id"] == 2 and abs(top[0]["sim"] - 1.0) < 1e-6
