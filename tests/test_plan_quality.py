@@ -208,3 +208,26 @@ def test_r4_pipeline_queries_stay_jvm_side(spark):
     mix_plan = _plan(q_text_source_mixing(spark, sf))
     for chunk in mix_plan.split("ReadSchema")[1:]:
         assert "text" not in chunk[:200]
+
+
+def test_new_curation_queries_stay_jvm_side(spark):
+    """The cluster-sampling / feature-hashing gate queries keep every
+    expression JVM-side, and the feature-hashing plan carries no Window
+    (one partial-agg groupBy is its only exchange)."""
+    from networkit_spark.entry_queries import (
+        q_embed_cluster_sample,
+        q_text_hashed_features,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for q in (q_embed_cluster_sample, q_text_hashed_features):
+        plan = _plan(q(spark, sf))
+        assert "BatchEvalPython" not in plan, q.__name__
+        assert "ArrowEvalPython" not in plan, q.__name__
+    feat_plan = _plan(q_text_hashed_features(spark, sf))
+    assert "Window" not in feat_plan
+    # the tokenizer must not be duplicated into scan filters (explode_outer
+    # contract shared with the other text queries)
+    for line in feat_plan.splitlines():
+        if "Filter" in line or "FileScan" in line:
+            assert "regexp" not in line, line
