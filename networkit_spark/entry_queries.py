@@ -1865,6 +1865,17 @@ def q_embed_cluster_sample(spark, sf_dir):
     )
 
 
+def q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-data tier (operators.profile.profile_distributions): the
+    vectors behind the reference's plot/profiling module — degree
+    distribution, component-size distribution, mean LCC per degree —
+    as one (kind, x, y) table (networkit/plot.py:39-95)."""
+    from networkit_spark.operators.profile import profile_distributions
+
+    g, _ = L.events_graph(spark, sf_dir)
+    return profile_distributions(g, cc_iters=CC_ITERS)
+
+
 HASHED_FEATURES_DIM = 64
 
 
@@ -1987,6 +1998,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semdedup": q_dedup_semdedup,
     "embed_cluster_sample": q_embed_cluster_sample,
     "text_hashed_features": q_text_hashed_features,
+    "graph_profile_distributions": q_graph_profile,
     "text_span_dedup": q_text_span_dedup,
     "text_source_mixing": q_text_source_mixing,
     "graph_neighborhood_heuristic": q_graph_neighborhood_heuristic,
@@ -2233,6 +2245,7 @@ def build_oracles() -> dict[str, str]:
             CLUSTER_SAMPLE_CELLS, CLUSTER_SAMPLE_CAP
         ),
         "text_hashed_features": L.sql_hashed_features(HASHED_FEATURES_DIM),
+        "graph_profile_distributions": L.sql_profile_distributions(CC_ITERS),
         "text_span_dedup": L.sql_span_dedup(SPAN_DEDUP_N, SPAN_DEDUP_THRESHOLD),
         "text_source_mixing": L.sql_source_mixing(MIXING_TARGET),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

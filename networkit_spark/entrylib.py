@@ -5159,6 +5159,48 @@ SELECT vec_id, cell, rnk, rnk <= {cap} AS kept
 FROM ranked ORDER BY vec_id"""
 
 
+def sql_profile_distributions(cc_iters: int) -> str:
+    """Mirror of operators.profile.profile_distributions: degree
+    distribution over the self-loop-aware degree table, component-size
+    distribution over the unrolled hash-min CC labels, and mean local
+    clustering coefficient per degree (raw LCC averaged, 6dp round —
+    matching the Spark side's round(avg(lcc), 6))."""
+    cc = ", ".join(_cc_ctes(cc_iters))
+    body = f"""{DEG_CTE.strip()},
+{cc},
+{TRI_CTE.strip()},
+corners AS (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+pernode AS (
+    SELECT v.id, COALESCE(t.cnt, 0) AS triangles
+    FROM vertices v
+    LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY id) t ON t.id = v.id
+),
+sdeg AS (SELECT a AS id, count(*) AS degree FROM und GROUP BY a),
+lccv AS (
+    SELECT p.id,
+           CASE WHEN COALESCE(s.degree, 0) >= 2
+                THEN 2.0 * p.triangles / (s.degree * (s.degree - 1))
+                ELSE 0.0 END AS lcc
+    FROM pernode p LEFT JOIN sdeg s ON s.id = p.id
+)
+SELECT 'degree_dist' AS kind, CAST(degree AS BIGINT) AS x,
+       CAST(count(*) AS DOUBLE) AS y
+FROM degrees GROUP BY degree
+UNION ALL
+SELECT 'component_size_dist', CAST(sz AS BIGINT), CAST(count(*) AS DOUBLE)
+FROM (SELECT label, count(*) AS sz FROM cc{cc_iters} GROUP BY label)
+GROUP BY sz
+UNION ALL
+SELECT 'lcc_by_degree', CAST(d.degree AS BIGINT),
+       ROUND(AVG(l.lcc), 6)
+FROM lccv l JOIN degrees d ON d.id = l.id
+GROUP BY d.degree
+ORDER BY kind, x"""
+    return _with_graph(body)
+
+
 def sql_hashed_features(dim: int = 64, seed: int = 42) -> str:
     """Mirror of textstats.hashed_doc_features: signed feature hashing —
     bucket md5("fhb{seed}:" || tok) % dim, sign from the independent

@@ -81,3 +81,30 @@ def test_check_consistency_catches_asymmetry(spark):
     g = Graph(v, e, directed=False)
     with pytest.raises(AssertionError):
         g.check_consistency()
+
+
+def test_profile_distributions_hand_fixture(spark):
+    """Profile vectors on a known graph: triangle (0,1,2) plus edge (3,4)
+    plus isolated 5 — degree histogram, component sizes {3,2,1}, and mean
+    LCC per degree (triangle corners 1.0, path endpoints 0.0)."""
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.operators.profile import profile_distributions
+
+    g = from_edge_rows(
+        spark, [(0, 1), (1, 2), (0, 2), (3, 4)], num_nodes=6
+    )
+    got = {
+        (r["kind"], r["x"]): r["y"]
+        for r in profile_distributions(g, cc_iters=6).collect()
+    }
+    assert got == {
+        ("degree_dist", 0): 1.0,   # node 5
+        ("degree_dist", 1): 2.0,   # nodes 3, 4
+        ("degree_dist", 2): 3.0,   # triangle corners
+        ("component_size_dist", 1): 1.0,
+        ("component_size_dist", 2): 1.0,
+        ("component_size_dist", 3): 1.0,
+        ("lcc_by_degree", 0): 0.0,
+        ("lcc_by_degree", 1): 0.0,
+        ("lcc_by_degree", 2): 1.0,
+    }

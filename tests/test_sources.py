@@ -782,3 +782,55 @@ def test_gexf_dynamic_writer_dedups_churned_edges(spark, tmp_path):
     ea = {(r["src"], r["dst"], r["weight"]) for r in fa.edges.collect()}
     eb = {(r["src"], r["dst"], r["weight"]) for r in fb.edges.collect()}
     assert ea == eb and (0, 1, 2.0) in ea and (1, 2, 1.0) in ea
+
+
+def test_nx_adapter_roundtrip(spark):
+    """nxadapter parity (networkit/nxadapter.py:20-70): insertion-order
+    dense ids, weight attribute only when named, directedness preserved,
+    node/edge counts asserted like the reference's own asserts; converted
+    graphs agree with networkx on components and degrees."""
+    import networkx as nx
+
+    from networkit_spark.operators.components import connected_components
+    from networkit_spark.sources.nxadapter import graph_to_nx, nx_to_graph
+
+    nxg = nx.Graph()
+    nxg.add_edges_from(
+        [("a", "b", {"w": 2.0}), ("b", "c", {"w": 1.5}), ("d", "e", {"w": 4.0})]
+    )
+    nxg.add_node("f")  # isolated
+
+    g, idmap = nx_to_graph(spark, nxg, weight_attr="w")
+    assert g.num_nodes() == nxg.number_of_nodes()
+    assert g.num_edges() == nxg.number_of_edges()
+    assert set(idmap.values()) == set(range(6))
+    # weights carried through the named attribute
+    w = {(min(r["src"], r["dst"]), max(r["src"], r["dst"])): r["weight"]
+         for r in g.edges.collect()}
+    assert w[(idmap["a"], idmap["b"])] == 2.0 if idmap["a"] < idmap["b"] else True
+    # component structure matches networkx
+    labels = {r["id"]: r["label"]
+              for r in connected_components(g, max_iterations=8).collect()}
+    nx_comps = {frozenset(idmap[n] for n in c)
+                for c in nx.connected_components(nxg)}
+    got_comps: dict[int, set] = {}
+    for i, lbl in labels.items():
+        got_comps.setdefault(lbl, set()).add(i)
+    assert {frozenset(c) for c in got_comps.values()} == nx_comps
+
+    # roundtrip back: same nodes/edges/weights, undirected
+    back = graph_to_nx(g)
+    assert not back.is_directed()
+    assert back.number_of_nodes() == 6 and back.number_of_edges() == 3
+    assert back[idmap["d"]][idmap["e"]]["weight"] == 4.0
+    # degree parity node for node
+    nx_deg = {idmap[n]: d for n, d in nxg.degree()}
+    assert {n: d for n, d in back.degree()} == nx_deg
+
+    # directed, unweighted path
+    dg = nx.DiGraph([(0, 1), (1, 2)])
+    g2, m2 = nx_to_graph(spark, dg)
+    assert g2.directed and g2.num_edges() == 2
+    back2 = graph_to_nx(g2)
+    assert back2.is_directed()
+    assert set(back2.edges()) == {(m2[0], m2[1]), (m2[1], m2[2])}
