@@ -65,11 +65,13 @@ def main() -> None:
     # dependent (absolute L2 tol tightens per-vertex as n grows) and can
     # collapse to 1-2 samples, so throughput is sampled over a pinned loop.
     # 20 steps / interval 5 -> 4 truncation blocks: block 1 is warmup
-    # (JIT/codegen, cache population), blocks 2-4 are steady samples; the
-    # BEST steady block estimates plan+hardware capability (the sandbox VM
-    # is multi-tenant and host contention only subtracts throughput — same
-    # best-of protocol as BENCH/BASELINE.md's scaling reps), with every
-    # block's wall reported in `detail` for transparency.
+    # (JIT/codegen, cache population), blocks 2-4 are steady samples.  The
+    # headline `value` is the steady-state MEDIAN block (the r1-r3 protocol,
+    # comparable across rounds); the BEST steady block — an upper-bound
+    # capability estimate on this multi-tenant VM, where host contention
+    # only subtracts throughput — is emitted separately and explicitly
+    # named `..._best` (ADVICE r4: never compare best against historic
+    # medians).  Every block's wall is in `detail` for transparency.
     n_steps = int(os.environ.get("SPARK_GRAFT_BENCH_STEPS", "20"))
     cp = CheckpointManager(
         tempfile.mkdtemp(prefix="bench-cp-"), durable=False, interval=5
@@ -85,8 +87,11 @@ def main() -> None:
     ]
     supersteps = sum(s for _, s in blocks)
     steady = blocks[1:] if len(blocks) > 1 else blocks
-    med = min(w / s for w, s in steady) if steady else 0.0
+    per_step = sorted(w / s for w, s in steady)
+    med = per_step[len(per_step) // 2] if per_step else 0.0
+    best = per_step[0] if per_step else 0.0
     edges_per_sec = directed_edges / med if med > 0 else 0.0
+    edges_per_sec_best = directed_edges / best if best > 0 else 0.0
 
     # ---- sf-dir queries (the driver-contract surface) ---------------------
     # one untimed fixture-scale pass warms the events-derivation codegen
@@ -123,7 +128,11 @@ def main() -> None:
                     "synth_convs": n_convs,
                     "directed_edges": directed_edges,
                     "supersteps": supersteps,
-                    "best_steady_superstep_sec": round(med, 4),
+                    "median_steady_superstep_sec": round(med, 4),
+                    "best_steady_superstep_sec": round(best, 4),
+                    "pagerank_edges_per_sec_per_superstep_best": round(
+                        edges_per_sec_best, 1
+                    ),
                     "block_secs": [[round(w, 3), s] for w, s in blocks],
                     "cores": cpus,
                 },

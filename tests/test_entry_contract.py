@@ -39,6 +39,29 @@ def test_gate_rotation_puts_unchecked_queries_first():
     assert keys[: len(never)] == never, "unchecked queries must lead the dict"
 
 
+def test_gate_rotation_orders_by_staleness():
+    # Rotation v2 (VERDICT r4 task 1): after the never-green tier, queries
+    # whose semantics changed AFTER their last green check come next, then
+    # everything else oldest-checked-round first — all derived from the
+    # published CORRECTNESS_r*.json artifacts, never hand-bookkept.
+    from networkit_spark.entry_queries import QUERIES, _GREEN_ROUNDS, _gate_tier
+
+    keys = list(QUERIES)
+    tiers = [_gate_tier(k) for k in keys]
+    assert tiers == sorted(tiers), "gate tiers must be nondecreasing"
+    for tier in (1, 2):
+        rounds = [_GREEN_ROUNDS.get(k, 0) for k in keys if _gate_tier(k) == tier]
+        assert rounds == sorted(rounds), f"tier {tier} must be oldest-green first"
+    # a query changed in round N with a green only from an older round must
+    # sit in the recheck tier (tier 1), ahead of every up-to-date green
+    from networkit_spark.entry_queries import _SEMANTICS_CHANGED
+
+    for name, changed in _SEMANTICS_CHANGED.items():
+        last = _GREEN_ROUNDS.get(name, 0)
+        if 0 < last < changed:
+            assert _gate_tier(name) == 1, name
+
+
 def test_driver_green_set_matches_correctness_artifacts():
     # _DRIVER_HASH_GREEN is bookkeeping over the driver's published
     # CORRECTNESS_r*.json artifacts; a name may only be marked green if some
