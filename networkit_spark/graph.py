@@ -270,3 +270,20 @@ def from_edge_rows(
         num_nodes = max((max(u, v) for u, v, _ in norm), default=-1) + 1
     v = spark.range(num_nodes).select(F.col("id").cast("long"))
     return Graph(v, e, directed, weighted)
+
+
+def require_fixture_scale(graph: Graph, max_m: int, op: str) -> None:
+    """Loud guard for documented fixture-tier operators (ones that, like
+    their pure-Python / sequential reference counterparts, materialise the
+    edge list on the driver): raise instead of silently collecting an
+    at-scale graph into driver memory.  ``max_m`` bounds the DIRECTED
+    stored edge count (undirected graphs store both directions); callers
+    expose it as a parameter so a user who accepts the driver cost can
+    raise it explicitly."""
+    m = graph.edges.count()
+    if m > max_m:
+        raise ValueError(
+            f"{op} is a fixture-tier (driver-sequential) operator; the graph "
+            f"has m={m} stored edges > max_m={max_m}. Use the distributed "
+            f"operators at scale, or pass a larger max_m explicitly."
+        )

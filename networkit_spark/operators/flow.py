@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from networkit_spark.graph import Graph
+from networkit_spark.graph import Graph, require_fixture_scale
 
 _EPS = 1e-9
 
@@ -150,7 +150,9 @@ def max_flow_value(graph: Graph, source: int, sink: int) -> float:
     return value
 
 
-def cut_clustering(graph: Graph, alpha: float, max_paths: int = 10_000) -> DataFrame:
+def cut_clustering(
+    graph: Graph, alpha: float, max_paths: int = 10_000, max_m: int = 200_000
+) -> DataFrame:
     """(id, label) — CutClustering (Flake et al., "Graph Clustering and
     Minimum Cut Trees", Internet Mathematics 2004; ref
     community/CutClustering.cpp:19-84): augment the graph with a sink t
@@ -177,6 +179,7 @@ def cut_clustering(graph: Graph, alpha: float, max_paths: int = 10_000) -> DataF
     """
     if graph.directed:
         raise ValueError("cut_clustering expects an undirected graph")
+    require_fixture_scale(graph, max_m, "cut_clustering")
     spark = graph.vertices.sparkSession
     order = [
         (int(r["id"]), int(r["degree"]))

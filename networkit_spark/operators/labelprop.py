@@ -33,7 +33,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from networkit_spark.graph import Graph
+from networkit_spark.graph import Graph, require_fixture_scale
 from networkit_spark.plans.checkpoint import CheckpointManager, IterationState
 
 
@@ -205,7 +205,9 @@ def stable_partition_fraction(graph: Graph, labels: DataFrame) -> float:
     return stable / total if total else 1.0
 
 
-def lp_degree_ordered(graph: Graph, theta: int | None = None) -> DataFrame:
+def lp_degree_ordered(
+    graph: Graph, theta: int | None = None, max_m: int = 200_000
+) -> DataFrame:
     """(id, label) — LPDegreeOrdered (community/LPDegreeOrdered.cpp:26-87):
     ASYNCHRONOUS label propagation visiting nodes in degree-ASCENDING
     order, each node immediately adopting the dominant label among its
@@ -221,6 +223,7 @@ def lp_degree_ordered(graph: Graph, theta: int | None = None) -> DataFrame:
     read mid-sweep), so this is fixture-tier driver-sequential; the
     synchronous PLP (`graph_labelprop`, oracle-checked) is the
     distributed path."""
+    require_fixture_scale(graph, max_m, "lp_degree_ordered")
     spark = graph.vertices.sparkSession
     adj: dict[int, list[int]] = {}
     # self-loops stay in the neighbor list: forNeighborsOf visits them

@@ -41,7 +41,7 @@ import hashlib
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from networkit_spark.graph import Graph
+from networkit_spark.graph import Graph, require_fixture_scale
 from networkit_spark.plans.checkpoint import materialize
 
 
@@ -320,6 +320,7 @@ def maxent_stress(
     tolerance: float = 1e-3,
     cg_max_iters: int = 30,
     seed: int = 42,
+    max_m: int = 200_000,
 ):
     """(coords DataFrame (id, x0..x{dim-1}), stats dict) — MaxentStress
     layout (MaxentStress.cpp:63-190): anneal alpha from ``alpha`` by
@@ -363,6 +364,7 @@ def maxent_stress(
             "MaxentStress only handles connected graphs (MaxentStress.cpp:67-71)"
         )
 
+    require_fixture_scale(graph, max_m, "maxent_stress")
     ids = [int(r["id"]) for r in graph.vertices.select("id").orderBy("id").collect()]
     pos = {v: i for i, v in enumerate(ids)}
 

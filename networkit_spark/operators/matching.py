@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from networkit_spark.graph import Graph
+from networkit_spark.graph import Graph, require_fixture_scale
 from networkit_spark.plans.checkpoint import CheckpointManager, IterationState, materialize
 
 
@@ -155,7 +155,7 @@ def matching_weight(matching: DataFrame) -> float:
     return matching.agg(F.sum("weight")).first()[0] or 0.0
 
 
-def path_growing_matching(graph: Graph) -> DataFrame:
+def path_growing_matching(graph: Graph, max_m: int = 200_000) -> DataFrame:
     """matching(u, v, weight), u < v — PathGrowingMatcher
     (matching/PathGrowingMatcher.cpp:31-156, Drake-Hougardy 1/2-approx):
     repeatedly take the highest-degree alive vertex (the reference's
@@ -172,6 +172,7 @@ def path_growing_matching(graph: Graph) -> DataFrame:
     paths. Raises on directed graphs and self-loops (checkInput)."""
     if graph.directed:
         raise ValueError("path_growing_matching expects an undirected graph")
+    require_fixture_scale(graph, max_m, "path_growing_matching")
     spark = graph.vertices.sparkSession
     adj: dict[int, dict[int, float]] = {}
     for r in graph.edges.select("src", "dst", "weight").collect():

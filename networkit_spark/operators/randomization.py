@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from networkit_spark.graph import Graph
+from networkit_spark.graph import Graph, require_fixture_scale
 from networkit_spark.functions.hashing import md5_long_sql
 
 
@@ -455,7 +455,10 @@ def global_curveball(graph: Graph, rounds: int = 5, seed: int = 42) -> Graph:
 
 
 def curveball(
-    graph: Graph, trades: list[tuple[int, int]], seed: int = 42
+    graph: Graph,
+    trades: list[tuple[int, int]],
+    seed: int = 42,
+    max_m: int = 200_000,
 ) -> Graph:
     """Degree-preserving randomization by an ARBITRARY caller-supplied
     trade sequence — the uniform-trade Curveball variant
@@ -478,6 +481,7 @@ def curveball(
 
     if graph.directed:
         raise ValueError("curveball randomizes undirected graphs")
+    require_fixture_scale(graph, max_m, "curveball")
     spark = graph.vertices.sparkSession
     adj: dict[int, set[int]] = {}
     for r in graph.edges.select("src", "dst").distinct().collect():

@@ -63,13 +63,16 @@ import math
 
 from pyspark.sql import DataFrame
 
-from networkit_spark.graph import Graph
+from networkit_spark.graph import Graph, require_fixture_scale
 
 
-def _collect_adjacency(graph: Graph, op: str) -> dict[int, dict[int, float]]:
+def _collect_adjacency(
+    graph: Graph, op: str, max_m: int = 200_000
+) -> dict[int, dict[int, float]]:
     """Driver-side undirected adjacency for the fixture-tier loops."""
     if graph.directed:
         raise ValueError(f"{op} expects an undirected graph")
+    require_fixture_scale(graph, max_m, op)
     adj: dict[int, dict[int, float]] = {}
     for r in graph.edges.select("src", "dst", "weight").collect():
         u, v, w = int(r["src"]), int(r["dst"]), float(r["weight"])
@@ -91,11 +94,12 @@ def tce(
     seeds: list[int],
     refine: bool = False,
     use_jaccard: bool = False,
+    max_m: int = 200_000,
 ) -> DataFrame:
     """(id) — TCE triangle-weighted conductance expansion from a seed set
     (scd/TCE.cpp:46-305; defaults refine=false, useJaccard=false from
     scd/TCE.hpp:26)."""
-    adj = _collect_adjacency(graph, "tce")
+    adj = _collect_adjacency(graph, "tce", max_m)
     wdeg = {u: sum(nb.values()) for u, nb in adj.items()}
     deg = {u: len(nb) for u, nb in adj.items()}
 
@@ -161,12 +165,12 @@ def tce(
 
 
 def local_tightness_expansion(
-    graph: Graph, seeds: list[int], alpha: float = 1.0
+    graph: Graph, seeds: list[int], alpha: float = 1.0, max_m: int = 200_000
 ) -> DataFrame:
     """(id) — LocalTightnessExpansion from a seed set
     (scd/LocalTightnessExpansion.cpp:59-335; alpha default 1.0 from
     scd/LocalTightnessExpansion.hpp:31)."""
-    adj = _collect_adjacency(graph, "local_tightness_expansion")
+    adj = _collect_adjacency(graph, "local_tightness_expansion", max_m)
     wd = {
         u: math.sqrt(1.0 + sum(w * w for w in nb.values()))
         for u, nb in adj.items()
@@ -221,11 +225,11 @@ def local_tightness_expansion(
     return _ids_df(graph, result)
 
 
-def local_t(graph: Graph, seeds: list[int]) -> DataFrame:
+def local_t(graph: Graph, seeds: list[int], max_m: int = 200_000) -> DataFrame:
     """(id) — LocalT triangle-based expansion from a seed set
     (scd/LocalT.cpp:14-192). Unweighted: triangles count 1 apiece, like
     the reference's LocalDegreeDirectedGraph<false> instantiation."""
-    adj = _collect_adjacency(graph, "local_t")
+    adj = _collect_adjacency(graph, "local_t", max_m)
     nbrs = {u: set(nb) for u, nb in adj.items()}
 
     def tri_split(v: int) -> tuple[int, int, int]:
@@ -303,11 +307,11 @@ def _fdiv(a: float, b: float) -> float:
     return math.nan
 
 
-def two_phase_l(graph: Graph, seeds: list[int]) -> DataFrame:
+def two_phase_l(graph: Graph, seeds: list[int], max_m: int = 200_000) -> DataFrame:
     """(id) — TwoPhaseL L-measure expansion from a seed set
     (scd/TwoPhaseL.cpp:13-113). Returns the empty community when any seed
     is removed in phase 2, like the reference."""
-    adj = _collect_adjacency(graph, "two_phase_l")
+    adj = _collect_adjacency(graph, "two_phase_l", max_m)
     com = set(int(s) for s in seeds)
 
     def int_deg(v: int) -> float:

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from networkit_spark.graph import Graph
+from networkit_spark.graph import Graph, require_fixture_scale
 from networkit_spark.plans.checkpoint import CheckpointManager, IterationState, materialize
 
 
@@ -250,7 +250,9 @@ def union_max_spanning_forest(
     )
 
 
-def random_spanning_forest(graph: Graph, seed: int = 42) -> DataFrame:
+def random_spanning_forest(
+    graph: Graph, seed: int = 42, max_m: int = 200_000
+) -> DataFrame:
     """(src, dst) tree edges — uniform random spanning forest via the
     Aldous-Broder first-entry walk (components/RandomSpanningForest.cpp:
     20-52): per connected component, start a simple random walk at a
@@ -269,6 +271,7 @@ def random_spanning_forest(graph: Graph, seed: int = 42) -> DataFrame:
     so one seed fixes the whole forest."""
     import numpy as np
 
+    require_fixture_scale(graph, max_m, "random_spanning_forest")
     spark = graph.vertices.sparkSession
     adj, comps = _collect_walk_state(graph)
     rng = np.random.default_rng(seed)
@@ -326,7 +329,7 @@ def _aldous_broder(adj, comps, rng) -> list[tuple[int, int]]:
     return rows
 
 
-def kruskal_msf(graph: Graph) -> DataFrame:
+def kruskal_msf(graph: Graph, max_m: int = 200_000) -> DataFrame:
     """forest(u, v, weight), u < v — maximum spanning forest via Kruskal
     (graph/KruskalMSF.cpp:42-70: edges sorted DECREASING by weight, one
     union-find scan). The reference's parallel sort leaves equal weights
@@ -339,6 +342,7 @@ def kruskal_msf(graph: Graph) -> DataFrame:
     Fixture-tier driver-sequential (the globally sorted union-find scan
     is the algorithm); max_spanning_forest's superstep Boruvka is the
     distributed path."""
+    require_fixture_scale(graph, max_m, "kruskal_msf")
     spark = graph.vertices.sparkSession
     canon = {}
     for r in graph.edges.select("src", "dst", "weight").collect():
@@ -413,7 +417,9 @@ def approx_spanning_edge(
     return spark.createDataFrame(rows, "u long, v long, score double")
 
 
-def wilson_spanning_forest(graph: Graph, seed: int = 42) -> DataFrame:
+def wilson_spanning_forest(
+    graph: Graph, seed: int = 42, max_m: int = 200_000
+) -> DataFrame:
     """(src, dst) tree edges — uniform random spanning forest via
     Wilson's loop-erased random walks (the sampler inside
     centrality/ApproxSpanningEdge.cpp:43-110 sampleUST): per component,
@@ -435,6 +441,7 @@ def wilson_spanning_forest(graph: Graph, seed: int = 42) -> DataFrame:
     walks whole components."""
     import numpy as np
 
+    require_fixture_scale(graph, max_m, "wilson_spanning_forest")
     spark = graph.vertices.sparkSession
     adj, comps = _collect_walk_state(graph)
     rng = np.random.default_rng(seed)

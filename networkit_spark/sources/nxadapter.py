@@ -17,7 +17,7 @@ want reference-exact behavior can ignore it).
 
 from __future__ import annotations
 
-from networkit_spark.graph import Graph, from_edge_rows
+from networkit_spark.graph import Graph, from_edge_rows, require_fixture_scale
 
 
 def nx_to_graph(spark, nx_graph, weight_attr: str | None = None):
@@ -40,13 +40,14 @@ def nx_to_graph(spark, nx_graph, weight_attr: str | None = None):
     return g, idmap
 
 
-def graph_to_nx(graph: Graph):
+def graph_to_nx(graph: Graph, max_m: int = 200_000):
     """Convert a Graph to networkx (nk2nx:51-70): DiGraph iff directed,
     `weight` edge attribute iff weighted, every vertex present (isolated
     nodes included). Undirected storage holds both directions, so each
     undirected edge is emitted once (src <= dst keeps the self-loop)."""
     import networkx as nx
 
+    require_fixture_scale(graph, max_m, "graph_to_nx")
     out = nx.DiGraph() if graph.directed else nx.Graph()
     out.add_nodes_from(r["id"] for r in graph.vertices.select("id").collect())
     edges = graph.edges

@@ -76,12 +76,33 @@ def turn_pairs_stream(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def _state_timeout(ttl_ms: int | None) -> str:
+    """GroupStateTimeout conf for an optional processing-time TTL (VERDICT
+    r4 task 6): None keeps the exact-forever NoTimeout contract; a positive
+    ttl_ms bounds the state store — each group's state is evicted after
+    ttl_ms of inactivity (the kernel refreshes the clock on every batch it
+    sees and removes the row when the timeout fires)."""
+    if ttl_ms is None:
+        return GroupStateTimeout.NoTimeout
+    if ttl_ms <= 0:
+        raise ValueError(f"ttl_ms must be positive, got {ttl_ms}")
+    return GroupStateTimeout.ProcessingTimeTimeout
+
+
 def _transition_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Per-conv stateful kernel: emit tool(t-1)<->tool(t) transitions across
     micro-batch boundaries. Vectorized pandas inside; one state tuple per
-    conversation."""
+    conversation. With a TTL, an idle conversation's state is evicted on
+    timeout; a later turn for it starts from scratch (no phantom edge
+    across the eviction)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
     if state.exists:
         last_turn, last_tool = state.get
     else:
@@ -100,22 +121,29 @@ def _transition_fn(
             out_ts.append(ts)
         last_turn, last_tool = int(turn), tool
     state.update((last_turn, last_tool))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     yield pd.DataFrame({"src_key": out_src, "dst_key": out_dst, "ts": out_ts})
 
 
-def tool_transitions_stream(transcripts: DataFrame) -> DataFrame:
+def tool_transitions_stream(
+    transcripts: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """tool->tool transition pairs via applyInPandasWithState (the custom
     stateful streaming operator; state never grows beyond one row per
-    conversation)."""
+    conversation — and with ``ttl_ms`` set, idle conversations are evicted
+    after that much processing-time inactivity)."""
+    import functools
+
     return (
         transcripts.select("conv_id", "turn_idx", "tool", "ts")
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _transition_fn,
+            functools.partial(_transition_fn, ttl_ms=ttl_ms),
             outputStructType=_TRANSITION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=_state_timeout(ttl_ms),
         )
     )
 
@@ -188,20 +216,30 @@ _DEDUP_STATE_SCHEMA = T.StructType([T.StructField("rep_id", T.LongType())])
 
 
 def _dedup_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Per-content-hash stateful kernel: the first-seen document becomes the
     canonical representative (min doc_id inside the first micro-batch that
     carries the hash — deterministic at any parallelism), every later
     arrival is flagged a duplicate of it. One 8-byte state row per distinct
     text, forever — the streaming analogue of exact_duplicates' min-id
-    survivor election."""
+    survivor election. With a TTL, an idle hash's state is evicted on
+    timeout — the dedup horizon becomes the TTL, and a re-arrival after
+    eviction elects a fresh representative."""
+    if state.hasTimedOut:
+        state.remove()
+        return
     rows = pd.concat(list(pdfs), ignore_index=True)
     if state.exists:
         (rep,) = state.get
     else:
         rep = int(rows["doc_id"].min())
         state.update((rep,))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     yield pd.DataFrame(
         {
             "doc_id": rows["doc_id"].astype("int64"),
@@ -212,7 +250,7 @@ def _dedup_fn(
     )
 
 
-def dedup_stream(docs: DataFrame) -> DataFrame:
+def dedup_stream(docs: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Streaming exact deduplication over a document stream: annotate every
     arriving document with (is_dup, rep_id) against all content seen so far.
 
@@ -220,20 +258,24 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
     ``applyInPandasWithState`` holds exactly one LONG per distinct text —
     the same state-store discipline as tool_transitions_stream. At ingest
     scale the state store is the distinct-content set; production pipelines
-    bound it with a ``GroupStateTimeout`` TTL when the stream outlives the
-    dedup horizon (exact-forever here, matching the batch operator's
-    contract so the streaming and batch answers agree on replay).
+    bound it with a TTL when the stream outlives the dedup horizon: pass
+    ``ttl_ms`` and the dedup window becomes "content seen within the last
+    ttl_ms of processing time" (default None = exact-forever, matching the
+    batch operator's contract so streaming and batch answers agree on
+    replay).
     """
+    import functools
+
     hashed = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.md5(F.col("text")).alias("text_hash"),
     )
     return hashed.groupBy("text_hash").applyInPandasWithState(
-        _dedup_fn,
+        functools.partial(_dedup_fn, ttl_ms=ttl_ms),
         outputStructType=_DEDUP_OUT_SCHEMA,
         stateStructType=_DEDUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=_state_timeout(ttl_ms),
     )
 
 
@@ -253,18 +295,27 @@ _NEARDUP_STATE_SCHEMA = T.StructType([T.StructField("rep_id", T.LongType())])
 
 
 def _neardup_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Per-(band, bucket) stateful kernel: the first-seen document anchors
     the bucket (min doc_id inside the first micro-batch that carries it),
     every later arrival is a near-duplicate CANDIDATE against that anchor.
-    One 8-byte state row per occupied LSH bucket."""
+    One 8-byte state row per occupied LSH bucket; with a TTL, an idle
+    bucket's anchor is evicted on timeout and re-elected on re-arrival."""
+    if state.hasTimedOut:
+        state.remove()
+        return
     rows = pd.concat(list(pdfs), ignore_index=True)
     if state.exists:
         (rep,) = state.get
     else:
         rep = int(rows["doc_id"].min())
         state.update((rep,))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     yield pd.DataFrame(
         {
             "doc_id": rows["doc_id"].astype("int64"),
@@ -334,7 +385,11 @@ def banded_minhash_per_row(
 
 
 def near_dup_stream(
-    docs: DataFrame, num_hashes: int = 16, bands: int = 4, n: int = 3
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate candidates: annotate every
     arriving document with its banded buckets and the bucket's first-seen
@@ -348,16 +403,18 @@ def near_dup_stream(
     cosine re-rank of candidates) stays a batch join over the emitted
     candidates, exactly as in the batch tier; the state store's
     cardinality is the occupied-bucket count, the same table the batch LSH
-    builds, and production pipelines bound it with a GroupStateTimeout TTL
-    when the stream outlives the dedup horizon."""
+    builds; bound it with ``ttl_ms`` when the stream outlives the dedup
+    horizon (idle buckets evict and re-anchor on re-arrival)."""
+    import functools
+
     return (
         banded_minhash_per_row(docs, num_hashes=num_hashes, bands=bands, n=n)
         .groupBy("band", "bucket")
         .applyInPandasWithState(
-            _neardup_fn,
+            functools.partial(_neardup_fn, ttl_ms=ttl_ms),
             outputStructType=_NEARDUP_OUT_SCHEMA,
             stateStructType=_NEARDUP_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=_state_timeout(ttl_ms),
         )
     )

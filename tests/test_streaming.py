@@ -759,3 +759,56 @@ def test_streaming_near_dup_candidates_across_batches(spark, tmp_path):
     # identical text arriving later is a candidate of the original anchor
     # in EVERY band despite its lower id
     assert all(r["is_candidate"] and r["rep_id"] == 20 for r in by_doc[7])
+
+
+def test_streaming_dedup_ttl_evicts_idle_state(spark, tmp_path):
+    """ttl_ms (VERDICT r4 task 6): with a processing-time TTL, an idle
+    content-hash's state row is evicted, so the same text re-arriving
+    after the horizon elects a FRESH representative (is_dup=False) instead
+    of pointing at the long-gone one — the bounded-state production mode.
+    ttl_ms=1 makes the timeout due by the next micro-batch regardless of
+    host speed; batch 2's unrelated doc forces a batch so the timeout
+    fires before batch 3 re-delivers the text."""
+    import time
+
+    from networkit_spark.streaming.transcripts_stream import dedup_stream
+
+    src = os.path.join(str(tmp_path), "docs_ttl_in")
+    schema = "doc_id long, text string"
+    for batch in ([(10, "same text")], [(20, "unrelated")], [(30, "same text")]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # order file mtimes -> one file per trigger
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        dedup_stream(stream, ttl_ms=1)
+        .writeStream.format("memory")
+        .queryName("dedup_ttl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql("select * from dedup_ttl_out").collect()}
+    assert set(rows) == {10, 20, 30}
+    assert rows[10]["is_dup"] is False and rows[10]["rep_id"] == 10
+    # state for "same text" idled past the TTL and was evicted -> doc 30 is
+    # NOT a duplicate of 10; it anchors a fresh representative row
+    assert rows[30]["is_dup"] is False and rows[30]["rep_id"] == 30
+
+
+def test_streaming_ttl_rejects_nonpositive():
+    from networkit_spark.streaming.transcripts_stream import _state_timeout
+
+    import pytest
+
+    with pytest.raises(ValueError, match="ttl_ms"):
+        _state_timeout(0)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    assert _state_timeout(None) == GroupStateTimeout.NoTimeout
+    assert _state_timeout(500) == GroupStateTimeout.ProcessingTimeTimeout
