@@ -511,22 +511,16 @@ FROM contracted ORDER BY src, dst"""
 
 
 def sql_coarsen(cc_iters: int) -> str:
-    cc_sql = sql_components(cc_iters)
-    inner = cc_sql[len("WITH "):cc_sql.rindex("SELECT id, label")]
-    return _sql_contract(inner, f"cc{cc_iters}")
+    return _sql_contract(*_cc_inner(cc_iters))
 
 
 def sql_coarsen_lp(lp_iters: int) -> str:
-    lp_sql = sql_labelprop(lp_iters)
-    inner = lp_sql[len("WITH "):lp_sql.rindex("SELECT id, label")]
-    return _sql_contract(inner, f"lp{lp_iters}")
+    return _sql_contract(*_lp_inner(lp_iters))
 
 
 def sql_modularity(lp_iters: int) -> str:
-    lp_sql = sql_labelprop(lp_iters)
-    inner = lp_sql[len("WITH "):lp_sql.rindex("SELECT id, label")]
-    last = f"lp{lp_iters}"
-    return f"""WITH {inner.rstrip().rstrip(',')},
+    inner, last = _lp_inner(lp_iters)
+    return f"""WITH {inner},
 tew AS (
     SELECT (SUM(weight) - SUM(CASE WHEN src = dst THEN weight ELSE 0 END)) / 2
            + SUM(CASE WHEN src = dst THEN weight ELSE 0 END) AS w
@@ -1099,9 +1093,15 @@ def sql_sssp(iters: int, source: int = 0) -> str:
 
 
 def _lp_inner(lp_iters: int) -> tuple[str, str]:
-    lp_sql = sql_labelprop(lp_iters)
-    inner = lp_sql[len("WITH "):lp_sql.rindex("SELECT id, label")]
-    return inner.rstrip().rstrip(","), f"lp{lp_iters}"
+    """(CTE block, last-CTE name) for oracles consuming an LP partition —
+    composed from GRAPH_CTE + _lp_ctes, the same parts sql_labelprop
+    renders, never sliced back out of rendered SQL (ADVICE r3)."""
+    return ", ".join([GRAPH_CTE.strip()] + _lp_ctes(lp_iters)), f"lp{lp_iters}"
+
+
+def _cc_inner(cc_iters: int) -> tuple[str, str]:
+    """Same contract as _lp_inner for the hash-min components chain."""
+    return ", ".join([GRAPH_CTE.strip()] + _cc_ctes(cc_iters)), f"cc{cc_iters}"
 
 
 TEW_CTE = """tew AS (
@@ -1551,9 +1551,8 @@ def sql_partition_measures(lp_iters: int, lp_iters_b: int) -> str:
     CTE of the same unrolled chain). Formulas: NMIDistance.cpp,
     NodeStructuralRandMeasure.cpp, JaccardMeasure.cpp."""
     assert lp_iters_b < lp_iters
-    lp_sql = sql_labelprop(lp_iters)
-    inner = lp_sql[len("WITH "):lp_sql.rindex("SELECT id, label")].rstrip().rstrip(",")
-    a, b = f"lp{lp_iters}", f"lp{lp_iters_b}"
+    inner, a = _lp_inner(lp_iters)
+    b = f"lp{lp_iters_b}"
     return f"""WITH {inner},
 nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices),
 msz AS (SELECT label, CAST(count(*) AS DOUBLE) AS s FROM {a} GROUP BY label),
