@@ -1909,6 +1909,37 @@ def q_text_span_dedup(spark, sf_dir):
     )
 
 
+def q_profile_rank_correlation(spark, sf_dir):
+    """Profiling stat-table tier (profiling/stat.py Correlation): pairwise
+    covariance / Pearson / Spearman / Fechner between the degree, weighted-
+    degree and PageRank score vectors of the events graph."""
+    from networkit_spark.operators.profile import rank_correlation
+
+    g, _ = L.events_graph(spark, sf_dir)
+    deg = g.degrees()
+    pr = pagerank(g, damp=0.85, tol=0.0, max_iterations=PR_ITERS).select(
+        "id", F.round("score", 6).alias("score")
+    )
+    m = (
+        deg.select(
+            "id",
+            F.lit("degree").alias("measure"),
+            F.col("degree").cast("double").alias("x"),
+        )
+        .unionByName(
+            pr.select("id", F.lit("pagerank").alias("measure"), F.col("score").alias("x"))
+        )
+        .unionByName(
+            deg.select(
+                "id",
+                F.lit("wdeg").alias("measure"),
+                F.col("wdeg").cast("double").alias("x"),
+            )
+        )
+    )
+    return rank_correlation(m)
+
+
 # ---- registry -------------------------------------------------------------
 
 # Driver-gate rotation (VERDICT r2 task 1): the driver's correctness gate
@@ -1999,6 +2030,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_cluster_sample": q_embed_cluster_sample,
     "text_hashed_features": q_text_hashed_features,
     "graph_profile_distributions": q_graph_profile,
+    "profile_rank_correlation": q_profile_rank_correlation,
     "text_span_dedup": q_text_span_dedup,
     "text_source_mixing": q_text_source_mixing,
     "graph_neighborhood_heuristic": q_graph_neighborhood_heuristic,
@@ -2289,6 +2321,7 @@ def build_oracles() -> dict[str, str]:
         ),
         "text_hashed_features": L.sql_hashed_features(HASHED_FEATURES_DIM),
         "graph_profile_distributions": L.sql_profile_distributions(CC_ITERS),
+        "profile_rank_correlation": L.sql_profile_rank_correlation(PR_ITERS),
         "text_span_dedup": L.sql_span_dedup(SPAN_DEDUP_N, SPAN_DEDUP_THRESHOLD),
         "text_source_mixing": L.sql_source_mixing(MIXING_TARGET),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

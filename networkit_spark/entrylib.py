@@ -242,10 +242,14 @@ degrees AS (
 """
 
 
-def sql_pagerank(iters: int, damp: float = 0.85) -> str:
-    """Unrolled fixed-iteration pull PageRank (PageRank.cpp semantics),
-    final sum-normalization, scores rounded to 6 decimals."""
+def _pr_ctes(iters: int, damp: float = 0.85) -> list[str]:
+    """CTE list for the unrolled pull-PageRank chain (PageRank.cpp
+    semantics); the last CTE is pr{iters}, holding UNNORMALIZED scores."""
     ctes = [
+        """deg2 AS (
+    SELECT src AS id, SUM(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS wdeg
+    FROM edges GROUP BY src
+)""",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vertices)",
         "pr0 AS (SELECT id, (SELECT 1.0/n FROM nn) AS score FROM vertices)",
     ]
@@ -265,15 +269,81 @@ def sql_pagerank(iters: int, damp: float = 0.85) -> str:
     ) m ON m.id = v.id
 )"""
         )
-    deg2 = """deg2 AS (
-    SELECT src AS id, SUM(CASE WHEN src = dst THEN weight * 2 ELSE weight END) AS wdeg
-    FROM edges GROUP BY src
-)"""
+    return ctes
+
+
+def sql_pagerank(iters: int, damp: float = 0.85) -> str:
+    """Unrolled fixed-iteration pull PageRank (PageRank.cpp semantics),
+    final sum-normalization, scores rounded to 6 decimals."""
     body = (
-        ", ".join([deg2] + ctes)
+        ", ".join(_pr_ctes(iters, damp))
         + f""" SELECT id, ROUND(score / (SELECT SUM(score) FROM pr{iters}), 6) AS score
 FROM pr{iters} ORDER BY id"""
     )
+    return _with_graph(body)
+
+
+def sql_profile_rank_correlation(pr_iters: int, damp: float = 0.85) -> str:
+    """Pairwise correlation matrix between the degree / weighted-degree /
+    PageRank score vectors — profiling/stat.py Correlation.run:431-485:
+    population covariance, Pearson, Spearman (Pearson over helpers.ranked
+    average ranks, helpers.pyx:12-40), and Fechner mean concordance sign
+    with the reference's copysign zero-deviation edge."""
+    last = f"pr{pr_iters}"
+    body = f"""{DEG_CTE.strip()},
+{", ".join(_pr_ctes(pr_iters, damp))},
+m AS (
+    SELECT id, 'degree' AS measure, CAST(degree AS DOUBLE) AS x FROM degrees
+    UNION ALL
+    SELECT id, 'pagerank',
+           ROUND(score / (SELECT SUM(score) FROM {last}), 6) FROM {last}
+    UNION ALL
+    SELECT id, 'wdeg', CAST(wdeg AS DOUBLE) FROM degrees
+),
+cnt AS (SELECT measure, x, CAST(count(*) AS BIGINT) AS c FROM m GROUP BY 1, 2),
+rk AS (
+    SELECT measure, x, c,
+           SUM(c) OVER (PARTITION BY measure ORDER BY x) - c AS less
+    FROM cnt
+),
+ranks AS (
+    SELECT m.id, m.measure, m.x, r.less + (r.c + 1) / 2.0 AS rnk
+    FROM m JOIN rk r ON r.measure = m.measure AND r.x = m.x
+),
+st AS (SELECT measure, AVG(x) AS mx, AVG(rnk) AS mr FROM ranks GROUP BY 1),
+dev AS (
+    SELECT r.id, r.measure, r.x - s.mx AS dx, r.rnk - s.mr AS dr
+    FROM ranks r JOIN st s ON s.measure = r.measure
+),
+sd AS (
+    SELECT measure,
+           sqrt(SUM(dx * dx) / count(*)) AS sx,
+           sqrt(SUM(dr * dr) / count(*)) AS sr
+    FROM dev GROUP BY 1
+),
+pr_pairs AS (
+    SELECT a.measure AS measure_a, b.measure AS measure_b,
+           SUM(a.dx * b.dx) / count(*) AS cov,
+           SUM(a.dr * b.dr) / count(*) AS rcov,
+           SUM(CASE WHEN a.dx * b.dx > 0 THEN 1.0
+                    WHEN a.dx * b.dx < 0 THEN -1.0
+                    WHEN a.dx = 0 AND b.dx < 0 THEN -1.0
+                    WHEN b.dx = 0 AND a.dx < 0 THEN -1.0
+                    ELSE 1.0 END) / count(*) AS fech
+    FROM dev a JOIN dev b ON b.id = a.id AND a.measure < b.measure
+    GROUP BY 1, 2
+)
+SELECT p.measure_a, p.measure_b,
+       ROUND(p.cov, 6) + 0.0 AS covariance,
+       ROUND(CASE WHEN sa.sx * sb.sxb <> 0
+                  THEN p.cov / (sa.sx * sb.sxb) END, 6) + 0.0 AS pearson,
+       ROUND(CASE WHEN sa.sr * sb.srr <> 0
+                  THEN p.rcov / (sa.sr * sb.srr) END, 6) + 0.0 AS spearman,
+       ROUND(p.fech, 6) + 0.0 AS fechner
+FROM pr_pairs p
+JOIN sd sa ON sa.measure = p.measure_a
+JOIN (SELECT measure, sx AS sxb, sr AS srr FROM sd) sb ON sb.measure = p.measure_b
+ORDER BY measure_a, measure_b"""
     return _with_graph(body)
 
 

@@ -108,3 +108,84 @@ def test_profile_distributions_hand_fixture(spark):
         ("lcc_by_degree", 1): 0.0,
         ("lcc_by_degree", 2): 1.0,
     }
+
+
+def test_average_ranks_ties_match_reference_ranked(spark):
+    # helpers.pyx:12-40 semantics: 1-based ranks, ties averaged
+    from networkit_spark.operators.profile import average_ranks
+
+    sample = [3.0, 1.0, 3.0, 2.0, 3.0, 1.0]  # ranks: 1.5,1.5 | 3 | 5,5,5
+    m = spark.createDataFrame(
+        [(i, "m", v) for i, v in enumerate(sample)], "id long, measure string, x double"
+    )
+    got = {r["id"]: r["rnk"] for r in average_ranks(m).collect()}
+    assert got == {0: 5.0, 1: 1.5, 2: 5.0, 3: 3.0, 4: 5.0, 5: 1.5}
+
+
+def test_rank_correlation_matches_reference_formulas(spark):
+    """profiling/stat.py Correlation.run:431-485 replicated in numpy (the
+    reference's own loops) on a two-measure fixture with ties and an
+    exact-mean (zero-deviation) element exercising the copysign edge."""
+    import math
+
+    import numpy as np
+
+    from networkit_spark.operators.profile import rank_correlation
+
+    x = np.array([1.0, 2.0, 2.0, 3.0, 4.0])  # mean 2.4
+    y = np.array([5.0, 4.0, 4.0, 4.0, 1.0])  # y[1:4] tie; y mean 3.6
+
+    def ranked(s):
+        order = np.argsort(s, kind="stable")
+        out = np.empty(len(s))
+        i = 0
+        srt = s[order]
+        while i < len(s):
+            j = i
+            while j < len(s) and srt[j] == srt[i]:
+                j += 1
+            out[order[i:j]] = (i + j + 1) / 2.0  # avg of 1-based i+1..j
+            i = j
+        return out
+
+    def corr(a, b):
+        n = len(a)
+        cov = float(np.sum((a - a.mean()) * (b - b.mean())) / n)
+        sa = math.sqrt(float(np.sum((a - a.mean()) ** 2) / n))
+        sb = math.sqrt(float(np.sum((b - b.mean()) ** 2) / n))
+        return cov, cov / (sa * sb)
+
+    cov, pearson = corr(x, y)
+    _, spearman = corr(ranked(x), ranked(y))
+    fech = float(
+        np.mean(
+            [
+                math.copysign(1.0, (xi - x.mean()) * (yi - y.mean()))
+                for xi, yi in zip(x, y)
+            ]
+        )
+    )
+
+    m = spark.createDataFrame(
+        [(i, "a", float(v)) for i, v in enumerate(x)]
+        + [(i, "b", float(v)) for i, v in enumerate(y)],
+        "id long, measure string, x double",
+    )
+    row = rank_correlation(m).collect()
+    assert len(row) == 1 and row[0]["measure_a"] == "a"
+    assert row[0]["covariance"] == round(cov, 6)
+    assert row[0]["pearson"] == round(pearson, 6)
+    assert row[0]["spearman"] == round(spearman, 6)
+    assert row[0]["fechner"] == round(fech, 6)
+
+
+def test_rank_correlation_zero_variance_is_null(spark):
+    from networkit_spark.operators.profile import rank_correlation
+
+    m = spark.createDataFrame(
+        [(i, "flat", 1.0) for i in range(4)] + [(i, "v", float(i)) for i in range(4)],
+        "id long, measure string, x double",
+    )
+    row = rank_correlation(m).collect()[0]
+    assert row["pearson"] is None and row["spearman"] is None
+    assert row["covariance"] == 0.0
