@@ -2169,6 +2169,10 @@ _SEMANTICS_CHANGED: dict[str, int] = {
         "pipeline_pretrain_corpus", "text_span_dedup",
     )
 }
+# r5: SGNS negative sampling moved from uniform to the word2vec
+# unigram^0.75 quantized table (operators/sgns.py unigram_table + the
+# matching utab oracle CTEs) — the r4 green predates the change.
+_SEMANTICS_CHANGED["embed_sgns"] = 5
 
 _GREEN_ROUNDS = _artifact_green_rounds()
 # Kept under its historical name: tests/test_entry_contract.py pins this to

@@ -2900,24 +2900,55 @@ def sql_sgns(
     )
     ctes = _node2vec_ctes(p, q, walk_length, walks_per_node, seed)
     ctes += [
-        """vr AS (
-    SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS rk
-    FROM vertices
+        # word2vec unigram^0.75 table, integer-exact (operators/sgns.py
+        # unigram_table): cnt^0.75 = sqrt(sqrt(cnt^3)) (sqrt is correctly
+        # rounded, pow is not) on the 2^-20 integer grid, T = 8x vocab,
+        # largest-remainder apportionment, draw = md5 % T equi-join on slot
+        """vcnt AS (SELECT node, CAST(COUNT(*) AS DOUBLE) AS cnt FROM wk GROUP BY node)""",
+        """uq AS (
+    SELECT node,
+           CAST(FLOOR(SQRT(SQRT(cnt * cnt * cnt)) * 1048576.0 + 0.5) AS BIGINT) AS q
+    FROM vcnt
 )""",
-        "nv AS (SELECT COUNT(*) AS n FROM vertices)",
+        "uqt AS (SELECT SUM(q) AS qq, 8 * COUNT(*) AS t FROM uq)",
+        """ub AS (
+    SELECT node, q,
+           ((SELECT t FROM uqt) * q) // (SELECT qq FROM uqt) AS base,
+           ((SELECT t FROM uqt) * q) % (SELECT qq FROM uqt) AS rem
+    FROM uq
+)""",
+        """urk AS (
+    SELECT node, base, rem,
+           ROW_NUMBER() OVER (ORDER BY rem DESC, node ASC) AS rn
+    FROM ub
+)""",
+        "urr AS (SELECT (SELECT t FROM uqt) - SUM(base) AS r FROM urk)",
+        """usl AS (
+    SELECT node,
+           base + CASE WHEN rn <= (SELECT r FROM urr) THEN 1 ELSE 0 END AS slots
+    FROM urk
+)""",
+        """ust AS (
+    SELECT node, CAST(slots AS BIGINT) AS slots,
+           CAST(SUM(slots) OVER (ORDER BY node) - slots AS BIGINT) AS start
+    FROM usl WHERE slots > 0
+)""",
+        """utab AS MATERIALIZED (
+    SELECT u.start + UNNEST(RANGE(0, u.slots)) AS slot, u.node FROM ust u
+)""",
         f"""pos AS MATERIALIZED (
     SELECT a.walk_id, a.step AS cs, b.step AS os, a.node AS c, b.node AS o
     FROM wk a JOIN wk b ON b.walk_id = a.walk_id
     WHERE a.step <> b.step AND ABS(a.step - b.step) <= {window}
 )""",
         f"""neg AS (
-    SELECT d.walk_id, d.cs, d.os, d.i, d.c, v.id AS o
+    SELECT d.walk_id, d.cs, d.os, d.i, d.c, tb.node AS o
     FROM (
         SELECT walk_id, cs, os, c, o AS po, i.i,
-               {negdraw} % (SELECT n FROM nv) AS rk
+               {negdraw} % (SELECT t FROM uqt) AS slot
         FROM pos, generate_series(0, {negatives - 1}) i(i)
-    ) d JOIN vr v ON v.rk = d.rk
-    WHERE v.id <> d.po
+    ) d JOIN utab tb ON tb.slot = d.slot
+    WHERE tb.node <> d.po
 )""",
         f"""sgp AS MATERIALIZED (
     SELECT walk_id, cs, os, -1 AS i, c, o, 1.0 AS label FROM pos

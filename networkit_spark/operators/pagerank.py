@@ -78,6 +78,8 @@ def pagerank(
     num_blocks: int | None = None,
     broadcast_scores: bool | None = None,
     hub_salt_threshold: int | None = None,
+    compact_ids: bool | None = None,
+    frac32: bool = False,
 ) -> DataFrame:
     """Return scores(id: long, score: double), sum-normalized.
 
@@ -96,6 +98,18 @@ def pagerank(
     when n <= 4M (a ~100 MB broadcast ceiling; entity vertex sets are orders
     of magnitude smaller than the edge table they join). With broadcast, the
     only per-superstep shuffle is the partial+final dst aggregation.
+
+    ``compact_ids`` stores src/dst as INT32 in the fast path's static out
+    table and runs the whole superstep chain on int ids (lossless — auto
+    on when every vertex id fits int32, which dense-minted entity graphs
+    always satisfy; forced off for impl="csr", whose block kernels take
+    long ids). Halves the id bytes streamed through the columnar cache
+    scan each superstep — the DRAM-stall lever the r4 bandwidth
+    accounting identified. ``frac32`` additionally stores the static edge
+    fraction as FLOAT32 (quarter the bytes of double): the per-edge
+    relative error is <= 6e-8 so converged scores stay well inside the
+    north rule's 1e-6, but the 6-decimal oracle gate keeps the default
+    double.
     """
     spark = graph.vertices.sparkSession
     if tol <= 0.0 and max_iterations is None:
@@ -117,6 +131,17 @@ def pagerank(
         )
     )
     fast_path = tol <= 0.0
+    compact = bool(compact_ids) if compact_ids is not None else False
+    if fast_path and compact_ids is None and impl != "csr":
+        b = graph.vertices.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).first()
+        compact = (
+            b["lo"] is not None
+            and b["lo"] >= -(2**31)
+            and b["hi"] < 2**31
+        )
+    if impl == "csr":
+        compact = False
+    idt = "int" if compact else "long"
     if fast_path:
         # fixed-iteration fast path: append one zero-contribution self-row
         # per vertex so the post-join dst aggregation is vertex-complete BY
@@ -136,6 +161,12 @@ def pagerank(
                 F.lit(0.0).alias("frac"),
             )
         )
+        if compact or frac32:
+            out = out.select(
+                F.col("src").cast(idt).alias("src"),
+                F.col("dst").cast(idt).alias("dst"),
+                F.col("frac").cast("float" if frac32 else "double").alias("frac"),
+            )
         # pre-shuffle the static side ONCE: cut the deep derivation plan
         # (localCheckpoint), then repartition+persist the SHALLOW scan —
         # the InMemoryRelation keeps hashpartitioning(src, P), so the
@@ -172,7 +203,7 @@ def pagerank(
         hub_df = None
         part_cols = ["src"]
         if hub_rows:
-            hub_df = spark.createDataFrame(hub_rows, "src long, nsalt int")
+            hub_df = spark.createDataFrame(hub_rows, f"src {idt}, nsalt int")
             out = (
                 out.join(F.broadcast(hub_df), "src", "left")
                 .withColumn(
@@ -211,12 +242,18 @@ def pagerank(
         last = checkpoint.latest_complete_iteration("pagerank")
         if last is not None:
             # durable snapshots persist the full step (id, score[, old])
-            scores = checkpoint.load_state(spark, "pagerank", last).select("id", "score")
+            scores = checkpoint.load_state(spark, "pagerank", last).select(
+                F.col("id").cast(idt).alias("id"), "score"
+            )
             it0 = last
         else:
-            scores = graph.vertices.select("id", F.lit(1.0 / n).alias("score"))
+            scores = graph.vertices.select(
+                F.col("id").cast(idt).alias("id"), F.lit(1.0 / n).alias("score")
+            )
     else:
-        scores = graph.vertices.select("id", F.lit(1.0 / n).alias("score"))
+        scores = graph.vertices.select(
+            F.col("id").cast(idt).alias("id"), F.lit(1.0 / n).alias("score")
+        )
 
     state = IterationState(checkpoint, "pagerank", start_iteration=it0)
     scores = state.advance(it0, scores)
@@ -347,6 +384,8 @@ def pagerank(
             ):
                 break
 
+    if compact:
+        scores = scores.select(F.col("id").cast("long").alias("id"), "score")
     if normalized:
         # (1/n) * ((1-damp) + damp * sum over dangling vertices) — PageRank.cpp:80-89
         dangling_sum = (

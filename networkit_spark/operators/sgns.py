@@ -17,12 +17,17 @@ the walk->embedding role are the same):
   gradients against the epoch-start weights, averages them (mean
   gradient), and applies ONE update — the distributed-natural formulation
   (two groupBy aggregations per epoch), identical at any parallelism.
-- **Uniform negative sampling, not unigram^0.75.** The 0.75-power CDF has
-  non-dyadic cumulative sums (engine-exact inverse-CDF draws break) and
-  needs a range join per draw; a uniform draw is one md5 hash mapped to a
-  node rank — an equi-join that scales to 10^9 vertices. Draws that
-  collide with the pair's true context are dropped (the reference's
-  word2vec `if (target == word) continue`).
+- **Derandomized unigram^0.75 negative sampling** (default; r5 — closes
+  the larger of r4's two documented deviations): word2vec's quantized
+  unigram table (LearnEmbedding.cpp InitUnigramTable role) rebuilt with
+  integer-exact arithmetic so both engines agree bit-for-bit —
+  cnt^0.75 = sqrt(sqrt(cnt^3)) (sqrt IS correctly rounded in IEEE 754,
+  unlike pow), snapped to an integer weight on the 2^-20 grid; slots
+  apportioned by integer largest-remainder; the slot table materialized
+  as T rows and each draw an md5-mod-T EQUI-join on the slot — the same
+  scale shape as the uniform draw (``neg_dist="uniform"`` keeps it).
+  Draws that collide with the pair's true context are dropped (the
+  reference's word2vec `if (target == word) continue`).
 - **Exact sigmoid, no MAX_EXP lookup table** (the table is a CPU-cache
   trick, not semantics).
 
@@ -87,6 +92,69 @@ def skipgram_pairs(
     )
 
 
+def unigram_table(
+    walks: DataFrame, table_size: int | None = None
+) -> tuple[DataFrame, int]:
+    """((slot, node) quantized unigram^0.75 draw table, T) over the walk
+    corpus — word2vec's InitUnigramTable with deterministic integer
+    apportionment (module docstring). T defaults to 8x the vocabulary
+    (>= word2vec's 1e8/|V| slot density at any corpus that matters);
+    every arithmetic step is exact in int64, so the oracle SQL lands on
+    the identical table. Scale shape: one count groupBy, two
+    range-partition cumsums over the |V|-row weight table (no single-task
+    window), one T-row explode."""
+    from networkit_spark.functions.ordering import global_cumsum
+
+    cnt = walks.groupBy("node").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    # cnt^0.75 via sqrt(sqrt(cnt^3)): sqrt is correctly rounded (IEEE), so
+    # the double is bit-identical in any engine; snap to the 2^-20 integer
+    # grid. (pow() is NOT correctly rounded and could flip the floor.)
+    q = cnt.select(
+        "node",
+        F.floor(
+            F.sqrt(F.sqrt(F.col("cnt") * F.col("cnt") * F.col("cnt")))
+            * F.lit(float(1 << 20))
+            + F.lit(0.5)
+        ).cast("long").alias("q"),
+    )
+    tot = q.agg(F.sum("q").alias("qq"), F.count(F.lit(1)).alias("v")).first()
+    big_q, vocab = int(tot["qq"]), int(tot["v"])
+    T = table_size if table_size is not None else 8 * vocab
+    # integer largest-remainder apportionment of T slots by weight
+    base = q.select(
+        "node",
+        "q",
+        F.expr(f"(CAST({T} AS BIGINT) * q) DIV {big_q}").alias("base"),
+        F.expr(f"(CAST({T} AS BIGINT) * q) % {big_q}").alias("rem"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    leftover = T - int(base.agg(F.sum("base")).first()[0])
+    ranked = global_cumsum(
+        base.withColumn("nrem", -F.col("rem")), ["nrem", "node"], ["one"]
+    ).select(
+        "node",
+        (
+            F.col("base")
+            + F.when(F.col("cum_one") <= leftover, F.lit(1)).otherwise(F.lit(0))
+        ).alias("slots"),
+    )
+    occupied = ranked.filter(F.col("slots") > 0).withColumn(
+        "sl", F.col("slots").cast("long")
+    )
+    started = global_cumsum(occupied, ["node"], ["sl"]).select(
+        "node", "slots", (F.col("cum_sl") - F.col("slots")).alias("start")
+    )
+    table = started.select(
+        "node",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.col("slots") - 1)
+        ).alias("slot"),
+    ).select("slot", "node")
+    return materialize(table), T
+
+
 def train_sgns(
     walks: DataFrame,
     vertices: DataFrame,
@@ -96,6 +164,7 @@ def train_sgns(
     lr: float = 4.0,
     epochs: int = 3,
     seed: int = 42,
+    neg_dist: str = "unigram75",
 ) -> DataFrame:
     """(id, emb array<double>) — the in-embedding matrix after ``epochs``
     synchronous mean-gradient SGNS epochs over ``walks``
@@ -107,30 +176,42 @@ def train_sgns(
     (module docstring protocol)."""
     spark = walks.sparkSession
 
-    # dense rank of the vertex universe for uniform negative draws; ids are
-    # non-negative graph ids, compact_labels orders them numerically
-    from networkit_spark.operators.clustering_tools import compact_labels
-
-    rank = materialize(
-        compact_labels(vertices.select(F.col("id").alias("label")))
-        .select(F.col("label").alias("node"), F.col("cid").alias("rank"))
-    )
-    n = rank.count()
-
     pos = skipgram_pairs(walks, window)
     reps = spark.range(negatives).select(F.col("id").cast("int").alias("i"))
-    neg_rank = F.expr(
+    draw = F.expr(
         md5_long_sql(
             f"('{seed}:neg:' || CAST(i AS STRING) || ':' || "
             "CAST(walk_id AS STRING) || ':' || CAST(cs AS STRING) || ':' || "
             "CAST(os AS STRING))"
         )
-    ) % F.lit(n)
+    )
+    if neg_dist == "unigram75":
+        # word2vec unigram^0.75 draw table (equi-join on the slot)
+        table, T = unigram_table(walks)
+        neg = (
+            pos.crossJoin(reps)
+            .withColumn("slot", draw % F.lit(T))
+            .join(table, "slot")
+        )
+    elif neg_dist == "uniform":
+        # dense rank of the vertex universe for uniform draws; ids are
+        # non-negative graph ids, compact_labels orders them numerically
+        from networkit_spark.operators.clustering_tools import compact_labels
+
+        rank = materialize(
+            compact_labels(vertices.select(F.col("id").alias("label")))
+            .select(F.col("label").alias("node"), F.col("cid").alias("rank"))
+        )
+        n_ranks = rank.count()
+        neg = (
+            pos.crossJoin(reps)
+            .withColumn("rank", draw % F.lit(n_ranks))
+            .join(rank, "rank")
+        )
+    else:
+        raise ValueError(f"neg_dist must be 'unigram75' or 'uniform', got {neg_dist!r}")
     neg = (
-        pos.crossJoin(reps)
-        .withColumn("rank", neg_rank)
-        .join(rank, "rank")
-        .filter(F.col("node") != F.col("o"))  # word2vec skips target==word
+        neg.filter(F.col("node") != F.col("o"))  # word2vec skips target==word
         .select("walk_id", "cs", "os", "c", F.col("node").alias("o"),
                 F.lit(0.0).alias("label"))
     )

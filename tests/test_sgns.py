@@ -91,3 +91,68 @@ def test_sgns_untrained_vertices_keep_init(spark):
     out = {r["id"]: list(r["emb"]) for r in e3.collect()}
     assert out[2] == init[2]
     assert out[0] != init[0]
+
+
+def test_unigram_table_apportionment(spark):
+    """unigram_table: T = 8x vocab slots, contiguous 0..T-1, and every
+    node's slot count within 1 of its exact cnt^0.75 share (integer
+    largest-remainder apportionment)."""
+    from networkit_spark.operators.sgns import unigram_table
+
+    rows = []
+    counts = {1: 16, 2: 81, 3: 1, 4: 256}  # distinct ^0.75 masses
+    wid = 0
+    for node, c in counts.items():
+        for k in range(c):
+            rows.append((wid, 0, node))
+            wid += 1
+    walks = spark.createDataFrame(rows, "walk_id long, step int, node long")
+    table, T = unigram_table(walks)
+    tb = table.toPandas()
+    assert T == 8 * len(counts)
+    assert len(tb) == T
+    assert sorted(tb["slot"]) == list(range(T))
+    import math
+
+    weights = {n: math.sqrt(math.sqrt(c**3)) for n, c in counts.items()}
+    tot = sum(weights.values())
+    got = tb.groupby("node").size().to_dict()
+    for n, w in weights.items():
+        exact = T * w / tot
+        assert abs(got.get(n, 0) - exact) < 1.0, (n, got.get(n), exact)
+
+
+def test_unigram_negative_draws_follow_power_law(spark):
+    """md5 % T over the table reproduces the quantized unigram^0.75
+    distribution: the heavy node's draw share matches its slot share."""
+    from pyspark.sql import functions as F
+
+    from networkit_spark.operators.sgns import unigram_table
+
+    rows = []
+    wid = 0
+    for node, c in {7: 200, 8: 10, 9: 10}.items():
+        for _ in range(c):
+            rows.append((wid, 0, node))
+            wid += 1
+    walks = spark.createDataFrame(rows, "walk_id long, step int, node long")
+    table, T = unigram_table(walks)
+    share = {
+        r["node"]: r["c"] / T
+        for r in table.groupBy("node").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    draws = (
+        spark.range(20000)
+        .withColumn("slot", F.pmod(F.xxhash64("id"), F.lit(T)))
+        .join(table, "slot")
+    )
+    n_draws = draws.count()
+    got = {
+        r["node"]: r["c"] / n_draws
+        for r in draws.groupBy("node").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for node in share:
+        assert abs(got[node] - share[node]) < 0.02, (node, got[node], share[node])
+    # 200^0.75 / (200^0.75 + 2*10^0.75) ~ 0.825 -> heavy node dominates but
+    # far below its raw-count share (0.91): the 0.75 power flattens
+    assert 0.78 < share[7] < 0.87
