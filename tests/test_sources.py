@@ -834,3 +834,54 @@ def test_nx_adapter_roundtrip(spark):
     back2 = graph_to_nx(g2)
     assert back2.is_directed()
     assert set(back2.edges()) == {(m2[0], m2[1]), (m2[1], m2[2])}
+
+
+def test_gephi_events_match_reference_protocol(spark):
+    """to_gephi_events == GephiStreamingClient.exportGraph's event stream
+    (gephi/streaming.py:39-77, pyclient.py:68-83) replayed in pure Python
+    on the same fixture: same event order, ids, grid coordinates, attrs."""
+    import json
+    import math
+
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.sources.gephi import to_gephi_events
+
+    rows = [(0, 1, 1.0), (1, 2, 1.0), (3, 0, 1.0), (2, 2, 1.0)]
+    g = from_edge_rows(spark, rows, directed=False, weighted=True)
+    got = [
+        json.loads(r["event"])
+        for r in to_gephi_events(g).orderBy("seq").collect()
+    ]
+
+    # reference replica
+    ids = [0, 1, 2, 3]
+    n = len(ids)
+    side = math.ceil(math.sqrt(n))
+    step = 2000 / side
+    offset = 2000 / 2
+    want = []
+    for i, u in enumerate(ids):
+        want.append(
+            {"an": {str(u): {"size": 2.0, "r": 0.6, "g": 0.6, "b": 0.6,
+                             "y": (i // side) * step - offset,
+                             "x": (i % side) * step - offset}}}
+        )
+    for (u, v) in [(0, 1), (0, 3), (1, 2), (2, 2)]:  # canonical, sorted
+        want.append(
+            {"ae": {f"{min(u,v)}-{max(u,v)}": {
+                "source": min(u, v), "target": max(u, v), "directed": False}}}
+        )
+    assert got == want
+
+
+def test_gephi_events_directed_edge_ids(spark):
+    import json
+
+    from networkit_spark.graph import from_edge_rows
+    from networkit_spark.sources.gephi import to_gephi_events
+
+    g = from_edge_rows(spark, [(1, 0, 1.0)], directed=True, weighted=True)
+    ev = [json.loads(r["event"]) for r in to_gephi_events(g).orderBy("seq").collect()]
+    ae = [e for e in ev if "ae" in e]
+    assert list(ae[0]["ae"]) == ["1->0"]
+    assert ae[0]["ae"]["1->0"]["directed"] is True

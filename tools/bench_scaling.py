@@ -131,7 +131,15 @@ def main() -> None:
             for r in range(reps_by_size[c])]
         for c in sizes
     }
-    results = {
+    # headline = MEDIAN rep per rung (ADVICE r4: never lead with the best
+    # rep — it optimizes over host noise); the best rep is reported beside
+    # it as the upper-bound capability estimate on this multi-tenant VM
+    def med_rep(rs):
+        o = sorted(rs, key=lambda r: r["edges_per_sec_per_superstep"])
+        return o[len(o) // 2]
+
+    results = {c: med_rep(rs) for c, rs in all_reps.items()}
+    best_results = {
         c: max(rs, key=lambda r: r["edges_per_sec_per_superstep"])
         for c, rs in all_reps.items()
     }
@@ -139,18 +147,23 @@ def main() -> None:
     def tp(c):
         return results[c]["edges_per_sec_per_superstep"]
 
+    def tpb(c):
+        return best_results[c]["edges_per_sec_per_superstep"]
+
     pairs = [
-        (a, b, (tp(b) / tp(a)) / (b / a))
+        (a, b, (tp(b) / tp(a)) / (b / a), (tpb(b) / tpb(a)) / (b / a))
         for a, b in zip(sizes, sizes[1:] + sizes[2:])
         if b == 4 * a
     ]
 
     rows = "\n".join(
-        f"| local[{c}] | {r['median_superstep_sec']} | {tp(c):,.0f} | {r['total_sec']} |"
+        f"| local[{c}] | {r['median_superstep_sec']} | {tp(c):,.0f} "
+        f"| {tpb(c):,.0f} | {r['total_sec']} |"
         for c, r in results.items()
     )
     pair_rows = "\n".join(
-        f"| local[{a}] -> local[{b}] (N -> 4N) | **{e:.3f}** |" for a, b, e in pairs
+        f"| local[{a}] -> local[{b}] (N -> 4N) | **{e:.3f}** | {eb:.3f} |"
+        for a, b, e, eb in pairs
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — scaling protocol results (written by tools/bench_scaling.py)
@@ -160,17 +173,20 @@ n_tools=64, {results[sizes[0]]['directed_edges']:,} directed edge visits per
 superstep), same code path (`spark-submit --py-files networkit_spark.zip
 tools/bench_run.py`), PageRank {iters} fixed supersteps (chained fast path: one action per
 4-superstep block), shuffle partitions = max(2x cores, 32). Per-superstep wall = steady-state median (first superstep
-excluded as warmup). Each rung = best of {reps} rep(s) — the sandbox VM is
-multi-tenant and host contention swings identical runs up to 2x (noise only
-subtracts throughput), so the best rep estimates plan+hardware capability;
-every rep is in the raw JSON below.
+excluded as warmup). Each rung = median of {reps} rep(s) (best rep
+beside it) — the sandbox VM is multi-tenant and host contention swings
+identical runs up to 2x; every rep is in the raw JSON below.
 
-| parallelism | median superstep sec | edges/sec per superstep | total wall s |
-|---|---|---|---|
+Headline columns are the MEDIAN rep per rung; "best rep" is the
+upper-bound capability estimate (host contention only subtracts
+throughput) and is never compared against another round's median.
+
+| parallelism | median superstep sec | edges/sec per superstep (median rep) | best rep | total wall s |
+|---|---|---|---|---|
 {rows}
 
-| N -> 4N pair | scaling efficiency |
-|---|---|
+| N -> 4N pair | scaling efficiency (median reps) | best reps |
+|---|---|---|
 {pair_rows}
 
 Target: efficiency >= 0.8 (north rule). Reading the pairs: this sandbox is
@@ -186,13 +202,15 @@ Raw JSON:
 
 ```json
 {json.dumps({f'local{c}': r for c, r in results.items()}
-            | {'efficiency_pairs': {f'{a}->{b}': round(e, 4) for a, b, e in pairs}}
+            | {'efficiency_pairs': {f'{a}->{b}': round(e, 4) for a, b, e, _ in pairs}}
+            | {'efficiency_pairs_best': {f'{a}->{b}': round(eb, 4) for a, b, _, eb in pairs}}
             | {'all_reps': {f'local{c}': rs for c, rs in all_reps.items()}}, indent=2)}
 ```
 {CEILING_EVIDENCE}"""
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({f"eff_{a}_{b}": round(e, 4) for a, b, e in pairs}))
+    print(json.dumps({f"eff_{a}_{b}": round(e, 4) for a, b, e, _ in pairs}
+                     | {f"eff_best_{a}_{b}": round(eb, 4) for a, b, _, eb in pairs}))
 
 
 if __name__ == "__main__":
