@@ -231,3 +231,37 @@ def test_new_curation_queries_stay_jvm_side(spark):
     for line in feat_plan.splitlines():
         if "Filter" in line or "FileScan" in line:
             assert "regexp" not in line, line
+
+
+def test_rank_correlation_plan_no_python_no_global_window(spark):
+    """profile_rank_correlation (r5): the average-rank build must stay
+    JVM-side and use the range-partition cumsum, not a single-task global
+    window (no empty-partitionBy Window in the plan)."""
+    from networkit_spark.operators.profile import rank_correlation
+
+    m = spark.createDataFrame(
+        [(i, "a", float(i % 7)) for i in range(50)]
+        + [(i, "b", float(i % 3)) for i in range(50)],
+        "id long, measure string, x double",
+    )
+    plan = _plan(rank_correlation(m))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # the only Window is the per-_pid running sum (partitioned), never a
+    # global (empty-partition-spec) sort of all rows into one task
+    for frag in plan.split("Window")[1:]:
+        head = frag[:200]
+        if "partitionBy" in head or "windowspecdefinition" in head.lower():
+            assert "_pid" in head, head
+
+
+def test_unigram_table_plan_no_python(spark):
+    from networkit_spark.operators.sgns import unigram_table
+
+    walks = spark.createDataFrame(
+        [(i, 0, i % 5) for i in range(40)], "walk_id long, step int, node long"
+    )
+    table, T = unigram_table(walks)
+    plan = _plan(table)
+    assert "BatchEvalPython" not in plan
+    assert T == 8 * 5
