@@ -76,6 +76,14 @@ def test_no_forced_vertex_sized_broadcasts():
         # P-row per-partition rank/cumsum offsets (P = shuffle partitions)
         "operators/measures.py": ["F.broadcast(off_df)"],
         "functions/ordering.py": ["F.broadcast(off_df)"],
+        # |measures|-row tables (a handful of centrality names) in the
+        # profiling correlation matrix (r5)
+        "operators/profile.py": [
+            "F.broadcast(off_df)",
+            "F.broadcast(st)",
+            "F.broadcast(sa)",
+            "F.broadcast(sb)",
+        ],
         "operators/scd.py": [
             "F.broadcast(tv)",  # 1-row total volume
             "F.broadcast(best)",  # 1-row argmin
