@@ -20,6 +20,10 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--interval", type=int, default=4)
     ap.add_argument("--impl", default="expr", choices=["expr", "csr"])
+    ap.add_argument("--no-compact", action="store_true",
+                    help="disable int32 superstep ids (r5 default: auto-on)")
+    ap.add_argument("--frac32", action="store_true",
+                    help="store the static edge fraction as float32")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-aqe", action="store_true")
     ap.add_argument(
@@ -98,7 +102,9 @@ def main() -> None:
     )
     t0 = time.time()
     pagerank(g, tol=0.0, max_iterations=args.iters, checkpoint=cp,
-             broadcast_scores=False, impl=args.impl)
+             broadcast_scores=False, impl=args.impl,
+             compact_ids=False if args.no_compact else None,
+             frac32=args.frac32)
     total = time.time() - t0
 
     from networkit_spark.plans.checkpoint import per_superstep_seconds
@@ -111,6 +117,8 @@ def main() -> None:
     ]
     out = {
         "impl": args.impl,
+        "compact_ids": not args.no_compact,
+        "frac32": args.frac32,
         "cores": args.cores,
         "convs": args.convs,
         "directed_edges": directed_edges,
