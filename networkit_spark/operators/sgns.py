@@ -119,9 +119,19 @@ def unigram_table(
             + F.lit(0.5)
         ).cast("long").alias("q"),
     )
-    tot = q.agg(F.sum("q").alias("qq"), F.count(F.lit(1)).alias("v")).first()
-    big_q, vocab = int(tot["qq"]), int(tot["v"])
+    tot = q.agg(
+        F.sum("q").alias("qq"), F.count(F.lit(1)).alias("v"), F.max("q").alias("mq")
+    ).first()
+    big_q, vocab, max_q = int(tot["qq"]), int(tot["v"]), int(tot["mq"])
     T = table_size if table_size is not None else 8 * vocab
+    # the apportionment computes T*q in int64; DuckDB silently promotes to
+    # hugeint while Spark would wrap — refuse the divergence loudly
+    if max_q > (2**63 - 1) // max(T, 1):
+        raise ValueError(
+            f"unigram_table: T*max(q) = {T}*{max_q} overflows int64; pass a "
+            "smaller table_size (slots per node only need ~constant factor "
+            "over the vocabulary)"
+        )
     # integer largest-remainder apportionment of T slots by weight
     base = q.select(
         "node",

@@ -156,3 +156,15 @@ def test_unigram_negative_draws_follow_power_law(spark):
     # 200^0.75 / (200^0.75 + 2*10^0.75) ~ 0.825 -> heavy node dominates but
     # far below its raw-count share (0.91): the 0.75 power flattens
     assert 0.78 < share[7] < 0.87
+
+
+def test_unigram_table_overflow_guard(spark):
+    from networkit_spark.operators.sgns import unigram_table
+
+    walks = spark.createDataFrame(
+        [(0, 0, 1), (1, 0, 2)], "walk_id long, step int, node long"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="overflows int64"):
+        unigram_table(walks, table_size=2**62)
