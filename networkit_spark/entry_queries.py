@@ -1940,6 +1940,22 @@ def q_profile_rank_correlation(spark, sf_dir):
     return rank_correlation(m)
 
 
+def q_graph_algebraic_sssp(spark, sf_dir):
+    """AlgebraicBellmanFord (algebraic/algorithms/AlgebraicBellmanFord.hpp)
+    via the GraphBLAS semiring layer: MinPlus MxV relaxations pinned to
+    SSSP_ITERS — the same fixpoint (and oracle) as the native
+    sssp_weighted, reached through the algebraic surface."""
+    from networkit_spark.operators.graphblas import algebraic_bellman_ford
+
+    g, _ = L.events_graph(spark, sf_dir)
+    d, _ = algebraic_bellman_ford(
+        g, source=0, relaxations=SSSP_ITERS, detect_negative_cycle=False
+    )
+    return d.filter(F.col("dist") != float("inf")).select(
+        "id", F.round("dist", 6).alias("dist")
+    )
+
+
 # ---- registry -------------------------------------------------------------
 
 # Driver-gate rotation (VERDICT r2 task 1): the driver's correctness gate
@@ -2031,6 +2047,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_hashed_features": q_text_hashed_features,
     "graph_profile_distributions": q_graph_profile,
     "profile_rank_correlation": q_profile_rank_correlation,
+    "graph_algebraic_sssp": q_graph_algebraic_sssp,
     "text_span_dedup": q_text_span_dedup,
     "text_source_mixing": q_text_source_mixing,
     "graph_neighborhood_heuristic": q_graph_neighborhood_heuristic,
@@ -2326,6 +2343,7 @@ def build_oracles() -> dict[str, str]:
         "text_hashed_features": L.sql_hashed_features(HASHED_FEATURES_DIM),
         "graph_profile_distributions": L.sql_profile_distributions(CC_ITERS),
         "profile_rank_correlation": L.sql_profile_rank_correlation(PR_ITERS),
+        "graph_algebraic_sssp": L.sql_sssp(SSSP_ITERS),
         "text_span_dedup": L.sql_span_dedup(SPAN_DEDUP_N, SPAN_DEDUP_THRESHOLD),
         "text_source_mixing": L.sql_source_mixing(MIXING_TARGET),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),
