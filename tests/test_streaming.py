@@ -812,3 +812,86 @@ def test_streaming_ttl_rejects_nonpositive():
 
     assert _state_timeout(None) == GroupStateTimeout.NoTimeout
     assert _state_timeout(500) == GroupStateTimeout.ProcessingTimeTimeout
+
+
+def test_streaming_neardup_ttl_evicts_idle_buckets(spark, tmp_path):
+    """near_dup_stream ttl_ms: an idle LSH bucket's anchor is evicted, so
+    the same content re-arriving after the horizon anchors a fresh bucket
+    (is_candidate=False) instead of pairing with the long-gone anchor."""
+    import time
+
+    from networkit_spark.streaming.transcripts_stream import near_dup_stream
+
+    src = os.path.join(str(tmp_path), "nd_ttl_in")
+    schema = "doc_id long, text string"
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    for batch in ([(10, text)], [(20, "entirely different words here ok")],
+                  [(30, text)]):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        near_dup_stream(stream, ttl_ms=1)
+        .writeStream.format("memory")
+        .queryName("nd_ttl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from nd_ttl_out").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 30 re-anchors every one of its buckets: no candidate pair survives
+    assert all(not r["is_candidate"] and r["rep_id"] == 30 for r in by_doc[30])
+    assert all(not r["is_candidate"] and r["rep_id"] == 10 for r in by_doc[10])
+
+
+def test_streaming_transitions_ttl_no_phantom_edge(spark, tmp_path):
+    """tool_transitions_stream ttl_ms: a conversation idle past the TTL is
+    evicted; its next turn starts a fresh chain instead of emitting a
+    phantom transition from the pre-eviction tool."""
+    import time
+
+    from networkit_spark.streaming.transcripts_stream import (
+        tool_transitions_stream,
+    )
+
+    src = os.path.join(str(tmp_path), "tt_ttl_in")
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1)
+    batches = (
+        [("c1", 0, "assistant", "x", "grep", t0)],
+        [("c2", 0, "assistant", "x", "ls", t0)],  # forces a batch; c1 idles out
+        [("c1", 1, "assistant", "x", "edit", t0)],
+    )
+    for batch in batches:
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        tool_transitions_stream(stream.select("conv_id", "turn_idx", "tool", "ts"), ttl_ms=1)
+        .writeStream.format("memory")
+        .queryName("tt_ttl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from tt_ttl_out").collect()
+    # with NoTimeout this stream emits grep<->edit; with the TTL, c1's state
+    # evicted between batch 1 and batch 3 -> no transition rows at all
+    assert rows == []
