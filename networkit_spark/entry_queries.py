@@ -2190,6 +2190,11 @@ _SEMANTICS_CHANGED: dict[str, int] = {
 # unigram^0.75 quantized table (operators/sgns.py unigram_table + the
 # matching utab oracle CTEs) — the r4 green predates the change.
 _SEMANTICS_CHANGED["embed_sgns"] = 5
+# r5: pagerank's fast path stores int32 ids (compact_ids auto) — same math,
+# but hash partitioning over int keys changes double-summation order by
+# ULPs under the 6dp rounding, so the driver should re-hash it (locally
+# re-verified green via tools/check_correctness this round).
+_SEMANTICS_CHANGED["graph_pagerank"] = 5
 
 _GREEN_ROUNDS = _artifact_green_rounds()
 # Kept under its historical name: tests/test_entry_contract.py pins this to
