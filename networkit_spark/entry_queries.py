@@ -1956,6 +1956,26 @@ def q_graph_algebraic_sssp(spark, sf_dir):
     )
 
 
+QCLS_POSITIVES = ("src0", "src1", "src2", "src3", "src4")
+QCLS_DIM = 64
+QCLS_LR = 4.0
+QCLS_EPOCHS = 3
+
+
+def q_text_quality_classifier(spark, sf_dir):
+    """GPT-3 quality-classifier curation step (textstats.quality_classifier):
+    logistic regression on signed hashed features with weak source labels,
+    dyadic-grid deterministic training, Pareto keep rule."""
+    return textstats.quality_classifier(
+        _docs(spark, sf_dir),
+        positive_sources=list(QCLS_POSITIVES),
+        dim=QCLS_DIM,
+        lr=QCLS_LR,
+        epochs=QCLS_EPOCHS,
+        seed=42,
+    )
+
+
 # ---- registry -------------------------------------------------------------
 
 # Driver-gate rotation (VERDICT r2 task 1): the driver's correctness gate
@@ -2048,6 +2068,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_profile_distributions": q_graph_profile,
     "profile_rank_correlation": q_profile_rank_correlation,
     "graph_algebraic_sssp": q_graph_algebraic_sssp,
+    "text_quality_classifier": q_text_quality_classifier,
     "text_span_dedup": q_text_span_dedup,
     "text_source_mixing": q_text_source_mixing,
     "graph_neighborhood_heuristic": q_graph_neighborhood_heuristic,
@@ -2349,6 +2370,9 @@ def build_oracles() -> dict[str, str]:
         "graph_profile_distributions": L.sql_profile_distributions(CC_ITERS),
         "profile_rank_correlation": L.sql_profile_rank_correlation(PR_ITERS),
         "graph_algebraic_sssp": L.sql_sssp(SSSP_ITERS),
+        "text_quality_classifier": L.sql_quality_classifier(
+            QCLS_POSITIVES, QCLS_DIM, QCLS_LR, QCLS_EPOCHS, 42
+        ),
         "text_span_dedup": L.sql_span_dedup(SPAN_DEDUP_N, SPAN_DEDUP_THRESHOLD),
         "text_source_mixing": L.sql_source_mixing(MIXING_TARGET),
         "community_measures": L.sql_partition_measures(LP_ITERS, 2),

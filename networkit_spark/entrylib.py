@@ -5321,6 +5321,103 @@ SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
 FROM feat GROUP BY doc_id, bucket ORDER BY doc_id, bucket"""
 
 
+def sql_quality_classifier(
+    positives: tuple[str, ...],
+    dim: int = 64,
+    lr: float = 4.0,
+    epochs: int = 3,
+    seed: int = 42,
+    pareto_alpha: float = 9.0,
+) -> str:
+    """Mirror of textstats.quality_classifier: unrolled full-batch
+    mean-gradient logistic regression on signed hashed features under the
+    SGNS dyadic-grid protocol (coefficients snapped to 2^-24 after the
+    sigmoid, gradient contributions to 2^-30 before the SUM), then the
+    GPT-3 Pareto keep rule with a 2^-24-snapped derandomized draw."""
+    from networkit_spark.functions.hashing import md5_long_sql
+
+    Q24, Q30 = float(1 << 24), float(1 << 30)
+    P48 = float(1 << 48)
+    hb = md5_long_sql(f"('fhb{seed}:' || tok)")
+    hs = md5_long_sql(f"('fhs{seed}:' || tok)")
+    udraw = md5_long_sql(f"('qcls{seed}:' || CAST(doc_id AS STRING))")
+    pos_list = ", ".join(f"'{p}'" for p in positives)
+    ctes = [
+        f"""tokq AS (SELECT doc_id, unnest(toks) AS tok FROM docs_tok)""",
+        f"""featq AS MATERIALIZED (
+    SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+    FROM (
+        SELECT doc_id,
+               CAST({hb} % {dim} AS INT) AS bucket,
+               CAST({hs} % 2 * 2 - 1 AS BIGINT) AS sign
+        FROM tokq
+    ) GROUP BY doc_id, bucket
+)""",
+        f"""lab AS MATERIALIZED (
+    SELECT doc_id,
+           CASE WHEN source IN ({pos_list}) THEN 1.0 ELSE 0.0 END AS y
+    FROM documents
+)""",
+        "ndq AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM lab)",
+        f"""w0 AS (SELECT CAST(i AS INT) AS bucket, 0.0 AS w
+    FROM generate_series(-1, {dim - 1}) t(i))""",
+    ]
+    for e in range(epochs):
+        ctes.append(
+            f"""dpq{e} AS (
+    SELECT f.doc_id, SUM(w.w * f.weight) AS dp
+    FROM featq f JOIN w{e} w ON w.bucket = f.bucket
+    GROUP BY f.doc_id
+)"""
+        )
+        ctes.append(
+            f"""scq{e} AS MATERIALIZED (
+    SELECT l.doc_id,
+           FLOOR({lr} * (l.y - 1.0 / (1.0 + EXP(-(b.w + COALESCE(d.dp, 0.0)))))
+                 / n.c * {Q24} + 0.5) / {Q24} AS g
+    FROM lab l
+    LEFT JOIN dpq{e} d ON d.doc_id = l.doc_id
+    CROSS JOIN ndq n
+    CROSS JOIN (SELECT w FROM w{e} WHERE bucket = -1) b
+)"""
+        )
+        ctes.append(
+            f"""gwq{e} AS (
+    SELECT f.bucket, SUM(FLOOR(s.g * f.weight * {Q30} + 0.5) / {Q30}) AS dv
+    FROM featq f JOIN scq{e} s ON s.doc_id = f.doc_id
+    GROUP BY f.bucket
+    UNION ALL
+    SELECT CAST(-1 AS INT), SUM(FLOOR(s.g * {Q30} + 0.5) / {Q30}) FROM scq{e} s
+)"""
+        )
+        ctes.append(
+            f"""w{e + 1} AS MATERIALIZED (
+    SELECT w.bucket, w.w + COALESCE(d.dv, 0.0) AS w
+    FROM w{e} w
+    LEFT JOIN gwq{e} d ON d.bucket = w.bucket
+)"""
+        )
+    ctes.append(
+        f"""finq AS (
+    SELECT l.doc_id, l.y,
+           ROUND(1.0 / (1.0 + EXP(-(b.w + COALESCE(d.dp, 0.0)))), 6) AS score
+    FROM lab l
+    LEFT JOIN (
+        SELECT f.doc_id, SUM(w.w * f.weight) AS dp
+        FROM featq f JOIN w{epochs} w ON w.bucket = f.bucket
+        GROUP BY f.doc_id
+    ) d ON d.doc_id = l.doc_id
+    CROSS JOIN (SELECT w FROM w{epochs} WHERE bucket = -1) b
+)"""
+    )
+    return f"""WITH {DOCS_CTE},
+{", ".join(ctes)}
+SELECT doc_id, y AS label, score + 0.0 AS score,
+       FLOOR((POW(1.0 - ({udraw}) / {P48}, {-1.0 / pareto_alpha}) - 1.0)
+             * {Q24} + 0.5) / {Q24} > 1.0 - score AS keep
+FROM finq ORDER BY doc_id"""
+
+
 def sql_source_mixing(target: int, seed: int = 42) -> str:
     """Mirror of textstats.source_mixing: sqrt-temperature mixture weights
     (sqrt is IEEE-correctly-rounded in both engines, unlike pow), 6dp-

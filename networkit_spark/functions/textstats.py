@@ -675,3 +675,143 @@ def hashed_doc_vectors(
             ).cast("float"),
         ).alias("embedding"),
     )
+
+
+def quality_classifier(
+    df: DataFrame,
+    positive_sources: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    dim: int = 64,
+    lr: float = 4.0,
+    epochs: int = 3,
+    seed: int = 42,
+    pareto_alpha: float = 9.0,
+) -> DataFrame:
+    """(doc_id, label, score, keep) — the GPT-3 WebText-quality-classifier
+    curation step (Brown et al. 2020, app. A; the same role as fastText
+    quality filters in LLaMA/RedPajama): train a logistic-regression
+    classifier on signed hashed features with weak source labels
+    (documents from ``positive_sources`` are the high-quality class), then
+    score every document and keep it when a derandomized Pareto draw
+    exceeds 1 - score (GPT-3's ``np.random.pareto(alpha) > 1 - score``
+    with alpha = 9).
+
+    Training is synchronous full-batch mean-gradient descent under the
+    SGNS dyadic-grid protocol (operators/sgns.py module docstring): the
+    per-doc coefficient lr*(y - sigmoid(w.x))/n_docs snaps to the 2^-24
+    grid after the sigmoid (absorbing cross-libm EXP ULPs), every
+    per-bucket gradient contribution snaps to the 2^-30 grid before the
+    SUM, and weights start at exactly 0 — so sums are order-exact, the
+    run is deterministic at any parallelism, and the DuckDB oracle is
+    bit-identical. The feature dot products w.x are themselves exact (w
+    stays on the 2^-30 grid, x is an integer signed count) while |w.x|
+    stays under 2^23 — far above anything ``epochs * lr`` can reach here.
+    The Pareto draw (1-u)^(-1/alpha) - 1 uses libm pow, so it too is
+    snapped to 2^-24 and compared against 1 - ROUND(score, 6).
+
+    100 TB shape: per epoch, one bucket-keyed equi-join (dim+1 weight rows,
+    broadcastable) + one doc-keyed groupBy for the dots, one doc-keyed
+    equi-join + one bucket-keyed partial-agg groupBy for the gradient —
+    the sgns epoch shape; nothing driver-side but the doc count."""
+    from networkit_spark.functions.hashing import md5_long_sql
+    from networkit_spark.plans.checkpoint import IterationState, materialize
+
+    spark = df.sparkSession
+    Q24, Q30 = float(1 << 24), float(1 << 30)
+
+    def snap(col, grid):
+        return F.floor(col * F.lit(grid) + F.lit(0.5)) / F.lit(grid)
+
+    feats = materialize(
+        hashed_doc_features(df, id_col, text_col, dim=dim, seed=seed)
+    )
+    pos = [str(s) for s in positive_sources]
+    labels = materialize(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.when(F.col(source_col).isin(pos), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("y"),
+        )
+    )
+    n_docs = labels.count()
+    if n_docs == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, label double, score double, keep boolean"
+        )
+    if lr / n_docs < 1.0 / Q24:
+        raise ValueError(
+            f"lr/n_docs = {lr}/{n_docs} is below the 2^-24 coefficient grid: "
+            "every snapped gradient would be 0; raise lr proportionally"
+        )
+
+    # weights: buckets 0..dim-1 plus the bias at bucket -1, all exactly 0
+    w = spark.createDataFrame(
+        [(b, 0.0) for b in range(-1, dim)], "bucket int, w double"
+    ).localCheckpoint(eager=True)
+    it = IterationState(None, "quality_classifier")
+
+    def dots(weights):
+        dp = (
+            feats.join(F.broadcast(weights), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w") * F.col("weight")).alias("dp"))
+        )
+        bias = weights.filter(F.col("bucket") == -1).select(
+            F.col("w").alias("bias")
+        )
+        return (
+            labels.join(dp, "doc_id", "left")
+            .crossJoin(F.broadcast(bias))
+            .select(
+                "doc_id",
+                "y",
+                (F.col("bias") + F.coalesce(F.col("dp"), F.lit(0.0))).alias("z"),
+            )
+        )
+
+    for e in range(epochs):
+        scored = dots(w).select(
+            "doc_id",
+            snap(
+                F.lit(lr)
+                * (F.col("y") - F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))))
+                / F.lit(float(n_docs)),
+                Q24,
+            ).alias("g"),
+        )
+        gw = (
+            feats.join(scored, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(snap(F.col("g") * F.col("weight"), Q30)).alias("dv"))
+        )
+        gb = scored.agg(F.sum(snap(F.col("g"), Q30)).alias("dv")).select(
+            F.lit(-1).cast("int").alias("bucket"), "dv"
+        )
+        w = it.advance(
+            e + 1,
+            w.join(gw.unionByName(gb), "bucket", "left").select(
+                "bucket",
+                (F.col("w") + F.coalesce(F.col("dv"), F.lit(0.0))).alias("w"),
+            ),
+        )
+
+    u = F.expr(md5_long_sql(f"('qcls{seed}:' || CAST(doc_id AS STRING))")) / F.lit(
+        float(1 << 48)
+    )
+    draw = snap(
+        F.pow(F.lit(1.0) - u, F.lit(-1.0 / pareto_alpha)) - F.lit(1.0), Q24
+    )
+    out = dots(w).select(
+        "doc_id",
+        F.col("y").alias("label"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6).alias("score"),
+        (draw > (F.lit(1.0) - F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6
+        ))).alias("keep"),
+    )
+    out = out.localCheckpoint(eager=True)
+    it.close()
+    return out

@@ -475,3 +475,51 @@ def test_hashed_doc_features_numpy_referee(spark):
         emb.withColumnRenamed("doc_id", "vec_id"), query_ids=[1], k=1
     ).collect()
     assert top[0]["neighbor_id"] == 2 and abs(top[0]["sim"] - 1.0) < 1e-6
+
+
+def test_quality_classifier_learns_separable_sources(spark):
+    """quality_classifier (GPT-3 WebText-classifier role): on a separable
+    corpus the trained model scores high-quality-source documents above
+    the low-quality ones, deterministically at any parallelism."""
+    from networkit_spark.functions.textstats import quality_classifier
+
+    rows = []
+    for i in range(20):
+        rows.append((i, f"curated prose well formed sentence {i % 3}", "wiki"))
+    for i in range(20, 40):
+        rows.append((i, f"spam spam buy now click {i % 3}", "crawl"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = quality_classifier(
+        docs, positive_sources=["wiki"], dim=32, lr=8.0, epochs=6, seed=1
+    ).toPandas()
+    assert set(out["doc_id"]) == set(range(40))
+    pos = out[out["label"] == 1.0]["score"]
+    neg = out[out["label"] == 0.0]["score"]
+    assert pos.mean() > neg.mean() + 0.1
+    # scores are ROUND(sigmoid, 6): saturated docs may collapse to 0/1
+    assert ((out["score"] >= 0) & (out["score"] <= 1)).all()
+
+    # deterministic at a different shuffle width
+    out2 = quality_classifier(
+        docs.repartition(7), positive_sources=["wiki"], dim=32, lr=8.0,
+        epochs=6, seed=1,
+    ).toPandas()
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        out2.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_quality_classifier_grid_guard(spark):
+    from networkit_spark.functions.textstats import quality_classifier
+
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, "a b c", "s") for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="2\\^-24"):
+        quality_classifier(docs, ["s"], lr=1e-9)
