@@ -106,6 +106,10 @@ def test_no_forced_vertex_sized_broadcasts():
             # hashed-feature model (buckets is a bounded parameter)
             "F.broadcast(tot)",
             "F.broadcast(lr)",
+            # quality_classifier: weights = dim+1 rows (dim is a bounded
+            # parameter), bias = 1 row
+            "F.broadcast(weights)",
+            "F.broadcast(bias)",
         ],
         # query-set-sized tables, O(len(query_ids) [x n_tables]), and the
         # k-row centroid table of the IVF index
